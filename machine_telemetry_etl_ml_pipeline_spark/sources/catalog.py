@@ -1,0 +1,42 @@
+"""Table catalog over the driver's parquet testdata.
+
+Parquet (columnar, min/max statistics, partition-prunable) replaces the
+reference's Postgres heap tables + 6 btree indexes
+(/root/reference/project/db.py:128-135): Catalyst pushes predicates and
+projections into the scan, which at 100 TB is the difference between
+reading a column chunk and reading the table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+# Parquet columns written as TIMESTAMP(NANOS) — Spark has no nanosecond
+# timestamp type, so these are read as raw int64 nanos (legacy conf) and
+# converted to microsecond timestamps (truncation, matching how DuckDB
+# and Arrow downcast nanos->micros).
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    nanos_cols = _NANOS_TS_COLS.get(name, [])
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql entry."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

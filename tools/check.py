@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() on DuckDB over the same parquet dir, then compares
+row count + sorted column names + order-insensitive values
+(floats with tolerance). Usage:
+
+    python tools/check.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    try:
+        import datetime
+
+        if isinstance(v, datetime.datetime):
+            return v.replace(tzinfo=None).isoformat()
+    except Exception:
+        pass
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for _, c in sorted(enumerate(cols), key=lambda t: t[1])], out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as ent
+    from machine_telemetry_etl_ml_pipeline_spark.session import get_spark
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    names = args.names or list(qs)
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        sc, sr = canon_rows(scols, srows)
+        oc, orr = canon_rows(ocols, orows)
+        ok = True
+        if len(sr) != len(orr):
+            print(f"FAIL {name}: row count spark={len(sr)} duckdb={len(orr)}")
+            ok = False
+        elif sc != oc:
+            print(f"FAIL {name}: columns spark={sc} duckdb={oc}")
+            ok = False
+        elif sr != orr:
+            diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+            print(f"FAIL {name}: value mismatch; first diffs: {diffs}")
+            ok = False
+        if ok:
+            print(f"PASS {name}: {len(sr)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            failures.append(name)
+    print(f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    if failures:
+        print("failing:", " ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
