@@ -1,0 +1,92 @@
+"""Join operators (§2B extension surface — the reference has no joins
+anywhere in /root/reference/project/db.py; SURVEY §2A end-note).
+
+Scale posture:
+- dimension tables (region/nation, and anything bounded) are broadcast
+  explicitly; fact-fact joins are left to sort-merge + AQE (which also
+  handles skew splitting at runtime);
+- the as-of join avoids the naive key-equi + theta backtrack (quadratic
+  in events-per-key) by the union+window formulation: ONE shuffle on
+  the key, a single in-partition sort, and a last-non-null carry —
+  linear in rows, the strategy Flink/kdb use for temporal joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_facts_dims(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, Sequence[str] | str]],
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """Equi-join a fact table against a chain of dimension tables,
+    broadcasting each dim (hash-join, no shuffle of the fact side)."""
+    out = fact
+    for dim, on in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, on=on, how="inner")
+    return out
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS / IN — ships only the join keys of the right side."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with the same
+    key and right_ts <= left_ts (inclusive).
+
+    Union+window: tag both sides, union on (key, ts), and carry the
+    last-seen right payload forward with last(..., ignorenulls=True)
+    over an in-partition sort. Right rows sort BEFORE left rows at
+    equal ts so the inclusive (<=) semantics hold.
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left after right on ties
+        F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "__side",
+        "__lrow",
+        *[F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"{prefix}{p}") for p in payload],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col("__lrow").getField(c).alias(c) for c in lcols],
+        *[F.col(f"{prefix}{p}") for p in payload],
+    )
