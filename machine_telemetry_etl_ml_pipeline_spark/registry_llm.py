@@ -1,0 +1,409 @@
+"""LLM-data-pipeline query surface (north-star extension — SURVEY §2B
+last rows): dedup (exact / MinHash-LSH / Jaccard / SimHash), vector
+similarity search, text analysis, multimodal plumbing — over the
+`documents` and `embeddings` testdata tables.
+
+Oracle-parity design: all hashing is md5-lexicographic (portable string
+ops — see llm/dedup.py), vector math is float64 with a left-to-right
+fold, and every ranking has a deterministic tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .llm import multimodal as mm
+from .llm import textstats as ts
+from .llm.dedup import (
+    char_shingles,
+    exact_dedup_keep_first,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalized,
+    simhash16,
+    with_fingerprint,
+    word_ngrams,
+)
+from .llm.similarity import brute_force_topk, lsh_bucket_counts, lsh_topk
+from .registry import _t, register
+
+# Shared oracle CTE: distinct 5-char shingles per document.
+SHINGLES_SQL = """
+  sh AS (
+    SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents
+    )
+  )
+"""
+
+# Distinct word-3-gram shingles for docs with doc_id < 40.
+WORD3_SQL = """
+  w3 AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(ws, i, i + 2), ' ') AS shingle
+    FROM (
+      SELECT doc_id, ws,
+             unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents WHERE doc_id < 40
+      )
+    )
+  )
+"""
+
+MINHASH_SQL = """
+  mh AS (
+    SELECT doc_id,
+           min(md5('s1|' || shingle)) AS mh1, min(md5('s2|' || shingle)) AS mh2,
+           min(md5('s3|' || shingle)) AS mh3, min(md5('s4|' || shingle)) AS mh4
+    FROM sh GROUP BY doc_id
+  )
+"""
+
+
+@register(
+    "llm_dedup_exact_stats",
+    """
+    SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+           count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))) AS n_unique_norm
+    FROM documents
+    """,
+)
+def llm_dedup_exact_stats(spark, sf_dir):
+    """Exact + normalized dedup cardinality: shuffle 128-bit
+    fingerprints, never full text (the 100 TB-relevant property)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = with_fingerprint(d)
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.countDistinct("fp_norm").alias("n_unique_norm"),
+    )
+
+
+@register(
+    "llm_dedup_keep_first",
+    "SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def llm_dedup_keep_first(spark, sf_dir):
+    """Exact dedup, keep smallest doc_id per content fingerprint."""
+    return exact_dedup_keep_first(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_minhash_signatures",
+    f"WITH {SHINGLES_SQL}, {MINHASH_SQL} SELECT doc_id, mh1, mh2, mh3, mh4 FROM mh",
+)
+def llm_minhash_signatures(spark, sf_dir):
+    """4-component MinHash signature per doc over 5-char shingles.
+    min(md5(seed||shingle)) is a valid MinHash permutation and computes
+    identically in any engine (llm/dedup.py module docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(char_shingles(d))
+
+
+@register(
+    "llm_lsh_candidate_pairs",
+    f"""
+    WITH {SHINGLES_SQL}, {MINHASH_SQL},
+    banded AS (
+      SELECT doc_id, md5(mh1 || '|' || mh2) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, md5(mh3 || '|' || mh4) AS band_key FROM mh
+    )
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    """,
+)
+def llm_lsh_candidate_pairs(spark, sf_dir):
+    """MinHash LSH banding (2 bands x 2 rows): candidate pairs from
+    band-key equi-joins — candidate generation proportional to true
+    collisions, not n^2."""
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(char_shingles(d)))
+
+
+@register(
+    "llm_ngram_jaccard",
+    f"""
+    WITH {WORD3_SQL},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM w3 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+      FROM w3 a JOIN w3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, round(n_inter / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    """,
+)
+def llm_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard for all overlapping pairs in a 40-doc
+    slice — the verification stage that LSH candidates feed at scale."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = word_ngrams(d)
+    pairs = (
+        sh.alias("l")
+        .join(sh.alias("r"), (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+    return jaccard_pairs(sh, pairs)
+
+
+_SIMHASH_SUMS = ", ".join(
+    f"sum(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 8.5) AS s{p}"
+    for p in range(1, 17)
+)
+_SIMHASH_BITS = " + ".join(
+    f"(CASE WHEN s{p} > 0 THEN {1 << (p - 1)} ELSE 0 END)" for p in range(1, 17)
+)
+
+
+@register(
+    "llm_simhash",
+    f"""
+    WITH {SHINGLES_SQL},
+    sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM sh GROUP BY doc_id)
+    SELECT doc_id, CAST({_SIMHASH_BITS} AS BIGINT) AS simhash FROM sums
+    """,
+)
+def llm_simhash(spark, sf_dir):
+    """16-bit SimHash over the shingle set (hex-digit dimensions —
+    llm/dedup.simhash16 docstring)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash16(char_shingles(d))
+
+
+# --- similarity search -----------------------------------------------------
+
+_COSINE_BASE_SQL = """
+  base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5)
+"""
+
+
+@register(
+    "llm_cosine_topk",
+    f"""
+    WITH {_COSINE_BASE_SQL},
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                   4) AS cosine_sim
+      FROM q, base b WHERE b.vec_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for 5 query vectors — the exact ANN
+    baseline. Query side broadcast; corpus scanned once."""
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e, [0, 1, 2, 3, 4], k=3)
+
+
+@register(
+    "llm_ann_bucket_counts",
+    """
+    SELECT bucket, count(*) AS n, min(vec_id) AS min_vec_id FROM (
+      SELECT vec_id,
+             CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings
+    ) GROUP BY bucket
+    """,
+)
+def llm_ann_bucket_counts(spark, sf_dir):
+    """Sign-LSH bucket occupancy (4 coordinate hyperplanes -> 16
+    buckets): the ANN scale path's candidate-set diagnostic."""
+    return lsh_bucket_counts(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "llm_ann_lsh_topk",
+    f"""
+    WITH
+    bb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bb WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(qv, b.v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))),
+                   4) AS cosine_sim
+      FROM q JOIN bb b ON q.bucket = b.bucket AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-3: only same-bucket candidates are scored — at
+    100 TB this is the difference between scoring ~1/16th of the corpus
+    and all of it (recall traded via bucket count)."""
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)
+
+
+# --- text analysis -----------------------------------------------------------
+
+_HITS_SQL = {
+    lang: (
+        "len(list_intersect(list_filter(string_split(text, ' '), x -> x <> ''), "
+        + "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS[lang]) + "]))"
+    )
+    for lang in ts.LANG_ORDER
+}
+_BEST_SQL = "greatest(" + ", ".join(f"hits_{l}" for l in ts.LANG_ORDER) + ")"
+_PRED_SQL = (
+    "CASE WHEN " + _BEST_SQL + " <= 0 THEN 'unknown' "
+    + " ".join(f"WHEN hits_{l} = {_BEST_SQL} THEN '{l}'" for l in ts.LANG_ORDER)
+    + " END"
+)
+
+
+@register(
+    "llm_language_id",
+    f"""
+    SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es, hits_zh,
+           {_PRED_SQL} AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             {", ".join(f"CAST({_HITS_SQL[l]} AS INT) AS hits_{l}" for l in ts.LANG_ORDER)}
+      FROM documents
+    )
+    """,
+)
+def llm_language_id(spark, sf_dir):
+    """Stopword-hit language-ID heuristic with a fixed argmax tie
+    order; `lang` (the labeled truth) rides along for accuracy eval."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return ts.with_language_id(d).drop("text")
+
+
+@register(
+    "llm_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+             AS n_tokens_ws,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS INT) AS n_tokens_alnum
+    FROM documents
+    """,
+)
+def llm_token_counts(spark, sf_dir):
+    """Whitespace + alnum-run tokenization counts."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ts.with_token_counts(d).drop("text")
+
+
+@register(
+    "llm_quality_score",
+    f"""
+    SELECT doc_id, n_chars_calc, n_tokens, n_punct,
+           round(mean_word_len, 4) AS mean_word_len,
+           round((CASE WHEN n_tokens >= 20 THEN 0.4::DOUBLE ELSE 0.0 END)
+               + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.3::DOUBLE ELSE 0.0 END)
+               + (CASE WHEN n_punct / n_chars_calc <= 0.1 THEN 0.2::DOUBLE ELSE 0.0 END)
+               + (CASE WHEN n_stop > 0 THEN 0.1::DOUBLE ELSE 0.0 END), 4) AS quality_score
+    FROM (
+      SELECT doc_id,
+             length(text) AS n_chars_calc,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             length(replace(text, ' ', ''))
+               / len(list_filter(string_split(text, ' '), x -> x <> '')) AS mean_word_len,
+             {_HITS_SQL["en"]} AS n_stop
+      FROM documents
+    )
+    """,
+)
+def llm_quality_score(spark, sf_dir):
+    """Length/punctuation/stopword quality features + composite score
+    (the classic pre-training quality-filter shape)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ts.with_quality_score(d).drop("text")
+
+
+@register(
+    "llm_fingerprint",
+    """
+    SELECT doc_id, md5(text) AS fp,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                    ' +', ' ', 'g'))) AS fp_norm
+    FROM documents
+    """,
+)
+def llm_fingerprint(spark, sf_dir):
+    """Content + normalized-content fingerprints (dedup join keys)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_fingerprint(d).drop("text")
+
+
+# --- multimodal --------------------------------------------------------------
+
+
+@register(
+    "llm_multimodal_pack",
+    """
+    SELECT doc_id AS asset_id, 'text' AS media_type,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CAST(length(text) AS VARCHAR) AS meta_orig_len
+    FROM documents
+    """,
+)
+def llm_multimodal_pack(spark, sf_dir):
+    """Multimodal packing: text payload -> opaque binary `content` +
+    typed metadata map (schemas.MULTIMODAL_ASSET convention). The
+    oracle checks byte length + content digest of the binary."""
+    d = _t(spark, sf_dir, "documents")
+    assets = mm.pack_assets(d, "doc_id", "text", F.lit("text"))
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.element_at("meta", "orig_len").alias("meta_orig_len"),
+    )
+
+
+@register("llm_multimodal_decode", None)  # stubbed codec -> rows-only
+def llm_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas decode over packed assets. The codec
+    is a deterministic byte-statistic STUB (llm/multimodal.decode_stub
+    — real image/audio libs absent in this container); the distributed
+    plumbing (schema, batching, partition preservation) is real."""
+    d = _t(spark, sf_dir, "documents")
+    assets = mm.pack_assets(d, "doc_id", "text", F.lit("text"))
+    decoded = mm.decode_assets(assets, fake=True)
+    return decoded.select(
+        "asset_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.element_at("features", 4), 4).alias("feat_checksum"),
+    )
