@@ -1,0 +1,82 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>}
+
+Each query executes through the noop sink — full plan execution on all
+cores, no driver-side collect bottleneck (what a cluster run would do).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per engine capability family (scan/filter, window
+# dedup, hash agg, multi-join, as-of, grouping sets, sessionization,
+# text/LLM, vector search).
+HEADLINE = [
+    "ref_filter_range",
+    "ref_latest_per_key",
+    "ref_grouped_comparison",
+    "ref_top_k_highest_value",
+    "ext_join_revenue_by_nation",
+    "ext_asof_join",
+    "ext_rollup",
+    "ext_window_running",
+    "ext_session_windows",
+    "ext_explode_wordcount",
+    "llm_minhash_signatures",
+    "llm_lsh_candidate_pairs",
+    "llm_cosine_topk",
+    "llm_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from machine_telemetry_etl_ml_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as ent
+
+    qs = ent.queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # JVM/codegen warm-up on a cheap query; not counted.
+    run("ref_filter_range")
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        per_query[name] = round(run(name), 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,24 +52,55 @@ def exact_dedup_keep_first(df: DataFrame, id_col: str = "doc_id", text_col: str 
 # --- shingling -------------------------------------------------------------
 
 
-def char_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5) -> DataFrame:
-    """Distinct k-character shingles per document (one explode)."""
-    idx = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1)))
-    ).alias("i")
-    return (
-        df.select(F.col(id_col), F.col(text_col), idx)
-        .select(F.col(id_col), F.expr(f"substring({text_col}, i, {k})").alias("shingle"))
-        .distinct()
+def char_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    distinct: bool = True,
+    spread: bool = True,
+) -> DataFrame:
+    """k-character shingles per document (one explode).
+
+    spread: repartition the (small) doc rows BEFORE exploding — a
+    single-file parquet scan is one partition, and without the spread
+    the explode + hashing of millions of shingles runs in one task
+    (observed 6x slowdown at sf0.1).
+    distinct: set semantics; MinHash callers pass False (min over the
+    multiset equals min over the set — saves a full shuffle of the
+    exploded rows).
+    """
+    src = df.select(F.col(id_col), F.col(text_col))
+    if spread:
+        # explicit numPartitions: AQE would coalesce a 5000-row shuffle
+        # to 1 partition by input size — but the explode right after
+        # multiplies rows ~200x, so presplit to full parallelism.
+        n = df.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(n, F.col(id_col))
+    # Build the shingle array BEFORE exploding: the Generate then emits
+    # 5-char strings instead of carrying the full text into every
+    # exploded row (measured ~3x on 1M shingles).
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+        lambda i: F.col(text_col).substr(i, F.lit(k)),
     )
+    out = src.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
-def word_ngrams(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def word_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, spread: bool = True
+) -> DataFrame:
     """Distinct word n-gram shingles per document."""
+    src = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        if spread
+        else df
+    )
     words = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     idx = F.explode(F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1)))).alias("i")
     return (
-        df.select(F.col(id_col), words.alias("__ws"), idx)
+        src.select(F.col(id_col), words.alias("__ws"), idx)
         .select(
             F.col(id_col),
             F.concat_ws(" ", F.slice(F.col("__ws"), F.col("i"), n)).alias("shingle"),
@@ -99,23 +130,25 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature and self-join per band: docs agreeing on ALL
     components of any band become a candidate pair (standard MinHash
-    LSH banding). Returns distinct (a, b) with a < b."""
+    LSH banding). Returns distinct (a, b) with a < b.
+
+    All band keys are emitted in ONE explode projection and the
+    self-join runs on that single subplan, so the (expensive) shingle +
+    minhash pipeline is planned once and the band-key exchange is
+    shared via ReuseExchange — a per-band union of joins would replan
+    it 2x per band."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     bands = [mh_cols[i : i + rows_per_band] for i in range(0, len(mh_cols), rows_per_band)]
-    pairs = None
-    for bi, cols in enumerate(bands):
-        keyed = signatures.select(
-            F.col(id_col), F.md5(F.concat_ws("|", *cols)).alias("band_key")
-        )
-        left = keyed.alias("l")
-        right = keyed.alias("r")
-        p = (
-            left.join(right, F.col("l.band_key") == F.col("r.band_key"))
-            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    band_keys = [F.md5(F.concat_ws("|", *cols)) for cols in bands]
+    keyed = signatures.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
+    left = keyed.alias("l")
+    right = keyed.alias("r")
+    return (
+        left.join(right, F.col("l.band_key") == F.col("r.band_key"))
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .distinct()
+    )
 
 
 def jaccard_pairs(shingles: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -104,7 +104,7 @@ def llm_minhash_signatures(spark, sf_dir):
     min(md5(seed||shingle)) is a valid MinHash permutation and computes
     identically in any engine (llm/dedup.py module docstring)."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_signatures(char_shingles(d))
+    return minhash_signatures(char_shingles(d, distinct=False))
 
 
 @register(
@@ -125,7 +125,7 @@ def llm_lsh_candidate_pairs(spark, sf_dir):
     band-key equi-joins — candidate generation proportional to true
     collisions, not n^2."""
     d = _t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(minhash_signatures(char_shingles(d)))
+    return lsh_candidate_pairs(minhash_signatures(char_shingles(d, distinct=False)))
 
 
 @register(
