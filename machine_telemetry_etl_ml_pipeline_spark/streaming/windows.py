@@ -1,0 +1,125 @@
+"""Structured Streaming layer (SURVEY §2B streaming rows): the
+continuous analog of the reference's daily Airflow batch
+(/root/reference/dags/db_pipeline_dag.py:56 `@daily`) — watermarked
+event-time windows, stateful dedup, and stream-static joins over an
+events-shaped stream.
+
+Batch twins of the window aggregations live in registry_ext
+(ext_tumbling_window / ext_sliding_window / ext_session_windows) where
+they are oracle-checked; streaming state itself is rows-only by the
+driver contract (SURVEY §7 hard spot e).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def file_stream(spark: SparkSession, dir_path: str, schema: StructType | None = None) -> DataFrame:
+    """File-source stream over a parquet directory (new files become
+    micro-batches — the continuous twin of the batch catalog read)."""
+    return (
+        spark.readStream.schema(schema or EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir_path)
+    )
+
+
+def tumbling_counts(stream: DataFrame, duration: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregate; late rows beyond the
+    watermark are dropped and state is evicted (bounded memory — the
+    property that matters on an unbounded 100 TB/day stream)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, duration: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows (state-store backed) — batch twin:
+    registry_ext.ext_session_windows (gaps-and-islands)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Stateful dedup with bounded state — the streaming analog of the
+    reference's DISTINCT ON idiom (exactly-once per key within the
+    watermark horizon)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_static_join(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static broadcast join (dimension enrichment)."""
+    return stream.join(F.broadcast(dim), on=on, how="left")
+
+
+def run_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Drain all available input into an in-memory table (test sink);
+    returns the materialized result table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not _has_aggregation(df) else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def foreach_batch_append(df: DataFrame, table_path: str, checkpoint: str):
+    """Continuous sink into the same partitioned table the batch path
+    writes — the streaming replacement for the reference's daily
+    execute_values load."""
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(table_path)
+
+    return (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

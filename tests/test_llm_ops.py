@@ -1,0 +1,132 @@
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from machine_telemetry_etl_ml_pipeline_spark.llm.dedup import (
+    char_shingles,
+    exact_dedup_keep_first,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash16,
+    word_ngrams,
+)
+from machine_telemetry_etl_ml_pipeline_spark.llm.multimodal import (
+    decode_assets,
+    decode_stub,
+    pack_assets,
+)
+from machine_telemetry_etl_ml_pipeline_spark.llm.similarity import brute_force_topk
+from machine_telemetry_etl_ml_pipeline_spark.llm.textstats import (
+    with_language_id,
+    with_quality_score,
+    with_token_counts,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keep_first(spark):
+    d = docs(spark, [(1, "same"), (2, "same"), (3, "other")])
+    out = {r.doc_id for r in exact_dedup_keep_first(d).collect()}
+    assert out == {1, 3}
+
+
+def test_char_shingles(spark):
+    d = docs(spark, [(1, "abcdef")])
+    out = {r.shingle for r in char_shingles(d).collect()}
+    assert out == {"abcde", "bcdef"}
+
+
+def test_word_ngrams(spark):
+    d = docs(spark, [(1, "a b  c d")])
+    out = {r.shingle for r in word_ngrams(d).collect()}
+    assert out == {"a b c", "b c d"}
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    d = docs(spark, [(1, "hello world document"), (2, "hello world document"),
+                     (3, "completely different text")])
+    sig = {r.doc_id: (r.mh1, r.mh2, r.mh3, r.mh4)
+           for r in minhash_signatures(char_shingles(d, distinct=False)).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+
+
+def test_lsh_finds_identical_pair(spark):
+    d = docs(spark, [(1, "hello world document"), (2, "hello world document"),
+                     (3, "zzz qqq xxx yyy www")])
+    pairs = {(r.a, r.b) for r in
+             lsh_candidate_pairs(minhash_signatures(char_shingles(d, distinct=False))).collect()}
+    assert (1, 2) in pairs
+    assert all(p in {(1, 2)} or 3 not in p for p in pairs)
+
+
+def test_jaccard_exact_value(spark):
+    d = docs(spark, [(1, "a b c d"), (2, "b c d e")])
+    sh = word_ngrams(d, n=2)  # doc1: {a b, b c, c d}; doc2: {b c, c d, d e}
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    j = jaccard_pairs(sh, pairs).head()
+    assert j.jaccard == 0.5  # |inter|=2, |union|=4
+
+
+def test_simhash_deterministic(spark):
+    d = docs(spark, [(1, "the quick brown fox"), (2, "the quick brown fox"),
+                     (3, "totally unrelated words here")])
+    s = {r.doc_id: r.simhash for r in simhash16(char_shingles(d)).collect()}
+    assert s[1] == s[2]
+    assert 0 <= s[1] < 2**16
+
+
+def test_brute_force_topk_orthogonal(spark):
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = brute_force_topk(e, [0], k=3).collect()
+    assert [r.neighbor_id for r in out] == [1, 2, 3]  # by descending cosine
+    sims = [r.cosine_sim for r in out]
+    assert math.isclose(sims[0], 1.0, abs_tol=1e-3)
+    assert sims[1] == 0.0 and sims[2] == -1.0
+
+
+def test_language_id(spark):
+    d = docs(spark, [(1, "the cat and the hat"), (2, "der hund und die katze"),
+                     (3, "xyz pqr")])
+    out = {r.doc_id: r.pred_lang for r in with_language_id(d).collect()}
+    assert out == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_token_counts(spark):
+    d = docs(spark, [(1, "Hello, world! foo-bar")])
+    r = with_token_counts(d).head()
+    assert r.n_tokens_ws == 3
+    assert r.n_tokens_alnum == 4  # hello / world / foo / bar
+
+
+def test_quality_score_range(spark):
+    d = docs(spark, [(1, "word " * 30), (2, "x!")])
+    out = {r.doc_id: r.quality_score for r in with_quality_score(d).collect()}
+    assert out[1] > out[2]
+    assert all(0.0 <= v <= 1.0 for v in out.values())
+
+
+def test_multimodal_pack_and_decode(spark):
+    d = docs(spark, [(1, "hello"), (2, "")])
+    assets = pack_assets(d, "doc_id", "text", F.lit("text"))
+    assert dict(assets.dtypes)["content"] == "binary"
+    decoded = decode_assets(assets, fake=True)
+    rows = {r.asset_id: r for r in decoded.collect()}
+    assert rows[1].n_bytes == 5
+    assert rows[1].features == [5.0, float(ord("h")), float(ord("o")), float(sum(b"hello") % 997)]
+    assert rows[2].features == [0.0, 0.0, 0.0, 0.0]
+    assert rows[1].meta["orig_len"] == "5"
+
+
+def test_decode_stub_not_implemented():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"x", fake=False)
