@@ -1,0 +1,583 @@
+"""Second extension batch: write-path/sink operators (SURVEY §2A rows
+4,7-9), pivot/unpivot, GROUPING SETS, SQL subqueries (scalar +
+correlated), extra window functions, array/map/regexp/date-format
+surface, TPC-H classic shapes (Q1/Q3/Q6), an oracle-checked Structured
+Streaming query, and MLlib StringIndexer parity.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .registry import EPOCH_SQL, _epoch, _t, register
+from .sources.catalog import load_table
+
+
+def _views(spark, sf_dir, *names):
+    """Register testdata tables as temp views for spark.sql entry
+    (EP2: the SQL-string lifecycle the reference delegates to Postgres,
+    SURVEY §3)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# --- write-path / sink operators (rows-only: sink semantics) ---------------
+
+
+@register("ref_sink_batch_insert", None)
+def ref_sink_batch_insert(spark, sf_dir):
+    """Batch append sink — the reference's execute_values page_size=1000
+    + commit (database_and_model_tools.py:75-97). Two appends into a
+    fresh parquet table; returns the table count after each commit
+    (1000, then 2000): distributed write, one atomic commit per batch."""
+    path = tempfile.mkdtemp(prefix="sink_batch_") + "/t"
+    src = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    )
+    counts = []
+    for _ in range(2):
+        src.write.mode("append").parquet(path)
+        counts.append(spark.read.parquet(path).count())
+    return spark.createDataFrame([(counts[0], counts[1])], "after_first long, after_second long")
+
+
+@register("ref_sink_insert_defaults", None)
+def ref_sink_insert_defaults(spark, sf_dir):
+    """Insert with default-valued columns + None->0.0 coercion — the
+    reference's log_user_query (project/db.py:163-169): ts_epoch is
+    stamped at write time, NULL confidence coalesced to 0.0."""
+    path = tempfile.mkdtemp(prefix="sink_defaults_") + "/t"
+    rows = spark.createDataFrame(
+        [("operator", "q1", "regression", 0.9), ("manager", "q2", "anomaly", None)],
+        "role string, query string, intent string, confidence double",
+    )
+    stamped = rows.withColumn("confidence", F.coalesce("confidence", F.lit(0.0))).withColumn(
+        "ts_epoch", F.unix_timestamp(F.current_timestamp()).cast("long")
+    )
+    stamped.write.mode("append").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "role", "intent", "confidence", F.col("ts_epoch").isNotNull().alias("has_ts")
+    )
+
+
+@register("ref_sink_insert_json", None)
+def ref_sink_insert_json(spark, sf_dir):
+    """JSON-serialized feature insert — the reference's log_prediction
+    (project/db.py:171-185): map -> to_json at write, from_json on
+    read-back (JSONB parity via MapType, SURVEY §1.2)."""
+    path = tempfile.mkdtemp(prefix="sink_json_") + "/t"
+    rows = spark.createDataFrame(
+        [("M001", "regression", 82.5, {"fuelconsumption": 10.5, "humidity": 68.0})],
+        "machine_id string, intent string, numerical_answer double, features map<string,double>",
+    )
+    rows.withColumn("features_json", F.to_json("features")).drop("features").write.mode(
+        "append"
+    ).parquet(path)
+    back = spark.read.parquet(path).withColumn(
+        "features", F.from_json("features_json", "map<string,double>")
+    )
+    return back.select(
+        "machine_id",
+        "intent",
+        "numerical_answer",
+        F.map_keys("features")[0].alias("first_key"),
+        F.size(F.map_keys("features")).alias("n_features"),
+    )
+
+
+# --- pivot / unpivot --------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "ext_pivot",
+    f"""
+    SELECT user_id,
+           {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def ext_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): explicit value list so the plan is a
+    single pass (no extra distinct-values job) — at scale an un-listed
+    pivot scans twice."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count().na.fill(0)
+
+
+@register(
+    "ext_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def ext_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide -> long."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+@register(
+    "ext_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def ext_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id disambiguation (SQL
+    entry point — the DataFrame API only exposes cube/rollup)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --- subqueries --------------------------------------------------------------
+
+
+@register(
+    "ext_scalar_subquery",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def ext_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery in a predicate (Catalyst rewrites
+    to a broadcast join against the 1-row aggregate)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "ext_correlated_subquery",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM customer c2
+                       WHERE c2.c_mktsegment = c.c_mktsegment)
+    """,
+)
+def ext_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (the reference's Postgres planner did this for
+    free; Spark's subquery decorrelation is the same rewrite)."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5 FROM customer c2
+                           WHERE c2.c_mktsegment = c.c_mktsegment)
+        """
+    )
+
+
+# --- window extras ------------------------------------------------------------
+
+
+@register(
+    "ext_window_distribution",
+    """
+    SELECT c_custkey,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 4) AS pct_rank,
+           round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 4) AS cume
+    FROM customer
+    """,
+)
+def ext_window_distribution(spark, sf_dir):
+    """ntile / percent_rank / cume_dist (unique total order via the
+    custkey tiebreak so every engine agrees)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "ext_window_first_last",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_v,
+           last_value(value) OVER w AS last_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def ext_window_first_last(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_v"),
+        F.last("value").over(w).alias("last_v"),
+    )
+
+
+@register(
+    "ext_window_range_frame",
+    """
+    SELECT o_orderkey, cnt_within_10k FROM (
+      SELECT o_orderkey,
+             count(*) OVER (ORDER BY o_totalprice
+                            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+               AS cnt_within_10k
+      FROM orders
+    )
+    """,
+)
+def ext_window_range_frame(spark, sf_dir):
+    """Numeric RANGE frame (value-based, not row-based): how many
+    orders fall within 10k below each order's price."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc()).rangeBetween(-10000, 0)
+    return o.select("o_orderkey", F.count(F.lit(1)).over(w).alias("cnt_within_10k"))
+
+
+# --- array / map / regexp / date-format surface -------------------------------
+
+
+@register(
+    "ext_array_functions",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_dim,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_dim,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_dims,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def ext_array_functions(spark, sf_dir):
+    """Array surface: size/element_at/max/min + lambda transform,
+    aggregate, filter (all JVM-side higher-order functions)."""
+    e = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_dim"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_dim"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("min_dim"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("sum_dims"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@register(
+    "ext_map_functions",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           len(json_keys(props)) AS n_keys,
+           json_keys(props)[1] AS first_key
+    FROM events
+    """,
+)
+def ext_map_functions(spark, sf_dir):
+    """JSON -> map -> key introspection (from_json / map_keys)."""
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )
+
+
+@register(
+    "ext_regexp_functions",
+    """
+    SELECT p_partkey, p_name,
+           regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           len(regexp_extract_all(p_name, '[a-z]+')) AS n_words
+    FROM part
+    """,
+)
+def ext_regexp_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.col("p_name").rlike("^[a-z]+ ").alias("starts_word"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)).alias("n_words"),
+    )
+
+
+@register(
+    "ext_date_format",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H') AS fmt,
+           strftime(o_orderdate, '%Y/%m') AS ym
+    FROM orders
+    """,
+)
+def ext_date_format(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH").alias("fmt"),
+        F.date_format("o_orderdate", "yyyy/MM").alias("ym"),
+    )
+
+
+# --- TPC-H classic shapes ------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (the canonical partial-agg benchmark:
+    map-side combine reduces 600k rows to 6 groups before the shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'MACHINERY'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping-priority shape (selective dim filter ->
+    join -> agg -> top-k)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    joined = c.join(o, c.c_custkey == o.o_custkey).join(li, o.o_orderkey == li.l_orderkey)
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").cast("long").alias("o_orderdate_epoch"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue (pure scan+filter+agg: every predicate
+    pushes into the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+# --- streaming (oracle-checked through the memory sink) -----------------------
+
+
+@register(
+    "stream_tumbling_counts",
+    f"""
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def stream_tumbling_counts(spark, sf_dir):
+    """Structured Streaming tumbling window, drained with an
+    availableNow memory sink and returned as a batch DataFrame — the
+    ORACLE is the plain batch SQL, proving the streaming event-time
+    semantics equal the batch semantics over the same input."""
+    import os
+    import uuid
+
+    from .session import tune_session
+
+    tune_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a DIRECTORY; expose the single
+    # testdata file through a symlinked temp dir
+    stream_dir = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # nanos (legacy conf)
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- MLlib parity --------------------------------------------------------------
+
+
+@register(
+    "ml_string_indexer",
+    """
+    SELECT event_type,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, event_type ASC) - 1
+                AS DOUBLE) AS type_index
+    FROM events GROUP BY event_type
+    """,
+)
+def ml_string_indexer(spark, sf_dir):
+    """MLlib StringIndexer parity: frequencyDesc ordering with
+    alphabetic tie-break — the trained labels ARE the SQL ranking, so
+    the fitted model is oracle-checkable."""
+    from pyspark.ml.feature import StringIndexer
+
+    e = _t(spark, sf_dir, "events")
+    model = StringIndexer(
+        inputCol="event_type", outputCol="type_index", stringOrderType="frequencyDesc"
+    ).fit(e)
+    labels = [(lbl, float(i)) for i, lbl in enumerate(model.labelsArray[0])]
+    return spark.createDataFrame(labels, "event_type string, type_index double")

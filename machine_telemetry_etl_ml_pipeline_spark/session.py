@@ -48,8 +48,10 @@ def get_spark(
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally provided session
     (the driver passes its own SparkSession to ``entry``/``queries``)."""
+    cpus = str(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     for k, v in [
         ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.shuffle.partitions", cpus),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
