@@ -1,0 +1,79 @@
+"""Bucketed tables and skew handling — the 100 TB co-location toolkit
+(SURVEY §1.4 / §4: the reference's btree indexes become layout).
+
+- Bucketing: persist both sides of a recurring join bucketed by the
+  join key; Spark then plans a sort-merge join with NO Exchange on
+  either side (co-located join). At 100 TB this removes the dominant
+  shuffle of every fact-fact join that repeats per run.
+- Salting: explicit skew mitigation for aggregations whose key
+  distribution is pathological (one hot key melting one reducer).
+  AQE's skewJoin handles the join case at runtime; salted two-phase
+  aggregation handles the groupBy case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def save_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (+ optionally sorted) managed table."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on) -> DataFrame:
+    """Join two same-bucketed tables — shuffle-free when bucket specs
+    match (verify with plan_has_shuffle)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the executed plan contains a shuffle Exchange
+    (hash/range repartitioning). BroadcastExchange is NOT a shuffle —
+    it's a driver-collected broadcast."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    agg_exprs: list,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: spread each key over
+    salt_buckets partial groups, then merge. Only valid for
+    algebraic aggregates (sum/count/min/max) — the partial results
+    passed in agg_exprs must re-aggregate with the merge exprs the
+    caller supplies via a second groupBy; this helper handles the
+    common sum/count case."""
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(key, "__salt").agg(*agg_exprs)
+    merge = []
+    for c in partial.columns:
+        if c in (key, "__salt"):
+            continue
+        if c.startswith("cnt_") or c == "n":
+            merge.append(F.sum(c).alias(c))
+        elif c.startswith("sum_"):
+            merge.append(F.sum(c).alias(c))
+        elif c.startswith("min_"):
+            merge.append(F.min(c).alias(c))
+        elif c.startswith("max_"):
+            merge.append(F.max(c).alias(c))
+        else:
+            raise ValueError(
+                f"salted_agg: column {c!r} needs an algebraic prefix "
+                "(n/cnt_/sum_/min_/max_) so the merge phase is well-defined"
+            )
+    return partial.groupBy(key).agg(*merge)

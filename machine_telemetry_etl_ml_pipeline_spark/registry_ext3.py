@@ -1,0 +1,201 @@
+"""Third extension batch: DDL surface, skew-safe aggregation,
+embedding near-dup dedup, and an oracle-checked streaming session
+window.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .operators.bucketing import salted_agg
+from .registry import _t, register
+
+
+@register("ref_ddl_create_table", None)
+def ref_ddl_create_table(spark, sf_dir):
+    """DDL surface — the reference's CREATE TABLE IF NOT EXISTS
+    (project/db.py:77-126) as Spark SQL DDL over a parquet location;
+    returns the created table's schema as rows (deterministic)."""
+    loc = tempfile.mkdtemp(prefix="ddl_") + "/t"
+    name = "telemetry_ddl_check"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS {name} (
+          machineid STRING, ts_epoch BIGINT, enginetemperature DOUBLE,
+          status STRING, status_encoded INT
+        ) USING parquet LOCATION '{loc}'
+        """
+    )
+    # idempotency: the reference loops IF NOT EXISTS on every run
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} (machineid STRING) USING parquet LOCATION '{loc}'"
+    )
+    out = spark.sql(f"DESCRIBE TABLE {name}").select("col_name", "data_type")
+    return out.filter(~F.col("col_name").startswith("#"))
+
+
+@register(
+    "ext_salted_agg",
+    """
+    SELECT event_type, sum(cnt_events) AS cnt_events,
+           round(sum(sum_value), 4) AS sum_value
+    FROM (
+      SELECT event_type, count(*) AS cnt_events, sum(value) AS sum_value
+      FROM events GROUP BY event_type
+    ) GROUP BY event_type
+    """,
+)
+def ext_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (salting): event_type has only 5
+    values — a worst-case skew shape where every row of a key lands on
+    one reducer. The salted plan spreads each key over 8 partial
+    groups; the merged result is exactly the plain aggregate (oracle =
+    the unsalted SQL; sums are exact-integer cents to make the
+    partial-merge order irrelevant)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = salted_agg(
+        e,
+        "event_type",
+        [F.count(F.lit(1)).alias("cnt_events"), F.sum("cents").alias("sum_cents")],
+    )
+    # rename for the algebraic-merge helper, then descale
+    return out.select(
+        "event_type",
+        "cnt_events",
+        F.round(F.col("sum_cents") / 100.0, 4).alias("sum_value"),
+    )
+
+
+@register(
+    "llm_embedding_neardup",
+    """
+    WITH bb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cosine_sim
+    FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) > 0.35
+    """,
+)
+def llm_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: candidates from sign-LSH
+    buckets (1/16th of the pair space scored), exact cosine filter
+    above threshold — the embedding analog of MinHash-LSH + Jaccard
+    verification."""
+    from .llm.similarity import _as_double, cosine, sign_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding"), [1, 9, 17, 25]).alias("bucket"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter(sim > 0.35)
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            F.round(sim, 4).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
+    "stream_session_counts",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def stream_session_counts(spark, sf_dir):
+    """Structured Streaming session_window (30 min gap) drained through
+    an availableNow memory sink — the ORACLE is the batch
+    gaps-and-islands SQL, proving the state-store session merge equals
+    the relational formulation. Gap boundary: session_window treats an
+    event at exactly prev_ts + gap as a NEW session ([start, end)
+    windows), hence `>= 1800` in the oracle."""
+    import os
+    import uuid
+
+    from .session import tune_session
+
+    tune_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("session_start"),
+            "n_events",
+        )
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
