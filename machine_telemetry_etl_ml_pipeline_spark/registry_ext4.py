@@ -1,0 +1,248 @@
+"""Fourth extension batch: surrogate keys (SERIAL parity), distinct
+subsets, union-by-name with missing columns, ordered string
+aggregation, sampling, KMeans anomaly scoring, and streaming
+static-join / stateful-dedup queries.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .registry import _epoch, _t, register
+
+# --- SERIAL / surrogate keys (SURVEY §1.2 type-mapping row 1) ---------------
+
+
+@register(
+    "ref_surrogate_ids",
+    """
+    SELECT row_number() OVER (ORDER BY ts, event_id) AS sid, event_id
+    FROM events QUALIFY sid <= 100
+    """,
+)
+def ref_surrogate_ids(spark, sf_dir):
+    """SERIAL-column parity (reference id SERIAL PRIMARY KEY,
+    db.py:82): Spark has no auto-increment; stable surrogate keys are
+    a row_number over an explicit total order (SURVEY §1.2).
+    monotonically_increasing_id() is the shuffle-free alternative when
+    stability across runs is not required."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.select(F.row_number().over(w).alias("sid"), "event_id")
+        .filter(F.col("sid") <= 100)
+    )
+
+
+@register(
+    "ext_distinct_subset",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def ext_distinct_subset(spark, sf_dir):
+    """dropDuplicates on a column subset (exact-dedup idiom)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("user_id", "event_type").dropDuplicates()
+
+
+@register(
+    "ext_union_missing_cols",
+    """
+    SELECT event_id, value, NULL AS o_totalprice FROM events WHERE value > 195
+    UNION ALL
+    SELECT o_orderkey AS event_id, NULL AS value, o_totalprice
+    FROM orders WHERE o_totalprice > 450000
+    """,
+)
+def ext_union_missing_cols(spark, sf_dir):
+    """unionByName(allowMissingColumns=True): schema-evolving union —
+    absent columns NULL-pad instead of erroring."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") > 195).select("event_id", "value")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_orderkey").alias("event_id"), "o_totalprice")
+    )
+    return e.unionByName(o, allowMissingColumns=True)
+
+
+@register(
+    "ext_string_agg",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+           bool_or(event_type = 'error') AS had_error,
+           bool_and(value > 0) AS all_positive
+    FROM events GROUP BY user_id
+    """,
+)
+def ext_string_agg(spark, sf_dir):
+    """Ordered string aggregation + boolean aggregates. collect_set is
+    unordered by contract — sort_array makes the result deterministic
+    (and oracle-comparable)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_csv"),
+        F.bool_or(F.col("event_type") == "error").alias("had_error"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+    )
+
+
+@register("ext_sample", None)  # engine-specific RNG -> rows-only
+def ext_sample(spark, sf_dir):
+    """Bernoulli sampling with a fixed seed: deterministic within
+    Spark, but sampling RNGs are engine-specific by construction, so
+    the check is rows-only (the driver records the row count; the
+    property that matters — ~10% +- tolerance — is test-asserted)."""
+    e = _t(spark, sf_dir, "events")
+    s = e.sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register("ml_kmeans_anomaly", None)  # iterative ML -> rows-only
+def ml_kmeans_anomaly(spark, sf_dir):
+    """M4 anomaly surface in the declared registry: KMeans
+    distance-to-centroid scores with a 95th-quantile threshold over
+    event features (seeded, deterministic within Spark; iterative
+    training is not SQL-expressible -> rows-only per driver contract)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import vector_to_array
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("f_value"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        (F.col("user_id") % 10).cast("double").alias("f_usermod"),
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["f_value", "f_hour", "f_usermod"], outputCol="raw"),
+            StandardScaler(inputCol="raw", outputCol="features", withMean=True, withStd=True),
+            KMeans(featuresCol="features", predictionCol="cluster", k=4, seed=42),
+        ]
+    )
+    model = pipe.fit(e)
+    km = model.stages[-1]
+    arr = vector_to_array("features")
+    dists = [
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(arr, F.array(*[F.lit(x) for x in c.tolist()]), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        for c in km.clusterCenters()
+    ]
+    scored = model.transform(e).withColumn("score", F.least(*dists))
+    thr = scored.approxQuantile("score", [0.95], 0.001)[0]
+    return scored.filter(F.col("score") > thr).select("event_id", F.round("score", 2).alias("score"))
+
+
+# --- streaming: static join + stateful dedup (oracle-checked) ---------------
+
+
+def _event_stream(spark, sf_dir):
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return (
+        spark.readStream.schema(raw_schema)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+
+
+def _drain(df, prefix: str):
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+_TYPE_CODE_SQL = (
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 "
+    "WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END"
+)
+
+
+@register(
+    "stream_static_join",
+    f"""
+    SELECT event_id, user_id, event_type, {_TYPE_CODE_SQL} AS type_code
+    FROM events
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static broadcast join (dimension enrichment on a live
+    stream); oracle is the equivalent batch mapping — every streamed
+    row must arrive exactly once with its joined attribute."""
+    from .session import tune_session
+
+    tune_session(spark)
+    stream = _event_stream(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [("click", 0), ("error", 1), ("purchase", 2), ("signup", 3), ("view", 4)],
+        "event_type string, type_code int",
+    )
+    joined = stream.join(F.broadcast(dim), "event_type").select(
+        "event_id", "user_id", "event_type", "type_code"
+    )
+    return _drain(joined, "stream_ssjoin")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    "SELECT event_id, user_id, value FROM events",
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on event_id: over an
+    exactly-unique source the output equals the input relation
+    (oracle), and state stays bounded by the watermark horizon —
+    the property a replayed/at-least-once source needs."""
+    from .session import tune_session
+
+    tune_session(spark)
+    stream = _event_stream(spark, sf_dir)
+    dedup = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "value")
+    )
+    return _drain(dedup, "stream_dedup")
