@@ -91,6 +91,30 @@ def ext_string_agg(spark, sf_dir):
     )
 
 
+@register(
+    "ext_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) + 0 AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) + 0 AS covar_qty_price,
+           round(covar_pop(l_discount, l_tax), 4) + 0 AS covar_disc_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ext_corr_covar(spark, sf_dir):
+    """Bivariate statistical aggregates (corr / covar): single-pass,
+    partial-aggregable moment sketches in both engines. The `+ 0`
+    normalizes IEEE negative zero (round of a tiny negative covariance
+    yields -0.0 in one engine and 0.0 in the other)."""
+    li = _t(spark, sf_dir, "lineitem")
+    zero = F.lit(0.0)
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + zero).alias("corr_qty_price"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4) + zero).alias("covar_qty_price"),
+        (F.round(F.covar_pop("l_discount", "l_tax"), 4) + zero).alias("covar_disc_tax"),
+    )
+
+
 @register("ext_sample", None)  # engine-specific RNG -> rows-only
 def ext_sample(spark, sf_dir):
     """Bernoulli sampling with a fixed seed: deterministic within

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis): operators vs brute-force Python
+reference implementations over random inputs — the differential layer
+below the DuckDB oracle (which only sees the fixed testdata)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from machine_telemetry_etl_ml_pipeline_spark.operators.core import latest_per_key
+from machine_telemetry_etl_ml_pipeline_spark.operators.joins import asof_join
+from machine_telemetry_etl_ml_pipeline_spark.operators.bucketing import salted_agg
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # key
+        st.integers(min_value=0, max_value=20),   # t
+        st.integers(min_value=-100, max_value=100),  # v (exact ints: no fp noise)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+_SETTINGS = dict(
+    max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_latest_per_key_matches_bruteforce(spark, rows):
+    df = spark.createDataFrame(rows, "k int, t int, v int")
+    got = {(r.k, r.t, r.v) for r in latest_per_key(df, "k", "t", tiebreak="v").collect()}
+    want = {}
+    for k, t, v in rows:
+        if k not in want or (t, v) > (want[k][1], want[k][2]):
+            want[k] = (k, t, v)
+    assert got == set(want.values())
+
+
+@given(left=ROWS, right=ROWS)
+@settings(**_SETTINGS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    # dedupe left rows (the operator is row-preserving; identical rows
+    # would make multiset comparison ambiguous under collect)
+    left = sorted(set(left))
+    ldf = spark.createDataFrame(left, "k int, t int, lv int")
+    rdf = spark.createDataFrame(right, "k int, t int, v int")
+    got = {(r.k, r.t, r.lv): r.asof_v for r in asof_join(ldf, rdf, "k", "t", "t", ["v"]).collect()}
+    for (k, t, lv) in left:
+        cands = [(rt, rv) for (rk, rt, rv) in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        if cands and got[(k, t, lv)] != want:
+            # ties on rt: the operator keeps the LAST right row in
+            # (ts, insertion) order — any max-rt candidate is valid
+            assert got[(k, t, lv)] in {rv for (rt, rv) in cands if rt == max(cands)[0]}
+        else:
+            assert got[(k, t, lv)] == want
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_salted_agg_matches_plain_groupby(spark, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "k int, t int, v int")
+    got = {
+        (r.k): (r.cnt_rows, r.sum_v)
+        for r in salted_agg(
+            df, "k", [F.count(F.lit(1)).alias("cnt_rows"), F.sum("v").alias("sum_v")]
+        ).collect()
+    }
+    want = {}
+    for k, _, v in rows:
+        c, s = want.get(k, (0, 0))
+        want[k] = (c + 1, s + v)
+    assert got == want
