@@ -171,6 +171,77 @@ def ml_kmeans_anomaly(spark, sf_dir):
     return scored.filter(F.col("score") > thr).select("event_id", F.round("score", 2).alias("score"))
 
 
+@register(
+    "ext_in_subquery",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def ext_in_subquery(spark, sf_dir):
+    """IN-subquery predicate (planned as a left-semi join)."""
+    from .sources.catalog import load_table
+
+    for n in ("orders", "customer"):
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        """
+    )
+
+
+@register(
+    "llm_simhash_hamming_pairs",
+    """
+    WITH
+      sh AS (
+        SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM (
+          SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+          FROM documents WHERE doc_id < 100
+        )
+      ),
+      sums AS (SELECT doc_id, """
+    + ", ".join(
+        f"sum(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 8.5) AS s{p}"
+        for p in range(1, 17)
+    )
+    + """ FROM sh GROUP BY doc_id),
+      sh16 AS (SELECT doc_id, CAST("""
+    + " + ".join(f"(CASE WHEN s{p} > 0 THEN {1 << (p - 1)} ELSE 0 END)" for p in range(1, 17))
+    + """ AS BIGINT) AS simhash FROM sums)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh16 a JOIN sh16 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def llm_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup detection: pairs within Hamming distance 3 on
+    the 16-bit signature (100-doc slice). At scale the pair join is
+    banded (join on signature bytes) rather than all-pairs; the
+    all-pairs form here keeps the oracle simple while the banding
+    strategy is what llm_lsh_candidate_pairs demonstrates."""
+    from .llm.dedup import char_shingles, simhash16
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    s = simhash16(char_shingles(d))
+    a = s.alias("a")
+    b = s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
 # --- streaming: static join + stateful dedup (oracle-checked) ---------------
 
 
