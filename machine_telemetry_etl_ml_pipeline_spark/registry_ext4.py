@@ -291,6 +291,52 @@ def _drain(df, prefix: str):
     return df.sparkSession.table(name)
 
 
+@register(
+    "stream_sliding_counts",
+    """
+    SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start,
+           count(*) AS n, round(sum(value), 4) AS sum_value
+    FROM (
+      SELECT value,
+             unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      FROM events
+    )
+    GROUP BY ws
+    """,
+)
+def stream_sliding_counts(spark, sf_dir):
+    """Structured Streaming sliding window (1h / 30m slide) through an
+    availableNow memory sink; oracle = the batch bucket-enumeration SQL
+    (each event contributes to exactly 2 overlapping windows)."""
+    from .session import tune_session
+
+    tune_session(spark)
+    stream = _event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    import uuid
+
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _TYPE_CODE_SQL = (
     "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 "
     "WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END"
