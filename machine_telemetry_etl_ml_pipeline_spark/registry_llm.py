@@ -182,6 +182,45 @@ def llm_simhash(spark, sf_dir):
     return simhash16(char_shingles(d))
 
 
+@register(
+    "llm_dedup_components",
+    f"""
+    WITH {SHINGLES_SQL}, {MINHASH_SQL},
+    banded AS (
+      SELECT doc_id, md5(mh1 || '|' || mh2) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, md5(mh3 || '|' || mh4) AS band_key FROM mh
+    ),
+    edges AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+    reach AS (
+      WITH RECURSIVE reach0(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.v FROM reach0 r JOIN sym s ON r.dst = s.u
+      )
+      SELECT * FROM reach0
+    )
+    SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+    """,
+)
+def llm_dedup_components(spark, sf_dir):
+    """Dedup cluster formation: connected components over the MinHash-
+    LSH candidate graph (transitive closure of near-dup pairs) via
+    iterative min-label propagation — the Spark-native form of an
+    operator the DataFrame API lacks (llm/cluster.py). Oracle: a
+    recursive-CTE transitive closure computing the same min-reachable
+    label."""
+    from .llm.cluster import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(char_shingles(d, distinct=False)))
+    return connected_components(d.select("doc_id"), pairs)
+
+
 # --- similarity search -----------------------------------------------------
 
 _COSINE_BASE_SQL = """

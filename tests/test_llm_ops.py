@@ -130,3 +130,18 @@ def test_decode_stub_not_implemented():
 
     with pytest.raises(NotImplementedError):
         decode_stub(b"x", fake=False)
+
+
+def test_connected_components_hand_graph(spark):
+    from machine_telemetry_etl_ml_pipeline_spark.llm.cluster import (
+        connected_components,
+        dedup_by_component,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 9]], "doc_id long")
+    # chain 1-2-3, pair 5-6, singleton 9
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    comp = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+    keep = {r.doc_id for r in dedup_by_component(connected_components(nodes, edges)).collect()}
+    assert keep == {1, 5, 9}
