@@ -18,8 +18,12 @@ def ref_ddl_create_table(spark, sf_dir):
     """DDL surface — the reference's CREATE TABLE IF NOT EXISTS
     (project/db.py:77-126) as Spark SQL DDL over a parquet location;
     returns the created table's schema as rows (deterministic)."""
+    import uuid
+
     loc = tempfile.mkdtemp(prefix="ddl_") + "/t"
-    name = "telemetry_ddl_check"
+    # unique per invocation: a fixed name would race under concurrent
+    # query execution (DROP vs CREATE interleaving)
+    name = f"telemetry_ddl_check_{uuid.uuid4().hex[:8]}"
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
         f"""
