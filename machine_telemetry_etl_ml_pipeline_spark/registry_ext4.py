@@ -292,6 +292,41 @@ def _drain(df, prefix: str):
 
 
 @register(
+    "stream_stateful_user_stats",
+    """
+    SELECT user_id, count(*) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals held in explicit GroupState. The testdata arrives
+    as one micro-batch, so the drained update-mode output equals the
+    batch aggregate — which is the oracle (exact integer-cents sums
+    make the comparison bit-stable)."""
+    from .session import tune_session
+    from .streaming.stateful import running_user_stats
+
+    tune_session(spark)
+    stream = _event_stream(spark, sf_dir)
+    out = running_user_stats(stream.select("user_id", "value"))
+    import uuid
+
+    name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_sliding_counts",
     """
     SELECT CAST(floor(epoch(ws)) AS BIGINT) AS window_start,

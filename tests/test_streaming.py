@@ -68,3 +68,47 @@ def test_stream_static_join(spark, events_dir):
     out = run_to_memory(stream_static_join(stream, dim, "event_type"), "t_ssjoin")
     assert out.filter("type_code IS NULL").count() == 0
     assert out.count() == spark.read.parquet(events_dir).count()
+
+
+def test_stateful_running_stats_across_batches(spark, events_dir, tmp_path):
+    """applyInPandasWithState must ACCUMULATE across micro-batches:
+    feed the same events twice as two files -> final per-user counts
+    are exactly double the single-pass counts."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.streaming.stateful import running_user_stats
+
+    two = str(tmp_path / "two_batches")
+    df = spark.read.parquet(events_dir)
+    df.coalesce(1).write.parquet(two)
+    df.coalesce(1).write.mode("append").parquet(two)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two)
+        .select("user_id", "value")
+    )
+    name = f"t_stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits once per (user, batch); the final emission has
+    # the accumulated totals
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n_final"))
+    )
+    single = df.groupBy("user_id").count()
+    joined = final.join(single, "user_id")
+    assert joined.filter("n_final != 2 * count").count() == 0
+    assert joined.count() == single.count()
