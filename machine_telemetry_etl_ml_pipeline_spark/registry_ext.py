@@ -11,9 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.joins import anti_join, asof_join, join_facts_dims, semi_join
+from .operators.joins import anti_join, asof_join, semi_join
 from .operators.windows import lag_lead, ranked, running, sessionized
-from .registry import EPOCH_SQL, _epoch, _t, register
+from .registry import _epoch, _t, register
 
 
 # --- joins ---------------------------------------------------------------

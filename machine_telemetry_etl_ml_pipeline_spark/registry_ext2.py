@@ -11,7 +11,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from .registry import EPOCH_SQL, _epoch, _t, register
+from .registry import _epoch, _t, register
 from .sources.catalog import load_table
 
 

@@ -10,7 +10,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from .registry import _epoch, _t, register
+from .registry import _t, register
 
 # --- SERIAL / surrogate keys (SURVEY §1.2 type-mapping row 1) ---------------
 

@@ -20,7 +20,6 @@ from .llm.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
-    normalized,
     simhash16,
     with_fingerprint,
     word_ngrams,
