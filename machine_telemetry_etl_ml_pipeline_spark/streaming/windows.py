@@ -35,6 +35,17 @@ EVENTS_STREAM_SCHEMA = StructType(
 )
 
 
+def use_rocksdb_state_store(spark: SparkSession) -> None:
+    """Opt into the RocksDB state store provider (runtime-settable).
+    The default HDFS-backed store keeps all state on the JVM heap —
+    fine for tests; at 100 TB/day stream volume, keyed state (sessions,
+    dedup horizons) must spill, which is exactly what RocksDB provides."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
 def file_stream(spark: SparkSession, dir_path: str, schema: StructType | None = None) -> DataFrame:
     """File-source stream over a parquet directory (new files become
     micro-batches — the continuous twin of the batch catalog read)."""

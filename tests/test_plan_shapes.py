@@ -82,3 +82,17 @@ def test_whole_stage_codegen_active(spark, queries):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "*(" in plan  # whole-stage-codegen stage markers
+
+
+def test_ingested_layout_partition_pruning(spark, telemetry_csv, tmp_path):
+    """The event_date partitioning the ingest path writes must actually
+    prune: a date-filtered scan reads only matching partitions."""
+    from machine_telemetry_etl_ml_pipeline_spark.ingest import ingest_csv
+
+    table = str(tmp_path / "pruned_tbl")
+    ingest_csv(spark, telemetry_csv, table)
+    df = spark.read.parquet(table).filter("event_date = DATE '2025-09-01'")
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:120]
+    # and the filter really prunes: fewer rows than the full table
+    assert 0 < df.count() < spark.read.parquet(table).count()
