@@ -172,6 +172,47 @@ def ml_kmeans_anomaly(spark, sf_dir):
 
 
 @register(
+    "ext_posexplode",
+    """
+    SELECT doc_id, CAST(pos AS INT) AS pos, word FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word,
+             generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) AS pos
+      FROM documents WHERE doc_id < 10
+    )
+    """,
+)
+def ext_posexplode(spark, sf_dir):
+    """Positional explode (ordinality): token positions survive the
+    flatten — needed whenever order matters downstream (n-gram windows,
+    span labeling). 1-based to match SQL generate_subscripts."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    return d.select("doc_id", F.posexplode(words).alias("pos", "word")).select(
+        "doc_id", (F.col("pos") + 1).cast("int").alias("pos"), "word"
+    )
+
+
+@register(
+    "ext_month_boundaries",
+    """
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(o_orderdate AS DATE) = last_day(CAST(o_orderdate AS DATE)) AS is_month_end
+    FROM orders
+    """,
+)
+def ext_month_boundaries(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        (d == F.last_day(d)).alias("is_month_end"),
+    )
+
+
+@register(
     "ext_in_subquery",
     """
     SELECT o_orderkey, o_custkey FROM orders
