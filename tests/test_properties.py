@@ -75,3 +75,41 @@ def test_salted_agg_matches_plain_groupby(spark, rows):
         c, s = want.get(k, (0, 0))
         want[k] = (c + 1, s + v)
     assert got == want
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_top_k_matches_sorted_prefix(spark, rows):
+    from machine_telemetry_etl_ml_pipeline_spark.operators.core import top_k_by
+
+    df = spark.createDataFrame(rows, "k int, t int, v int")
+    got = [(r.v, r.k) for r in top_k_by(df, "v", 5, ascending=False, tiebreak="k").collect()]
+    want = sorted(((v, k) for k, _, v in rows), key=lambda x: (-x[0], x[1]))[:5]
+    # multiset prefix: ties beyond the tiebreak column may reorder rows
+    # with identical (v, k), so compare the sorted top-5 sets
+    assert sorted(got) == sorted(want)
+
+
+@given(rows=ROWS)
+@settings(**_SETTINGS)
+def test_sessionized_matches_bruteforce(spark, rows):
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.operators.windows import sessionized
+
+    df = (
+        spark.createDataFrame(rows, "k int, t int, id int")
+        .withColumn("ts", F.timestamp_seconds(F.col("t") * 1000))
+    )
+    out = sessionized(df, "k", "ts", gap_seconds=2000, tiebreak="id")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, []).append((r.t, r.id, r.session_id))
+    for k, members in got.items():
+        members.sort()
+        sid, last_t = 0, None
+        for t, _id, session_id in members:
+            if last_t is None or t * 1000 - last_t * 1000 > 2000:
+                sid += 1
+            assert session_id == sid, (k, members)
+            last_t = t
