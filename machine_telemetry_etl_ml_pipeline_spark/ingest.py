@@ -68,7 +68,10 @@ def ingest_csv(spark: SparkSession, csv_path: str, table_path: str) -> int:
     raw = read_telemetry_csv(spark, csv_path)
     clean = normalize_telemetry(raw)
     write_telemetry(clean, table_path)
-    return spark.read.parquet(table_path).count()
+    # Count THIS batch, not the post-append table total — on a second
+    # ingest into a non-empty table the table count would overcount the
+    # reference contract (rows inserted from this CSV).
+    return clean.count()
 
 
 def write_telemetry(df: DataFrame, table_path: str, mode: str = "append") -> None:

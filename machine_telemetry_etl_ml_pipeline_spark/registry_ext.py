@@ -297,8 +297,11 @@ def ext_window_lag_lead(spark, sf_dir):
     "ext_window_running",
     """
     SELECT event_id, user_id,
-           sum(cents) OVER w / 100.0 AS running_sum,
-           (sum(cents) OVER w * 100) // count(*) OVER w AS running_avg_e4
+           CAST(sum(cents) OVER w AS BIGINT) / 100.0 AS running_sum,
+           CAST(CASE WHEN sum(cents) OVER w >= 0
+                     THEN (sum(cents) OVER w * 100) // count(*) OVER w
+                     ELSE -((-(sum(cents) OVER w * 100)) // count(*) OVER w)
+                END AS BIGINT) AS running_avg_e4
     FROM (SELECT event_id, user_id, ts,
                  CAST(round(value * 100) AS BIGINT) AS cents FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
@@ -459,8 +462,8 @@ def ext_scalar_date(spark, sf_dir):
            round(ln(l_extendedprice), 4) AS ln_price,
            round(pow(l_quantity, 2), 4) AS qty_sq,
            round(sqrt(l_extendedprice), 4) AS sqrt_price,
-           ceil(l_tax * 100) AS tax_pct_ceil,
-           floor(l_discount * 100) AS disc_pct_floor,
+           CAST(ceil(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct_floor,
            CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
     FROM lineitem
     """,

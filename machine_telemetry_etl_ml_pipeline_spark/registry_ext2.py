@@ -23,31 +23,66 @@ def _views(spark, sf_dir, *names):
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
 
 
-# --- write-path / sink operators (rows-only: sink semantics) ---------------
+# --- write-path / sink operators ------------------------------------------
+# Oracle-checked (round-2 upgrade): each sink writes a payload derived
+# deterministically from a source table, reads it back, and emits digest
+# aggregates; the DuckDB oracle computes the SAME digests straight from
+# the source view. No file dependency in the oracle (robust to driver
+# run order), but a corrupted/partial write-read round trip changes the
+# Spark-side digest and fails the hash.
 
 
-@register("ref_sink_batch_insert", None)
+@register(
+    "ref_sink_batch_insert",
+    """
+    SELECT count(*) AS after_first,
+           2 * count(*) AS after_second,
+           2 * CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           2 * CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    """,
+)
 def ref_sink_batch_insert(spark, sf_dir):
     """Batch append sink — the reference's execute_values page_size=1000
-    + commit (database_and_model_tools.py:75-97). Two appends into a
-    fresh parquet table; returns the table count after each commit
-    (1000, then 2000): distributed write, one atomic commit per batch."""
+    + commit (database_and_model_tools.py:75-97). Two appends of the
+    same deterministic events projection into a fresh parquet table
+    (distributed write, one atomic commit per batch); the result is the
+    read-back count after each commit plus read-back content digests,
+    which the oracle recomputes from the logical source."""
     path = tempfile.mkdtemp(prefix="sink_batch_") + "/t"
-    src = spark.range(1000).select(
-        F.col("id"), (F.col("id") % 7).alias("k"), (F.col("id") * 1.5).alias("v")
+    src = _t(spark, sf_dir, "events").select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    counts = []
-    for _ in range(2):
+    after_first = None
+    for i in range(2):
         src.write.mode("append").parquet(path)
-        counts.append(spark.read.parquet(path).count())
-    return spark.createDataFrame([(counts[0], counts[1])], "after_first long, after_second long")
+        if i == 0:
+            after_first = spark.read.parquet(path).count()
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.lit(after_first).cast("long").alias("after_first"),
+        F.count(F.lit(1)).alias("after_second"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("cents").alias("sum_cents"),
+    )
 
 
-@register("ref_sink_insert_defaults", None)
+@register(
+    "ref_sink_insert_defaults",
+    """
+    SELECT * FROM (VALUES
+      ('operator', 'regression', 0.9::DOUBLE, true),
+      ('manager',  'anomaly',    0.0::DOUBLE, true)
+    ) t(role, intent, confidence, has_ts)
+    """,
+)
 def ref_sink_insert_defaults(spark, sf_dir):
     """Insert with default-valued columns + None->0.0 coercion — the
     reference's log_user_query (project/db.py:163-169): ts_epoch is
-    stamped at write time, NULL confidence coalesced to 0.0."""
+    stamped at write time, NULL confidence coalesced to 0.0. The
+    write-time default semantics (coalesce applied, timestamp present)
+    are read back from the parquet commit and checked against the
+    literal expected rows."""
     path = tempfile.mkdtemp(prefix="sink_defaults_") + "/t"
     rows = spark.createDataFrame(
         [("operator", "q1", "regression", 0.9), ("manager", "q2", "anomaly", None)],
@@ -63,11 +98,19 @@ def ref_sink_insert_defaults(spark, sf_dir):
     )
 
 
-@register("ref_sink_insert_json", None)
+@register(
+    "ref_sink_insert_json",
+    """
+    SELECT 'M001' AS machine_id, 'regression' AS intent,
+           82.5::DOUBLE AS numerical_answer,
+           'fuelconsumption' AS first_key, 2 AS n_features
+    """,
+)
 def ref_sink_insert_json(spark, sf_dir):
     """JSON-serialized feature insert — the reference's log_prediction
     (project/db.py:171-185): map -> to_json at write, from_json on
-    read-back (JSONB parity via MapType, SURVEY §1.2)."""
+    read-back (JSONB parity via MapType, SURVEY §1.2). first_key uses
+    array_sort for a deterministic map-key order."""
     path = tempfile.mkdtemp(prefix="sink_json_") + "/t"
     rows = spark.createDataFrame(
         [("M001", "regression", 82.5, {"fuelconsumption": 10.5, "humidity": 68.0})],
@@ -83,7 +126,7 @@ def ref_sink_insert_json(spark, sf_dir):
         "machine_id",
         "intent",
         "numerical_answer",
-        F.map_keys("features")[0].alias("first_key"),
+        F.array_sort(F.map_keys("features"))[0].alias("first_key"),
         F.size(F.map_keys("features")).alias("n_features"),
     )
 

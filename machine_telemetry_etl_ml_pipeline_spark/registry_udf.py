@@ -46,24 +46,32 @@ def udf_pandas_scalar(spark, sf_dir):
     "udf_apply_in_pandas",
     """
     SELECT event_id, user_id,
-           round(value - avg(value) OVER (PARTITION BY user_id), 4) AS centered
-    FROM events
+           CAST(cents * count(*) OVER (PARTITION BY user_id)
+                - sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS centered_scaled
+    FROM (SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events)
     """,
 )
 def udf_apply_in_pandas(spark, sf_dir):
     """Grouped-map applyInPandas: per-user mean-centering computed as
     whole-group pandas frames (the custom-stateful-operator escape
-    hatch). Oracle: the same centering as a window aggregate —
-    pandas' groupwise mean must equal the JVM's."""
+    hatch). Oracle-parity note (round-2 fix): the centered value is
+    emitted as the EXACT integer (cents*n - sum_cents), i.e. the
+    centered amount scaled by the group size — rounding a float
+    quotient hits pandas-half-even vs DuckDB-half-away tie boundaries
+    (observed: 105.2142 vs 105.2143 at sf0.01). Integer arithmetic is
+    engine-independent; the grouped-map plumbing under test is
+    unchanged."""
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.copy()
-        pdf["centered"] = (pdf["value"] - pdf["value"].mean()).round(4)
-        return pdf[["event_id", "user_id", "centered"]]
+        cents = (pdf["value"] * 100).round().astype("int64")
+        pdf["centered_scaled"] = cents * len(pdf) - cents.sum()
+        return pdf[["event_id", "user_id", "centered_scaled"]]
 
     return e.groupBy("user_id").applyInPandas(
-        center, "event_id long, user_id long, centered double"
+        center, "event_id long, user_id long, centered_scaled long"
     )
 
 

@@ -28,7 +28,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # Integer `div`, not double `/`: at ~1.7e18 ns the int64->double
+            # round-trip has 256 ns ulp, so `/1000` can land a microsecond off
+            # (and double->long cast truncates toward zero, wrong pre-1970).
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -24,28 +24,37 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon_cell(v):
+    """Type-faithful exact canonicalization (round-1 lesson: the driver's
+    hash distinguishes int 3 from float 3.0 and preserves -0.0; the old
+    %.6g float canonicalization masked exactly those divergences, so the
+    local gate passed queries the driver failed). int != float != bool !=
+    Decimal here, floats at full repr precision, -0.0 preserved."""
     if v is None:
         return "NULL"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(int(v))
-    try:
-        import datetime
+            return "f:NaN"
+        return f"f:{v!r}"  # repr: full precision, keeps -0.0
+    import datetime
+    import decimal
 
-        if isinstance(v, datetime.datetime):
-            return v.replace(tzinfo=None).isoformat()
-    except Exception:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, datetime.datetime):
+        return "ts:" + v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return "date:" + v.isoformat()
     if isinstance(v, (bytes, bytearray)):
-        return v.hex()
+        return "x:" + v.hex()
     if isinstance(v, list):
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{canon_cell(x)}" for k, x in sorted(v.items())) + "}"
-    return str(v)
+    return "s:" + str(v)
 
 
 def canon_rows(cols, rows):
