@@ -61,6 +61,7 @@ _PRIORITY = [
     "llm_dedup_components",
     "llm_cosine_topk",
     "llm_ann_lsh_topk",
+    "llm_ann_multiprobe_topk",
     "llm_ann_bucket_counts",
     "llm_embedding_neardup",
     "llm_simhash_hamming_pairs",

@@ -36,6 +36,11 @@ HEADLINE = [
     "llm_lsh_candidate_pairs",
     "llm_cosine_topk",
     "llm_quality_score",
+    # round-2 additions (VERDICT item 7): the join/agg spine via TPC-H
+    # and the iterative connected-components path.
+    "tpch_q1",
+    "tpch_q3",
+    "llm_dedup_components",
 ]
 
 

@@ -7,9 +7,14 @@ large-star idea expressed in DataFrame joins):
 
     label(v) <- min(label(v), min over neighbors u of label(u))
 
-repeated until fixpoint. Each round is one join + one aggregation —
-both partial-aggregable — and converges in O(component diameter)
-rounds (near-dup components are shallow: diameters of a handful).
+repeated until fixpoint, PLUS a pointer-jumping step per round
+(label(v) <- label(label(v)), the path-halving idea from classic
+PRAM connectivity / Hash-to-Min): neighbor propagation alone moves the
+min label one hop per round (O(diameter) rounds — a 100-link chain
+would blow any sane iteration cap), while label-of-label doubles the
+propagation distance, giving O(log diameter) rounds overall (validated
+by the chain-graph property test in tests/test_llm_ops.py).
+Each round is two joins + one aggregation — all partial-aggregable.
 Every round's result is checkpointed via localCheckpoint() so the
 lineage does not grow unboundedly across iterations — the classic
 iterative-algorithm failure mode on Spark.
@@ -26,12 +31,14 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """nodes: one column `id_col`; edges: columns (a, b), undirected.
 
     Returns (id_col, component) where component = min node id reachable
     — deterministic, so oracle-comparable against a recursive-CTE
-    transitive closure.
+    transitive closure. If `stats` is passed, stats["iterations"] is
+    set to the number of rounds actually run (for convergence tests).
     """
     sym = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -43,27 +50,43 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).cast("long").alias("label"))
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        prop = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("mid_label"),
+            "label",
+        )
+        # Pointer jump (path halving): follow the label chain one more
+        # hop — label(label(u)). Labels are node ids, so the jump table
+        # is `prop` itself keyed by u. This is what turns O(diameter)
+        # convergence into O(log diameter) on long chains.
+        jump = prop.select(F.col("u").alias("mid_label"), F.col("mid_label").alias("jmp_label"))
         updated = (
-            labels.join(neighbor_min, "u", "left")
+            prop.join(jump, "mid_label", "left")
             .select(
                 "u",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("new_label"),
+                F.least(F.col("mid_label"), F.coalesce("jmp_label", F.col("mid_label"))).alias(
+                    "new_label"
+                ),
                 "label",
             )
             # checkpoint BEFORE the convergence check so the round's
-            # join runs once (counting first would recompute it)
+            # joins run once (counting first would recompute them)
             .localCheckpoint(eager=True)
         )
         changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
         labels = updated.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = rounds
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
 
 

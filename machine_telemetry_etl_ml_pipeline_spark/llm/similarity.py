@@ -98,6 +98,104 @@ def lsh_bucket_counts(
     )
 
 
+def random_hyperplanes(
+    dim: int, n_planes: int, n_tables: int, seed: int = 7
+) -> list[list[list[float]]]:
+    """Seeded Gaussian hyperplanes for sign-LSH, shaped
+    (n_tables, n_planes, dim). Uses the legacy numpy RandomState
+    generator (bit-stream stability is guaranteed across numpy
+    versions) and rounds to 6 decimals so the same values can be
+    embedded as short exact literals in both Spark columns and DuckDB
+    oracle SQL."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).round(6).tolist()
+
+
+def hyperplane_bucket(vec_col, planes_for_table: Sequence[Sequence[float]]) -> "F.Column":
+    """Random-hyperplane sign LSH: bit j = sign(<vec, plane_j>). The
+    planes ride along as literal arrays (broadcast with the plan), so
+    bucketing is pure whole-stage-codegen column arithmetic — no UDF,
+    no shuffle."""
+    total = F.lit(0)
+    for j, p in enumerate(planes_for_table):
+        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in p]))
+        total = total + F.when(d > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return total.cast("int")
+
+
+def multiprobe_lsh_topk(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    probe_bits: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """ANN top-k with tunable recall (round-2 upgrade over the fixed
+    coordinate hyperplanes): n_tables independent random-hyperplane
+    tables (band-OR: a candidate needs to collide in ANY table) plus
+    Hamming-1 multi-probe on the query side (each query also probes the
+    buckets that differ in one of the first probe_bits sign bits).
+
+    Scale shape: the corpus is tagged with (table, bucket) via one
+    posexplode (n_tables rows per vector); candidates come from an
+    equi-join on (table, bucket) against the tiny broadcast query side;
+    duplicate candidates from multiple tables/probes are collapsed by a
+    partial-aggregable groupBy max (scores are deterministic, so max ==
+    first). Recall rises with n_tables and probe_bits, candidate cost
+    stays ~bucket-occupancy * tables — never O(n^2)."""
+    from pyspark.sql import Window
+
+    if planes is None:
+        planes = random_hyperplanes(dim, n_planes, n_tables, seed)
+    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    tagged = base.select(
+        id_col,
+        "__v",
+        F.posexplode(
+            F.array(*[hyperplane_bucket(F.col("__v"), t) for t in planes])
+        ).alias("tbl", "bucket"),
+    )
+    q = tagged.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__q"), "tbl", "bucket"
+    )
+    offsets = [0] + [1 << j for j in range(probe_bits)]
+    q_probed = q.select(
+        "query_id",
+        "__q",
+        "tbl",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(off)) for off in offsets])
+        ).alias("bucket"),
+    )
+    cand = tagged.join(F.broadcast(q_probed), ["tbl", "bucket"]).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cosine_sim"),
+    )
+    dedup = scored.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine_sim").alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dedup.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: Sequence[int],

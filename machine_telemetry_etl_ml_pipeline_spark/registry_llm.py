@@ -24,7 +24,13 @@ from .llm.dedup import (
     with_fingerprint,
     word_ngrams,
 )
-from .llm.similarity import brute_force_topk, lsh_bucket_counts, lsh_topk
+from .llm.similarity import (
+    brute_force_topk,
+    lsh_bucket_counts,
+    lsh_topk,
+    multiprobe_lsh_topk,
+    random_hyperplanes,
+)
 from .registry import _t, register
 
 # Shared oracle CTE: distinct 5-char shingles per document.
@@ -304,6 +310,68 @@ def llm_ann_lsh_topk(spark, sf_dir):
     100 TB this is the difference between scoring ~1/16th of the corpus
     and all of it (recall traded via bucket count)."""
     return lsh_topk(_t(spark, sf_dir, "embeddings"), [0, 1, 2, 3, 4], k=3)
+
+
+# Seeded random hyperplanes shared verbatim (rounded-literal for
+# identical doubles) between the Spark plan and the DuckDB oracle.
+_ANN_PLANES = random_hyperplanes(dim=64, n_planes=6, n_tables=2, seed=7)
+
+
+def _bucket_sql(planes_for_table):
+    terms = []
+    for j, p in enumerate(planes_for_table):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, CAST([{lits}] AS DOUBLE[])) > 0"
+            f" THEN {2**j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+@register(
+    "llm_ann_multiprobe_topk",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    tagged AS (
+      SELECT vec_id, v, 0 AS tbl, {_bucket_sql(_ANN_PLANES[0])} AS bucket FROM base
+      UNION ALL
+      SELECT vec_id, v, 1 AS tbl, {_bucket_sql(_ANN_PLANES[1])} AS bucket FROM base
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket FROM tagged WHERE vec_id < 5),
+    qp AS (SELECT query_id, qv, tbl, xor(bucket, off) AS bucket
+           FROM q, (VALUES (0), (1), (2)) p(off)),
+    scored AS (
+      SELECT query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(qv, b.v)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(b.v, b.v))),
+                   4) AS cosine_sim
+      FROM qp JOIN tagged b
+        ON qp.tbl = b.tbl AND qp.bucket = b.bucket AND b.vec_id <> qp.query_id
+    ),
+    dedup AS (SELECT query_id, neighbor_id, max(cosine_sim) AS cosine_sim
+              FROM scored GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk
+      FROM dedup
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_ann_multiprobe_topk(spark, sf_dir):
+    """ANN top-3 with tunable recall (VERDICT item 5): 2 independent
+    6-plane random-hyperplane tables (seeded Gaussian, band-OR) plus
+    Hamming-1 multi-probe on the first 2 sign bits. Candidates come
+    from a (table, bucket) equi-join against the broadcast query side;
+    multi-table/probe duplicates collapse via partial-aggregable
+    groupBy max. Recall vs brute force is test-asserted
+    (tests/test_llm_ops.py)."""
+    return multiprobe_lsh_topk(
+        _t(spark, sf_dir, "embeddings"),
+        [0, 1, 2, 3, 4],
+        k=3,
+        planes=_ANN_PLANES,
+        probe_bits=2,
+    )
 
 
 # --- text analysis -----------------------------------------------------------
