@@ -50,41 +50,60 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).cast("long").alias("label"))
+
+    # Size the iteration's shuffles to the MEASURED edge volume (sym is
+    # already materialized, so the count is free): tiny graphs at the
+    # session's full shuffle width pay ~rounds * stages * partitions in
+    # pure task-scheduling overhead (measured 2x wall at sf0.1). Clamped
+    # to the session default on the high side, so a 100 TB edge list
+    # keeps its full width. Restored in the finally below.
+    spark = nodes.sparkSession
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_edges = sym.count()
+    iter_parts = max(4, min(int(default_parts), n_edges // 200_000 + 1))
     rounds = 0
-    for _ in range(max_iterations):
-        rounds += 1
-        neighbor_min = (
-            sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        prop = labels.join(neighbor_min, "u", "left").select(
-            "u",
-            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("mid_label"),
-            "label",
-        )
-        # Pointer jump (path halving): follow the label chain one more
-        # hop — label(label(u)). Labels are node ids, so the jump table
-        # is `prop` itself keyed by u. This is what turns O(diameter)
-        # convergence into O(log diameter) on long chains.
-        jump = prop.select(F.col("u").alias("mid_label"), F.col("mid_label").alias("jmp_label"))
-        updated = (
-            prop.join(jump, "mid_label", "left")
-            .select(
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+        for _ in range(max_iterations):
+            rounds += 1
+            neighbor_min = (
+                sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
+                .groupBy("u")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            prop = labels.join(neighbor_min, "u", "left").select(
                 "u",
-                F.least(F.col("mid_label"), F.coalesce("jmp_label", F.col("mid_label"))).alias(
-                    "new_label"
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "mid_label"
                 ),
                 "label",
             )
-            # checkpoint BEFORE the convergence check so the round's
-            # joins run once (counting first would recompute them)
-            .localCheckpoint(eager=True)
-        )
-        changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
-        labels = updated.select("u", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
+            # Pointer jump (path halving): follow the label chain one
+            # more hop — label(label(u)). Labels are node ids, so the
+            # jump table is `prop` itself keyed by u. This is what turns
+            # O(diameter) convergence into O(log diameter) on chains.
+            jump = prop.select(
+                F.col("u").alias("mid_label"), F.col("mid_label").alias("jmp_label")
+            )
+            updated = (
+                prop.join(jump, "mid_label", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("mid_label"), F.coalesce("jmp_label", F.col("mid_label"))
+                    ).alias("new_label"),
+                    "label",
+                )
+                # checkpoint BEFORE the convergence check so the round's
+                # joins run once (counting first would recompute them)
+                .localCheckpoint(eager=True)
+            )
+            changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
+            labels = updated.select("u", F.col("new_label").alias("label"))
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
     if stats is not None:
         stats["iterations"] = rounds
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))

@@ -19,6 +19,7 @@ from .llm.dedup import (
     exact_dedup_keep_first,
     jaccard_pairs,
     lsh_candidate_pairs,
+    lsh_star_edges,
     minhash_signatures,
     simhash16,
     with_fingerprint,
@@ -222,8 +223,11 @@ def llm_dedup_components(spark, sf_dir):
     from .llm.cluster import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(minhash_signatures(char_shingles(d, distinct=False)))
-    return connected_components(d.select("doc_id"), pairs)
+    # Bucket-star edges, not all-pairs: identical transitive closure,
+    # linear (not quadratic) in hot-bucket occupancy — see
+    # llm/dedup.lsh_star_edges.
+    edges = lsh_star_edges(minhash_signatures(char_shingles(d, distinct=False)))
+    return connected_components(d.select("doc_id"), edges)
 
 
 # --- similarity search -----------------------------------------------------
