@@ -96,3 +96,29 @@ def test_ingested_layout_partition_pruning(spark, telemetry_csv, tmp_path):
     assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters")[1][:120]
     # and the filter really prunes: fewer rows than the full table
     assert 0 < df.count() < spark.read.parquet(table).count()
+
+
+def test_range_join_broadcasts_interval_dim(spark, queries):
+    """The band join must plan as BroadcastNestedLoopJoin against the
+    11-row interval dim — a cartesian/shuffled nested loop would be the
+    scale-killer form of a non-equi join."""
+    plan = plan_of(queries["ext_range_join"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_disjunctive_predicate_pushes_to_both_scans(spark, queries):
+    """Catalyst must extract the per-side conjuncts of the Q19-style
+    OR-of-ANDs: quantity bounds reach the lineitem scan and brand/size
+    bounds reach the part scan (the classic Q19 plan)."""
+    plan = plan_of(queries["tpch_q19"](spark, SF))
+    pushed = [seg.split("ReadSchema")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("l_quantity" in p and "Or(" in p for p in pushed)
+    assert any("p_brand" in p and "Or(" in p for p in pushed)
+
+
+def test_q5_pushes_date_range_and_broadcasts_dims(spark, queries):
+    plan = plan_of(queries["tpch_q5"](spark, SF))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "BroadcastHashJoin" in plan
