@@ -93,15 +93,19 @@ _PRIORITY = [
     "ext_string_agg",
     "ext_corr_covar",
     "ext_salted_agg",
-    "ext_distinct_subset",
     "ext_union_missing_cols",
+    # ML + sinks + sources + DDL (oracle-upgraded/added this round)
+    "ml_kmeans_anomaly",
+    "ml_gbt_regression_eval",
+    "ml_gbt_classifier_eval",
+    "ref_sink_batch_insert",
+    "ext_source_jsonl",
+    "ref_ddl_create_table",
+    # --- ~50-entry window boundary; r1-verified core follows ---
+    "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",
-    # ML + sinks (oracle-upgraded this round)
-    "ml_kmeans_anomaly",
-    "ref_sink_batch_insert",
     "ref_surrogate_ids",
-    # --- ~50-entry window boundary; r1-verified core follows ---
 ]
 
 

@@ -13,11 +13,23 @@ from .operators.bucketing import salted_agg
 from .registry import _t, register
 
 
-@register("ref_ddl_create_table", None)
+@register(
+    "ref_ddl_create_table",
+    """
+    SELECT * FROM (VALUES
+      ('machineid', 'string'), ('ts_epoch', 'bigint'),
+      ('enginetemperature', 'double'), ('status', 'string'),
+      ('status_encoded', 'int')
+    ) t(col_name, data_type)
+    """,
+)
 def ref_ddl_create_table(spark, sf_dir):
     """DDL surface — the reference's CREATE TABLE IF NOT EXISTS
     (project/db.py:77-126) as Spark SQL DDL over a parquet location;
-    returns the created table's schema as rows (deterministic)."""
+    returns the created table's schema as rows. Oracle (round-2
+    upgrade): the literal expected schema — checks both the CREATE and
+    that the second IF NOT EXISTS was a no-op (a re-create with the
+    1-column schema would change the output)."""
     import uuid
 
     loc = tempfile.mkdtemp(prefix="ddl_") + "/t"

@@ -420,3 +420,116 @@ def tpch_q19(spark, sf_dir):
             )
         )
     )
+
+
+# --- ML differential checks (VERDICT r1 "missing" item 2: M2/M3 had no
+# driver-checkable signal). Iterative GBT training is not
+# SQL-expressible, but construction invariants are: a seeded regressor
+# scored on its training data cannot lose to the mean baseline
+# (rmse <= stddev_pop), and a seeded classifier cannot lose to the
+# majority class. The oracle pins row counts + the invariants, so the
+# driver row verifies the full distributed fit+score pipeline ran.
+
+
+@register(
+    "ml_gbt_regression_eval",
+    "SELECT count(*) AS n_rows, true AS rmse_le_std, true AS preds_finite FROM events",
+)
+def ml_gbt_regression_eval(spark, sf_dir):
+    """M2 (reference LightGBM regression, database_and_model_tools.py:
+    117-139) as distributed MLlib GBT: fit on event features, score the
+    training set, emit oracle-checkable invariants. maxIter kept small:
+    the check is the distributed pipeline, not model quality."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("label"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        (F.col("user_id") % 10).cast("double").alias("f_usermod"),
+        F.dayofweek("ts").cast("double").alias("f_dow"),
+    )
+    feats = VectorAssembler(
+        inputCols=["f_hour", "f_usermod", "f_dow"], outputCol="features"
+    ).transform(e)
+    model = GBTRegressor(
+        featuresCol="features", labelCol="label", maxIter=5, maxDepth=3, seed=42
+    ).fit(feats)
+    scored = model.transform(feats)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sqrt(F.avg(F.pow(F.col("prediction") - F.col("label"), 2)))
+            <= F.stddev_pop("label")
+        ).alias("rmse_le_std"),
+        (F.count(F.when(F.isnan("prediction") | F.col("prediction").isNull(), 1)) == 0).alias(
+            "preds_finite"
+        ),
+    )
+
+
+@register(
+    "ml_gbt_classifier_eval",
+    "SELECT count(*) AS n_rows, true AS acc_ge_majority FROM events",
+)
+def ml_gbt_classifier_eval(spark, sf_dir):
+    """M3 (reference binary classifiers) as distributed MLlib GBT:
+    conversion prediction (purchase/signup vs rest) with the
+    train-accuracy >= majority-class invariant as the driver check."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").isin("purchase", "signup").cast("double").alias("label"),
+        F.hour("ts").cast("double").alias("f_hour"),
+        (F.col("user_id") % 10).cast("double").alias("f_usermod"),
+        F.col("value").alias("f_value"),
+    )
+    feats = VectorAssembler(
+        inputCols=["f_hour", "f_usermod", "f_value"], outputCol="features"
+    ).transform(e)
+    model = GBTClassifier(
+        featuresCol="features", labelCol="label", maxIter=5, maxDepth=3, seed=42
+    ).fit(feats)
+    scored = model.transform(feats)
+    acc = F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    majority = F.greatest(F.avg("label"), 1 - F.avg("label"))
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (acc >= majority).alias("acc_ge_majority"),
+    )
+
+
+# --- JSON-lines file source -------------------------------------------------
+
+
+@register(
+    "ext_source_jsonl",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def ext_source_jsonl(spark, sf_dir):
+    """JSON-lines source round trip: write a deterministic events
+    projection as JSONL, read it back with spark.read.json under an
+    explicit schema (schema inference is a scan you don't pay twice at
+    100 TB), and emit digests the oracle recomputes from the parquet
+    view — same robustness pattern as the sink checks."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="jsonl_src_") + "/events"
+    src = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    src.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, cents long").json(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("cents").alias("sum_cents"),
+    )
