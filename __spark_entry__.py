@@ -106,6 +106,17 @@ _PRIORITY = [
     "ext_posexplode",
     "ext_month_boundaries",
     "ref_surrogate_ids",
+    "ext_time_rollup",
+    "ext_source_orc",
+    "ext_join_right",
+    "ext_join_full_outer",
+    "ext_range_join",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q19",
 ]
 
 

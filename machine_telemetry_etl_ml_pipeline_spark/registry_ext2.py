@@ -250,22 +250,30 @@ def ext_correlated_subquery(spark, sf_dir):
 @register(
     "ext_window_distribution",
     """
-    SELECT c_custkey,
-           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
-           round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 4) AS pct_rank,
-           round(cume_dist() OVER (ORDER BY c_acctbal, c_custkey), 4) AS cume
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS pct_rank,
+           round(cume_dist() OVER w, 4) AS cume
     FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
     """,
 )
 def ext_window_distribution(spark, sf_dir):
-    """ntile / percent_rank / cume_dist (unique total order via the
-    custkey tiebreak so every engine agrees)."""
+    """ntile / percent_rank / cume_dist, PARTITIONED by market segment
+    (round-2: the r1 version used a global un-partitioned window — a
+    single-reducer sort that SCALE.md had to flag as a trade-off;
+    per-segment distribution ranks are both the realistic analytics
+    shape and shuffle-parallel). Unique total order via the custkey
+    tiebreak so every engine agrees."""
     from pyspark.sql import Window
 
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
     return c.select(
         "c_custkey",
+        "c_mktsegment",
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),

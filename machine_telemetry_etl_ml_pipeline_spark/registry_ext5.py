@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import _t, register
+from .registry_ext2 import _views
 
 # --- remaining join variants ------------------------------------------------
 
@@ -528,6 +529,90 @@ def ext_source_jsonl(spark, sf_dir):
     )
     src.write.mode("overwrite").json(path)
     back = spark.read.schema("event_id long, cents long").json(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# --- hypertable-style multi-granularity rollup ------------------------------
+
+
+@register(
+    "ext_time_rollup",
+    """
+    SELECT CASE WHEN grouping(day_b) = 0 THEN 'day'
+                WHEN grouping(week_b) = 0 THEN 'week'
+                ELSE 'month' END AS gran,
+           CAST(floor(epoch(coalesce(day_b, week_b, month_b))) AS BIGINT) AS bucket_epoch,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM (
+      SELECT value,
+             date_trunc('day', ts)   AS day_b,
+             date_trunc('week', ts)  AS week_b,
+             date_trunc('month', ts) AS month_b
+      FROM events
+    )
+    GROUP BY GROUPING SETS ((day_b), (week_b), (month_b))
+    """,
+)
+def ext_time_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: one scan, three time
+    granularities (day/week/month) via GROUPING SETS over precomputed
+    buckets — the multi-resolution rollup a telemetry store
+    materializes. Single pass + partial aggregation per set; at 100 TB
+    this replaces three separate scans with one."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(day_b) = 0 THEN 'day'
+                    WHEN grouping(week_b) = 0 THEN 'week'
+                    ELSE 'month' END AS gran,
+               CAST(unix_timestamp(coalesce(day_b, week_b, month_b)) AS BIGINT)
+                 AS bucket_epoch,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM (
+          SELECT value,
+                 date_trunc('day', ts)   AS day_b,
+                 date_trunc('week', ts)  AS week_b,
+                 date_trunc('month', ts) AS month_b
+          FROM events
+        )
+        GROUP BY GROUPING SETS ((day_b), (week_b), (month_b))
+        """
+    )
+
+
+# --- ORC file source --------------------------------------------------------
+
+
+@register(
+    "ext_source_orc",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def ext_source_orc(spark, sf_dir):
+    """ORC source round trip (second columnar format beside parquet):
+    deterministic events projection written as ORC, read back, digest
+    aggregates checked against the parquet view — DuckDB never needs to
+    read ORC, only recompute the digests from the logical source."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="orc_src_") + "/events"
+    src = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
     return back.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").alias("sum_event_id"),
