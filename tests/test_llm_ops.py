@@ -204,3 +204,25 @@ def test_multiprobe_ann_recall_vs_brute_force(spark):
     weak = recall(n_planes=6, n_tables=2, probe_bits=2)
     assert strong >= 0.8, strong  # measured 0.98 at sf0.01
     assert weak < strong  # recall is tunable via tables/planes/probes
+
+
+def test_star_edges_same_components_as_pair_edges(spark):
+    """lsh_star_edges (linear) must induce the same connected
+    components as the all-pairs candidate graph (quadratic) it
+    replaces."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.cluster import connected_components
+    from machine_telemetry_etl_ml_pipeline_spark.llm.dedup import lsh_star_edges
+    from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(char_shingles(d, distinct=False))
+    nodes = d.select("doc_id")
+    via_pairs = {
+        (r.doc_id, r.component)
+        for r in connected_components(nodes, lsh_candidate_pairs(sigs)).collect()
+    }
+    via_star = {
+        (r.doc_id, r.component)
+        for r in connected_components(nodes, lsh_star_edges(sigs)).collect()
+    }
+    assert via_pairs == via_star

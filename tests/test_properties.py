@@ -113,3 +113,49 @@ def test_sessionized_matches_bruteforce(spark, rows):
                 sid += 1
             assert session_id == sid, (k, members)
             last_t = t
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(edges=EDGES)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-jumping min-label propagation vs a plain Python
+    union-find over random graphs (self-loops and duplicates
+    included)."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.cluster import connected_components
+
+    n = 15
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+    # canonical: label = min node of the component
+    roots = {}
+    for i in range(n):
+        r = find(i)
+        roots.setdefault(r, min(j for j in range(n) if find(j) == r))
+    expected = {i: roots[find(i)] for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    got = {r.doc_id: r.component for r in connected_components(nodes, edf).collect()}
+    assert got == expected
