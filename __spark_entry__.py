@@ -117,6 +117,8 @@ _PRIORITY = [
     "tpch_q10",
     "tpch_q12",
     "tpch_q19",
+    "ext_higher_order_funcs",
+    "stream_foreach_batch_sink",
 ]
 
 

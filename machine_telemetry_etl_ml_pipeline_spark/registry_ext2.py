@@ -641,7 +641,7 @@ def stream_tumbling_counts(spark, sf_dir):
     stream = (
         spark.readStream.schema(raw_schema)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div: /1000 loses ulp at 1e18 ns
     )
     agg = (
         stream.withWatermark("ts", "2 hours")

@@ -342,7 +342,7 @@ def _event_stream(spark, sf_dir):
     return (
         spark.readStream.schema(raw_schema)
         .parquet(d)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div: /1000 loses ulp at 1e18 ns
     )
 
 

@@ -618,3 +618,104 @@ def ext_source_orc(spark, sf_dir):
         F.sum("event_id").alias("sum_event_id"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+# --- higher-order array functions -------------------------------------------
+
+
+@register(
+    "ext_higher_order_funcs",
+    """
+    SELECT doc_id,
+           len(list_filter(ws, x -> x <> '')) AS n_words,
+           len(list_filter(ws, x -> length(x) > 4)) AS n_long_words,
+           CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS total_chars,
+           len(list_filter(ws, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit,
+           array_to_string(list_transform(list_slice(ws, 1, 3), x -> upper(x)), ' ')
+             AS first3_upper
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    """,
+)
+def ext_higher_order_funcs(spark, sf_dir):
+    """Higher-order array functions (transform / filter / exists /
+    aggregate / slice): lambda expressions evaluated INSIDE codegen on
+    the JVM — the declarative alternative to a Python UDF for per-row
+    collection logic, and the idiom the similarity ops build on."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(ws, lambda x: x != "")).alias("n_words"),
+        F.size(F.filter(ws, lambda x: F.length(x) > 4)).alias("n_long_words"),
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("total_chars"),
+        F.exists(ws, lambda x: x.rlike("[0-9]")).alias("has_digit"),
+        F.array_join(
+            F.transform(F.slice(ws, 1, 3), lambda x: F.upper(x)), " "
+        ).alias("first3_upper"),
+    )
+
+
+# --- streaming foreachBatch sink (oracle-checked digest round trip) ---------
+
+
+@register(
+    "stream_foreach_batch_sink",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events WHERE event_type = 'view'
+    """,
+)
+def stream_foreach_batch_sink(spark, sf_dir):
+    """Streaming foreachBatch sink (M7 continuous orchestration): the
+    events stream is filtered and appended to a parquet table per
+    micro-batch (availableNow drain), then the table is read back and
+    digest-checked against the batch view of the same source — proving
+    the streaming ingest path writes exactly the batch-equivalent
+    rows."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .session import tune_session
+    from .streaming.windows import foreach_batch_append
+
+    tune_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream_dir = tempfile.mkdtemp(prefix="stream_fb_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="stream_fb_out_")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .filter(F.col("event_type") == "view")
+        .select("event_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    q = foreach_batch_append(stream, f"{work}/t", f"{work}/ckpt")
+    q.awaitTermination()
+    back = spark.read.parquet(f"{work}/t")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.sum("cents").alias("sum_cents"),
+    )
