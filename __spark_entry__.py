@@ -119,6 +119,9 @@ _PRIORITY = [
     "tpch_q19",
     "ext_higher_order_funcs",
     "stream_foreach_batch_sink",
+    "ext_not_in_subquery",
+    "ext_lateral_join",
+    "ext_percentile_approx_check",
 ]
 
 

@@ -719,3 +719,97 @@ def stream_foreach_batch_sink(spark, sf_dir):
         F.sum("event_id").alias("sum_event_id"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+# --- remaining subquery shapes ----------------------------------------------
+
+
+@register(
+    "ext_not_in_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+    ORDER BY c_custkey
+    """,
+)
+def ext_not_in_subquery(spark, sf_dir):
+    """NOT IN subquery — planned as a null-aware anti join. The inner
+    side is explicitly NULL-filtered: SQL NOT IN returns no rows if the
+    subquery yields ANY null (three-valued logic), which is the classic
+    silent-empty-result trap; filtering nulls pins the intended
+    anti-join semantics in both engines."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 300000 AND o_custkey IS NOT NULL)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@register(
+    "ext_lateral_join",
+    """
+    SELECT r_name, n_name, n_customers FROM region,
+    LATERAL (
+      SELECT n_name, count(c_custkey) AS n_customers
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      WHERE n_regionkey = r_regionkey
+      GROUP BY n_name
+      ORDER BY n_customers DESC, n_name ASC
+      LIMIT 2
+    )
+    ORDER BY r_name, n_customers DESC, n_name
+    """,
+)
+def ext_lateral_join(spark, sf_dir):
+    """LATERAL correlated subquery (top-2 nations per region by
+    customer count): Catalyst decorrelates the per-row subquery into a
+    join + windowed rank rather than re-executing it per outer row —
+    the scale-relevant property of LATERAL support."""
+    _views(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, n_customers FROM region,
+        LATERAL (
+          SELECT n_name, count(c_custkey) AS n_customers
+          FROM nation JOIN customer ON c_nationkey = n_nationkey
+          WHERE n_regionkey = r_regionkey
+          GROUP BY n_name
+          ORDER BY n_customers DESC, n_name ASC
+          LIMIT 2
+        )
+        ORDER BY r_name, n_customers DESC, n_name
+        """
+    )
+
+
+@register(
+    "ext_percentile_approx_check",
+    """
+    SELECT count(*) AS n, true AS p50_close, true AS p95_close FROM lineitem
+    """,
+)
+def ext_percentile_approx_check(spark, sf_dir):
+    """Approximate percentile (t-digest-style mergeable sketch — the
+    100 TB path next to exact percentile_cont): driver-checkable via an
+    accuracy invariant, |approx - exact| within 1% of the exact value
+    at accuracy=10000. The approx algorithm is engine-specific (no
+    DuckDB twin), but the bound is constant-true by construction when
+    the sketch works."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("a95"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+    )
+    return agg.select(
+        "n",
+        (F.abs(F.col("a50") - F.col("e50")) <= F.abs(F.col("e50")) * 0.01).alias("p50_close"),
+        (F.abs(F.col("a95") - F.col("e95")) <= F.abs(F.col("e95")) * 0.01).alias("p95_close"),
+    )
