@@ -41,6 +41,10 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "llm_dedup_components",
+    # round-2 flagship ops: the 6-way join spine and the tunable-recall
+    # ANN path.
+    "tpch_q5",
+    "llm_ann_multiprobe_topk",
 ]
 
 

@@ -112,3 +112,70 @@ def test_stateful_running_stats_across_batches(spark, events_dir, tmp_path):
     joined = final.join(single, "user_id")
     assert joined.filter("n_final != 2 * count").count() == 0
     assert joined.count() == single.count()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: an event older than (max seen ts -
+    watermark) arriving in a LATER micro-batch is dropped — its window
+    never materializes. Batch separation is forced by writing the late
+    file only after the first micro-batch has been fully processed."""
+    import uuid
+
+    d = tmp_path / "late_src"
+    d.mkdir()
+    schema = "event_id long, ts string, user_id long, value double"
+
+    def write_batch(name, rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(d / name))
+        )
+
+    write_batch(
+        "b0",
+        [
+            (1, "2026-01-01 08:15:00", 1, 1.0),
+            (2, "2026-01-01 08:30:00", 1, 1.0),
+            (3, "2026-01-01 10:00:00", 1, 1.0),  # watermark -> 09:00
+        ],
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .parquet(str(d / "b*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 processed; watermark now 09:00
+        write_batch(
+            "b1",
+            [
+                (4, "2026-01-01 07:10:00", 1, 1.0),  # LATE -> dropped
+                (5, "2026-01-01 10:30:00", 1, 1.0),  # watermark -> 09:30
+            ],
+        )
+        q.processAllAvailable()
+        # one more empty-ish cycle so the 08:00 window (end 09:00 <=
+        # watermark 09:30) finalizes into the append output
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {str(r.window_start): r.n for r in spark.table(name).collect()}
+    # finalized: the 08:00 window (2 on-time events). The late 07:10
+    # event must NOT have created a 07:00 window.
+    assert "2026-01-01 07:00:00" not in rows, rows
+    assert rows.get("2026-01-01 08:00:00") == 2, rows
