@@ -122,6 +122,8 @@ _PRIORITY = [
     "ext_not_in_subquery",
     "ext_lateral_join",
     "ext_percentile_approx_check",
+    "tpch_q13",
+    "tpch_q18",
 ]
 
 

@@ -149,7 +149,15 @@ def ml_kmeans_anomaly(spark, sf_dir):
     max(unflagged score), computed honestly via a broadcast anti-join.
     The iterative KMeans fit itself is not SQL-expressible; these
     aggregates are the differential check that the distributed scoring
-    + top-k pipeline ran correctly end to end."""
+    + top-k pipeline ran correctly end to end.
+
+    Scale note: exact top-(5% of n) via sort-limit is the RIGHT shape
+    for the differential check (deterministic count) but k grows with
+    n, and TakeOrderedAndProject merges k rows per partition at the
+    driver — at 100 TB the production path is
+    ml.pipeline.anomaly_scores: an approxQuantile(0.95) threshold
+    (mergeable sketch, one pass) with flag rate ~=5%, trading the
+    exact count for full distribution."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import StandardScaler, VectorAssembler
     from pyspark.ml import Pipeline

@@ -813,3 +813,90 @@ def ext_percentile_approx_check(spark, sf_dir):
         (F.abs(F.col("a50") - F.col("e50")) <= F.abs(F.col("e50")) * 0.01).alias("p50_close"),
         (F.abs(F.col("a95") - F.col("e95")) <= F.abs(F.col("e95")) * 0.01).alias("p95_close"),
     )
+
+
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, count(*) AS custdist FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer-distribution: left join preserving
+    order-less customers, two-level aggregation (per-customer count,
+    then histogram of counts — both partial-aggregable)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
+           round(o_totalprice, 4) AS o_totalprice,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 210
+    )
+    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume-customer: HAVING-filtered aggregate as a
+    semi-join input (the IN-subquery plans as LeftSemi on the
+    pre-aggregated lineitem — the aggregate shrinks the build side
+    before the join, the shape that matters at scale)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 210)
+        .select("l_orderkey")
+    )
+    # semi-filter orders FIRST: the HAVING aggregate shrinks the fact
+    # side before the expensive customer/lineitem joins run
+    o_big = o.join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    joined = c.join(o_big, c.c_custkey == o_big.o_custkey).join(
+        li, o_big.o_orderkey == li.l_orderkey
+    )
+    return (
+        joined.groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("long").alias("o_orderdate_epoch"),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
