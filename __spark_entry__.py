@@ -124,6 +124,9 @@ _PRIORITY = [
     "ext_percentile_approx_check",
     "tpch_q13",
     "tpch_q18",
+    "llm_chunk_documents",
+    "llm_train_test_split",
+    "llm_scrub_text",
 ]
 
 

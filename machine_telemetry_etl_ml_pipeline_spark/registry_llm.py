@@ -517,3 +517,132 @@ def llm_multimodal_decode(spark, sf_dir):
         "n_bytes",
         F.round(F.element_at("features", 4), 4).alias("feat_checksum"),
     )
+
+
+# --- training-data preparation ops (round 2) --------------------------------
+
+
+@register(
+    "llm_chunk_documents",
+    """
+    SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+           CAST(len(chunk_words) AS INT) AS n_words,
+           array_to_string(chunk_words, ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, idx,
+             list_slice(ws, start, least(start + 19, len(ws))) AS chunk_words
+      FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws), 1), 15)) AS start,
+               unnest(generate_series(1, greatest(len(ws), 1), 15)) - 1 AS _s0,
+               CAST((unnest(generate_series(1, greatest(len(ws), 1), 15)) - 1) / 15
+                    AS BIGINT) AS idx
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents
+        )
+      )
+    )
+    WHERE len(chunk_words) > 0
+    """,
+)
+def llm_chunk_documents(spark, sf_dir):
+    """Document chunking for training-data prep: 20-word chunks with
+    5-word overlap (stride 15), expressed as sequence + explode +
+    slice — pure codegen, no UDF; chunk boundaries are word-aligned and
+    deterministic. At 100 TB this is one Generate over pre-split word
+    arrays (rows multiply by ~len/stride, bytes stay ~1x + overlap)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    chunked = (
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            "ws",
+            F.posexplode(
+                F.sequence(F.lit(1), F.greatest(F.size("ws"), F.lit(1)), F.lit(15))
+            ).alias("idx", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("idx").cast("int").alias("chunk_idx"),
+            F.slice(
+                F.col("ws"),
+                F.col("start"),
+                F.least(F.lit(20), F.size("ws") - F.col("start") + 1),
+            ).alias("chunk_words"),
+        )
+        .filter(F.size("chunk_words") > 0)
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk_words").cast("int").alias("n_words"),
+        F.array_join("chunk_words", " ").alias("chunk_text"),
+    )
+
+
+_HEXPOS = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+
+
+@register(
+    "llm_train_test_split",
+    f"""
+    SELECT split, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM (
+      SELECT doc_id,
+             CASE WHEN ({_HEXPOS.format(p=1)}) * 16 + ({_HEXPOS.format(p=2)}) < 205
+                  THEN 'train' ELSE 'test' END AS split
+      FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def llm_train_test_split(spark, sf_dir):
+    """Deterministic hash-based train/test split (~80/20): the split of
+    a document is a pure function of its id (md5 first byte < 205/256),
+    so it is stable across runs, engines, and cluster sizes — the
+    property that matters for reproducible training data. No RNG, no
+    shuffle beyond the count aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    hexpos = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1  # noqa: E731
+    bucket = hexpos(1) * 16 + hexpos(2)
+    return (
+        d.select("doc_id", F.when(bucket < 205, "train").otherwise("test").alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_doc_id"))
+    )
+
+
+@register(
+    "llm_scrub_text",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(
+                 text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com tel 555-0142',
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+                 '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_fp
+    FROM documents
+    """,
+)
+def llm_scrub_text(spark, sf_dir):
+    """PII-style scrubbing (email/phone masking) as whole-column
+    regexp_replace — JVM-side, no UDF. The input is augmented with a
+    synthetic contact line (the corpus has no PII) so the masking path
+    is actually exercised; the fingerprint of the scrubbed text is the
+    differential check that both regex engines rewrote identically."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-0142"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+        r"[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    return d.select("doc_id", F.md5(scrubbed).alias("scrubbed_fp"))
