@@ -127,6 +127,9 @@ _PRIORITY = [
     "llm_chunk_documents",
     "llm_train_test_split",
     "llm_scrub_text",
+    "llm_ann_ivf_recall",
+    "ext_join_hinted",
+    "ext_sample_stratified",
 ]
 
 

@@ -900,3 +900,39 @@ def tpch_q18(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(20)
     )
+
+
+@register("ext_sample_stratified", None)  # engine-specific RNG -> rows-only
+def ext_sample_stratified(spark, sf_dir):
+    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions
+    under one seed — the training-data rebalancing idiom (e.g.
+    downsample dominant event types). RNG is engine-specific by
+    construction -> rows-only; the per-stratum rate property is
+    test-asserted."""
+    e = _t(spark, sf_dir, "events")
+    fractions = {"click": 0.1, "view": 0.1, "error": 0.5, "purchase": 1.0, "signup": 1.0}
+    s = e.sampleBy("event_type", fractions, seed=42)
+    return s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "ext_join_hinted",
+    """
+    SELECT n_name, count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def ext_join_hinted(spark, sf_dir):
+    """SQL join-strategy hint surface: /*+ BROADCAST(nation) */ pins
+    the dim broadcast from SQL text (the knob users reach for when
+    statistics mislead the planner). Results are hint-invariant —
+    the oracle is the plain join."""
+    _views(spark, sf_dir, "supplier", "nation")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -80,3 +80,19 @@ def test_stats_all_null_metric(spark):
     df = spark.createDataFrame([("a", None), ("b", None)], "k string, v double")
     s = stats(df, ["v"]).head()
     assert s.n == 2 and s.avg_v is None
+
+
+def test_stratified_sample_rates(spark):
+    """sampleBy: per-stratum rates land near the requested fractions
+    (Bernoulli, seed-fixed — loose tolerance)."""
+    from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    fractions = {"click": 0.1, "purchase": 1.0}
+    s = e.sampleBy("event_type", fractions, seed=42)
+    totals = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {r.event_type: r.n for r in s.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert got.get("purchase") == totals["purchase"]  # fraction 1.0 keeps all
+    click_rate = got.get("click", 0) / totals["click"]
+    assert 0.05 < click_rate < 0.2, click_rate
+    assert "view" not in got  # unlisted strata drop entirely

@@ -226,3 +226,25 @@ def test_star_edges_same_components_as_pair_edges(spark):
         for r in connected_components(nodes, lsh_star_edges(sigs)).collect()
     }
     assert via_pairs == via_star
+
+
+def test_ivf_recall_tunable_via_probes(spark):
+    """IVF ANN: recall must rise with n_probe and clear 0.5 at
+    n_probe=3 of 8 cells (deterministic under the fixed KMeans seed)."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.similarity import ivf_topk
+    from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qids = list(range(10))
+    brute = {(r.query_id, r.neighbor_id) for r in brute_force_topk(e, qids, k=5).collect()}
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(e, qids, k=5, n_probe=n_probe).collect()
+        }
+        return len(brute & got) / len(brute)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= 0.5, (r1, r3)
+    assert r1 <= r3, (r1, r3)
