@@ -69,7 +69,7 @@ _PRIORITY = [
     "llm_language_id",
     "llm_token_counts",
     "llm_quality_score",
-    "llm_fingerprint",
+    "llm_pipeline_end_to_end",
     "llm_multimodal_pack",
     # subqueries
     "ext_scalar_subquery",
@@ -124,6 +124,7 @@ _PRIORITY = [
     "ext_percentile_approx_check",
     "tpch_q13",
     "tpch_q18",
+    "llm_fingerprint",
     "llm_chunk_documents",
     "llm_train_test_split",
     "llm_scrub_text",

@@ -552,34 +552,9 @@ def llm_chunk_documents(spark, sf_dir):
     slice — pure codegen, no UDF; chunk boundaries are word-aligned and
     deterministic. At 100 TB this is one Generate over pre-split word
     arrays (rows multiply by ~len/stride, bytes stay ~1x + overlap)."""
-    d = _t(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    chunked = (
-        d.select("doc_id", ws.alias("ws"))
-        .select(
-            "doc_id",
-            "ws",
-            F.posexplode(
-                F.sequence(F.lit(1), F.greatest(F.size("ws"), F.lit(1)), F.lit(15))
-            ).alias("idx", "start"),
-        )
-        .select(
-            "doc_id",
-            F.col("idx").cast("int").alias("chunk_idx"),
-            F.slice(
-                F.col("ws"),
-                F.col("start"),
-                F.least(F.lit(20), F.size("ws") - F.col("start") + 1),
-            ).alias("chunk_words"),
-        )
-        .filter(F.size("chunk_words") > 0)
-    )
-    return chunked.select(
-        "doc_id",
-        "chunk_idx",
-        F.size("chunk_words").cast("int").alias("n_words"),
-        F.array_join("chunk_words", " ").alias("chunk_text"),
-    )
+    from .llm.prep import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
 
 
 _HEXPOS = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
@@ -604,12 +579,11 @@ def llm_train_test_split(spark, sf_dir):
     so it is stable across runs, engines, and cluster sizes — the
     property that matters for reproducible training data. No RNG, no
     shuffle beyond the count aggregation."""
+    from .llm.prep import hash_split
+
     d = _t(spark, sf_dir, "documents")
-    h = F.md5(F.col("doc_id").cast("string"))
-    hexpos = lambda p: F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1  # noqa: E731
-    bucket = hexpos(1) * 16 + hexpos(2)
     return (
-        d.select("doc_id", F.when(bucket < 205, "train").otherwise("test").alias("split"))
+        d.select("doc_id", hash_split(d).alias("split"))
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("sum_doc_id"))
     )
@@ -668,4 +642,60 @@ def llm_ann_ivf_recall(spark, sf_dir):
     hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
     return brute.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
         hits.agg((F.count(F.lit(1)) >= F.lit(25)).alias("recall_ge_half"))
+    )
+
+
+@register(
+    "llm_pipeline_end_to_end",
+    f"""
+    WITH kept AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    docs AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+    ),
+    chunks AS (
+      SELECT doc_id,
+             list_slice(ws, start, least(start + 19, len(ws))) AS chunk_words
+      FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws), 1), 15)) AS start
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM docs
+        )
+      )
+    ),
+    labeled AS (
+      SELECT doc_id, len(chunk_words) AS n_words,
+             CASE WHEN (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) < 205
+                  THEN 'train' ELSE 'test' END AS split
+      FROM (SELECT doc_id, chunk_words, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM chunks WHERE len(chunk_words) > 0)
+    )
+    SELECT split, count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words
+    FROM labeled GROUP BY split
+    """,
+)
+def llm_pipeline_end_to_end(spark, sf_dir):
+    """The full training-data pipeline composed as ONE lazy plan:
+    exact dedup (keep first) -> word-aligned chunking -> deterministic
+    hash split -> per-split corpus stats. Catalyst plans the whole
+    chain together (dedup's shuffle feeds the narrow chunk/split
+    stages; one aggregation at the end) — the composition, not just
+    the parts, is what a 100 TB data-prep job runs."""
+    from .llm.prep import chunk_documents, hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    kept = exact_dedup_keep_first(d).select("doc_id")
+    docs = d.join(kept, "doc_id", "left_semi")
+    chunks = chunk_documents(docs)
+    labeled = chunks.select("doc_id", "n_words", hash_split(chunks).alias("split"))
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
     )
