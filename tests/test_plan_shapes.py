@@ -122,3 +122,43 @@ def test_q5_pushes_date_range_and_broadcasts_dims(spark, queries):
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "EqualTo(r_name,ASIA)" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: a hot key big enough to trip the (lowered)
+    thresholds is split into multiple tasks — the final adaptive plan
+    carries SortMergeJoin(skew=true). Two gotchas this test encodes:
+    the skew detector works on shuffle BYTES, so a constant hot key
+    with compressible payload can stay under threshold (hence the md5
+    payload); and the final plan only exists on the QueryExecution
+    that actually ran (collect, not a cloned write)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 190_000, 0).otherwise(F.col("id") % 50).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pay"),  # incompressible
+        )
+        right = spark.range(50).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+        out = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.max("pay").alias("mp")
+        )
+        assert out.collect()[0].n == 200_000
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
