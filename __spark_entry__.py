@@ -129,6 +129,7 @@ _PRIORITY = [
     "llm_train_test_split",
     "llm_scrub_text",
     "llm_ann_ivf_recall",
+    "llm_dedup_keep_best",
     "ext_join_hinted",
     "ext_sample_stratified",
 ]

@@ -699,3 +699,80 @@ def llm_pipeline_end_to_end(spark, sf_dir):
         F.countDistinct("doc_id").alias("n_docs"),
         F.sum("n_words").alias("sum_words"),
     )
+
+
+@register(
+    "llm_dedup_keep_best",
+    f"""
+    WITH {SHINGLES_SQL}, {MINHASH_SQL},
+    banded AS (
+      SELECT doc_id, md5(mh1 || '|' || mh2) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, md5(mh3 || '|' || mh4) AS band_key FROM mh
+    ),
+    edges AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+    reach AS (
+      WITH RECURSIVE reach0(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.v FROM reach0 r JOIN sym s ON r.dst = s.u
+      )
+      SELECT * FROM reach0
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    q AS (
+      SELECT doc_id,
+             round((CASE WHEN n_tokens >= 20 THEN 0.4::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.3::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN n_punct / n_chars_calc <= 0.1 THEN 0.2::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN n_stop > 0 THEN 0.1::DOUBLE ELSE 0.0 END), 4) AS quality_score
+      FROM (
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+               length(replace(text, ' ', ''))
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')) AS mean_word_len,
+               {_HITS_SQL["en"]} AS n_stop
+        FROM documents
+      )
+    )
+    SELECT component, doc_id, quality_score FROM (
+      SELECT c.component, c.doc_id, q.quality_score,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN q USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    """Near-dup dedup with QUALITY-aware representative selection:
+    connected components over the LSH star graph choose the cluster,
+    the quality score chooses the survivor (row_number per component,
+    score desc, doc_id tiebreak) — the production keep-policy, vs the
+    min-id convenience policy of dedup_by_component. One extra shuffle
+    (join components with scores) + one window."""
+    from pyspark.sql import Window
+
+    from .llm.cluster import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    comp = connected_components(
+        d.select("doc_id"), lsh_star_edges(minhash_signatures(char_shingles(d, distinct=False)))
+    )
+    scores = ts.with_quality_score(d.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    joined = comp.join(scores, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", "doc_id", "quality_score")
+    )
