@@ -132,6 +132,9 @@ _PRIORITY = [
     "llm_dedup_keep_best",
     "ext_join_hinted",
     "ext_sample_stratified",
+    "stream_stream_join",
+    "ext_compact_small_files",
+    "ext_dynamic_partition_overwrite",
 ]
 
 

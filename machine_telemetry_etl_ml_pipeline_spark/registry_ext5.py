@@ -13,6 +13,8 @@ rounding lands on half-boundaries where engines legitimately differ).
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import functions as F
 
 from .registry import _t, register
@@ -936,3 +938,163 @@ def ext_join_hinted(spark, sf_dir):
         GROUP BY n_name
         """
     )
+
+
+# --- stream-stream join ------------------------------------------------------
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join (clicks joined to purchases by the
+    same user within 30 minutes AFTER the click): both sides
+    watermarked, the time-range join condition bounds each side's
+    state retention — without it stream-stream state grows forever.
+    Drained with availableNow; the ORACLE is the equivalent batch
+    interval self-join, proving the streaming state machine computes
+    the relational answer."""
+    import os
+    import uuid
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .session import tune_session
+
+    tune_session(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream_dir = tempfile.mkdtemp(prefix="stream_ss_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+
+    def side(event_type, alias):
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user_id"),
+                F.col("event_id").alias(f"{alias}_event_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.unix_timestamp("c_ts").cast("long").alias("click_epoch"),
+        F.unix_timestamp("p_ts").cast("long").alias("purchase_epoch"),
+    )
+    name = f"stream_ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- operational write-path ops ---------------------------------------------
+
+
+@register(
+    "ext_compact_small_files",
+    """
+    SELECT count(*) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           true AS fewer_files
+    FROM events
+    """,
+)
+def ext_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the operational fix for the classic
+    100 TB killer (a streaming sink or over-parallel writer leaving
+    thousands of KB-sized files that make every scan metadata-bound).
+    Write events as 64 shards, compact to 4 with a coalesce rewrite
+    (coalesce, not repartition: no shuffle, just fewer write tasks),
+    and verify the data digest survived and the file count dropped."""
+    import glob
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="compact_")
+    src = _t(spark, sf_dir, "events").select("event_id")
+    src.repartition(64).write.parquet(f"{work}/small")
+    n_small = len(glob.glob(f"{work}/small/part-*.parquet"))
+    spark.read.parquet(f"{work}/small").coalesce(4).write.parquet(f"{work}/compact")
+    n_compact = len(glob.glob(f"{work}/compact/part-*.parquet"))
+    back = spark.read.parquet(f"{work}/compact")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.lit(n_compact < n_small).alias("fewer_files"),
+    )
+
+
+@register(
+    "ext_dynamic_partition_overwrite",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite (the warehouse backfill semantic):
+    rewriting ONE partition replaces only that partition — sibling
+    partitions are untouched. The events table is written partitioned
+    by event_type; the 'click' partition is then overwritten with the
+    same rows in dynamic mode; the oracle's per-type counts hold iff
+    no other partition was clobbered (static mode would have wiped
+    them)."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="dpo_") + "/t"
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    e.write.partitionBy("event_type").parquet(work)
+    clicks = e.filter(F.col("event_type") == "click")
+    (
+        clicks.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(work)
+    )
+    back = spark.read.parquet(work)
+    return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
