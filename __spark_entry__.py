@@ -135,6 +135,8 @@ _PRIORITY = [
     "stream_stream_join",
     "ext_compact_small_files",
     "ext_dynamic_partition_overwrite",
+    "udf_python_udtf",
+    "udf_map_in_arrow",
 ]
 
 

@@ -100,3 +100,70 @@ def udf_python_row(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     return e.select("event_id", bucket("event_type").alias("bucket"))
+
+
+@register(
+    "udf_python_udtf",
+    """
+    SELECT doc_id, CAST(pos AS INT) AS pos, word
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word,
+             generate_subscripts(list_filter(string_split(text, ' '), x -> x <> ''), 1) - 1 AS pos
+      FROM documents
+    ) WHERE doc_id < 10
+    """,
+)
+def udf_python_udtf(spark, sf_dir):
+    """Python UDTF (user-defined TABLE function, Spark 3.5+): one
+    input row -> many output rows from Python. The tokenize expansion
+    is deliberately also expressible as posexplode(split(...)) — which
+    is the oracle — so the UDTF plumbing is held to the built-in
+    operator's answer. UDTFs are the escape hatch for row-expanding
+    logic with real Python inside; the built-in stays the hot path."""
+    from pyspark.sql.functions import udtf
+
+    # output column renamed: the lateral join would otherwise carry two
+    # ambiguous doc_id columns (input relation + UDTF output)
+    @udtf(returnType="out_doc_id: long, pos: int, word: string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            pos = 0
+            for w in (text or "").split(" "):
+                if w:
+                    yield doc_id, pos, w
+                    pos += 1
+
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 10")
+    return d.lateralJoin(
+        Tokenize(F.col("doc_id").outer(), F.col("text").outer())
+    ).select(F.col("out_doc_id").alias("doc_id"), "pos", "word")
+
+
+@register(
+    "udf_map_in_arrow",
+    """
+    SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value > 100
+    """,
+)
+def udf_map_in_arrow(spark, sf_dir):
+    """mapInArrow: whole-partition transform over raw Arrow record
+    batches — the lowest-overhead Python boundary (no pandas
+    conversion). The batch logic (filter + integer scaling) mirrors
+    the built-in expression oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    e = _t(spark, sf_dir, "events").select("event_id", "value")
+
+    def scale(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            t = t.filter(pc.greater(t.column("value"), 100.0))
+            cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+            out = pa.table({"event_id": t.column("event_id"), "cents": cents})
+            for b in out.to_batches():
+                yield b
+
+    return e.mapInArrow(scale, "event_id long, cents long")
