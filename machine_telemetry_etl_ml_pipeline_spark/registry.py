@@ -53,9 +53,9 @@ def register(name: str, oracle: str | None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, ts_range=None) -> DataFrame:
     tune_session(spark)
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, ts_range=ts_range)
 
 
 def _epoch(col: str = "ts"):
@@ -151,7 +151,10 @@ def ref_filter_eq(spark, sf_dir):
 def ref_filter_range(spark, sf_dir):
     """WHERE timestamp_epoch BETWEEN %s AND %s (reference
     project/db.py:197-200)."""
-    e = _t(spark, sf_dir, "events")
+    # ts_range pushes the equivalent raw-nanos bounds into the parquet
+    # scan (row-group skipping); the converted-column filter stays for
+    # the declarative semantics (catalog.load_table docstring)
+    e = _t(spark, sf_dir, "events", ts_range=(1704844800, 1705708800))
     lo = F.unix_timestamp(F.lit("2024-01-10 00:00:00").cast("timestamp"))
     hi = F.unix_timestamp(F.lit("2024-01-20 00:00:00").cast("timestamp"))
     return e.filter(_epoch().between(lo, hi)).select(
@@ -215,7 +218,7 @@ def ref_range_scan(spark, sf_dir):
     """Ordered time-range scan (reference get_telemetry_range,
     project/db.py:196-202). Output order is ASC in the reference; the
     driver compare is order-insensitive so the sort is plan-side only."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", ts_range=(1704412800, 1706140800))
     out = range_scan(
         e,
         F.col("user_id") == 5,

@@ -21,13 +21,33 @@ from ..schemas import TESTDATA_TABLES
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """ts_range: optional (lo_epoch_s, hi_epoch_s) INCLUSIVE bounds for
+    the nanos timestamp column, applied to the RAW int64 column BEFORE
+    conversion. The converted column is an expression, so predicates on
+    it cannot reach the parquet scan; the raw-column predicate pushes
+    (min/max row-group skipping — at 100 TB the difference between
+    scanning a day and scanning the table). The bounds are exactly
+    equivalent to `lo <= converted_ts <= hi` for non-negative epochs:
+    ns div 1000 >= lo*1e6  <=>  ns >= lo*1e9, and
+    ns div 1000 <= hi*1e6 + 999999  <=>  ns <= hi*1e9 + 999999999."""
     nanos_cols = _NANOS_TS_COLS.get(name, [])
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
+            if ts_range is not None:
+                lo_s, hi_s = ts_range
+                df = df.filter(
+                    (F.col(c) >= int(lo_s) * 1_000_000_000)
+                    & (F.col(c) <= int(hi_s) * 1_000_000_000 + 999_999_999)
+                )
             # Integer `div`, not double `/`: at ~1.7e18 ns the int64->double
             # round-trip has 256 ns ulp, so `/1000` can land a microsecond off
             # (and double->long cast truncates toward zero, wrong pre-1970).

@@ -162,3 +162,15 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_time_range_pushes_raw_nanos_bounds(spark, queries):
+    """The events table's ts is a computed (nanos->micros) column, so
+    converted-column predicates cannot push; load_table's ts_range
+    applies exactly-equivalent bounds on the RAW int64 column, which
+    must reach the parquet scan (row-group skipping)."""
+    df = queries["ref_filter_range"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "GreaterThanOrEqual(ts,1704844800000000000)" in plan
+    assert "LessThanOrEqual(ts,1705708800999999999)" in plan
