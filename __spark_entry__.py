@@ -137,6 +137,9 @@ _PRIORITY = [
     "ext_dynamic_partition_overwrite",
     "udf_python_udtf",
     "udf_map_in_arrow",
+    "ext_intersect_all",
+    "ext_except_all",
+    "ext_source_csv_corrupt",
 ]
 
 

@@ -1098,3 +1098,83 @@ def ext_dynamic_partition_overwrite(spark, sf_dir):
     )
     back = spark.read.parquet(work)
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- set-op ALL variants + malformed-input handling -------------------------
+
+
+@register(
+    "ext_intersect_all",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def ext_intersect_all(spark, sf_dir):
+    """INTERSECT ALL: bag semantics — a user appearing 3x among clicks
+    and 2x among views survives twice (min of multiplicities), vs the
+    distinct INTERSECT's once."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "view").select("user_id")
+    return a.intersectAll(b)
+
+
+@register(
+    "ext_except_all",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def ext_except_all(spark, sf_dir):
+    """EXCEPT ALL: bag difference — multiplicities subtract instead of
+    the distinct EXCEPT's set removal."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.exceptAll(b)
+
+
+@register(
+    "ext_source_csv_corrupt",
+    """
+    SELECT * FROM (VALUES
+      (CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(6 AS BIGINT))
+    ) t(n_good, n_corrupt, n_rows)
+    """,
+)
+def ext_source_csv_corrupt(spark, sf_dir):
+    """Malformed-input handling (PERMISSIVE mode): rows that fail the
+    schema land in columnNameOfCorruptRecord instead of killing the
+    job — the property that matters when 100 TB of vendor CSV has a
+    bad row every million. Payload: 3 good rows, 2 type-corrupt, 1
+    short row; ALL THREE malformed rows are captured (Spark 4 treats
+    short rows as corrupt too), and no row is silently dropped
+    (n_rows = 6)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="csv_corrupt_") + "/data.csv"
+    with open(path, "w") as f:
+        f.write("id,qty,price\n")
+        f.write("1,10,1.5\n")
+        f.write("2,20,2.5\n")
+        f.write("3,30,3.5\n")
+        f.write("4,notanumber,4.5\n")   # type-corrupt -> _corrupt_record
+        f.write("5,50,alsobad\n")        # type-corrupt -> _corrupt_record
+        f.write("6,60\n")                # short row -> NULL-padded, good
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema("id long, qty long, price double, _bad string")
+        .csv(path)
+    )
+    df = df.cache()
+    return df.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_bad")).alias("n_corrupt"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
