@@ -96,3 +96,14 @@ def test_stratified_sample_rates(spark):
     click_rate = got.get("click", 0) / totals["click"]
     assert 0.05 < click_rate < 0.2, click_rate
     assert "view" not in got  # unlisted strata drop entirely
+
+
+def test_bernoulli_sample_rate(spark):
+    """sample(fraction=0.1, seed=42): the realized rate must be near
+    10% (the property ext_sample's docstring promises is asserted)."""
+    from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    n = e.count()
+    k = e.sample(fraction=0.1, seed=42).count()
+    assert 0.07 < k / n < 0.13, (k, n)
