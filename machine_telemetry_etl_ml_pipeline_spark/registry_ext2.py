@@ -609,40 +609,13 @@ def stream_tumbling_counts(spark, sf_dir):
     availableNow memory sink and returned as a batch DataFrame — the
     ORACLE is the plain batch SQL, proving the streaming event-time
     semantics equal the batch semantics over the same input."""
-    import os
     import uuid
 
     from .session import tune_session
+    from .streaming.windows import events_testdata_stream
 
     tune_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file stream source requires a DIRECTORY; expose the single
-    # testdata file through a symlinked temp dir
-    stream_dir = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # nanos (legacy conf)
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div: /1000 loses ulp at 1e18 ns
-    )
+    stream = events_testdata_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"))

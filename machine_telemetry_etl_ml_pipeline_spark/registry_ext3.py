@@ -163,38 +163,13 @@ def stream_session_counts(spark, sf_dir):
     the relational formulation. Gap boundary: session_window treats an
     event at exactly prev_ts + gap as a NEW session ([start, end)
     windows), hence `>= 1800` in the oracle."""
-    import os
     import uuid
 
     from .session import tune_session
+    from .streaming.windows import events_testdata_stream
 
     tune_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream_dir = tempfile.mkdtemp(prefix="stream_sess_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div: /1000 loses ulp at 1e18 ns
-    )
+    stream = events_testdata_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))

@@ -324,34 +324,9 @@ def llm_simhash_hamming_pairs(spark, sf_dir):
 
 
 def _event_stream(spark, sf_dir):
-    import os
+    from .streaming.windows import events_testdata_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    d = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
-    return (
-        spark.readStream.schema(raw_schema)
-        .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))  # integer div: /1000 loses ulp at 1e18 ns
-    )
+    return events_testdata_stream(spark, sf_dir)
 
 
 def _drain(df, prefix: str):

@@ -678,38 +678,15 @@ def stream_foreach_batch_sink(spark, sf_dir):
     digest-checked against the batch view of the same source — proving
     the streaming ingest path writes exactly the batch-equivalent
     rows."""
-    import os
     import tempfile
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from .session import tune_session
-    from .streaming.windows import foreach_batch_append
+    from .streaming.windows import events_testdata_stream, foreach_batch_append
 
     tune_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream_dir = tempfile.mkdtemp(prefix="stream_fb_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     work = tempfile.mkdtemp(prefix="stream_fb_out_")
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
+        events_testdata_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
         .select("event_id", F.round(F.col("value") * 100).cast("long").alias("cents"))
     )
@@ -964,39 +941,16 @@ def stream_stream_join(spark, sf_dir):
     Drained with availableNow; the ORACLE is the equivalent batch
     interval self-join, proving the streaming state machine computes
     the relational answer."""
-    import os
     import uuid
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
     from .session import tune_session
+    from .streaming.windows import events_testdata_stream
 
     tune_session(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = StructType(
-        [
-            StructField("event_id", LongType()),
-            StructField("ts", LongType()),
-            StructField("user_id", LongType()),
-            StructField("event_type", StringType()),
-            StructField("value", DoubleType()),
-            StructField("props", StringType()),
-        ]
-    )
-    stream_dir = tempfile.mkdtemp(prefix="stream_ss_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
 
     def side(event_type, alias):
         return (
-            spark.readStream.schema(raw_schema)
-            .parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            events_testdata_stream(spark, sf_dir)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias}_user_id"),

@@ -134,3 +134,34 @@ def foreach_batch_append(df: DataFrame, table_path: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+EVENTS_RAW_NANOS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # raw nanos (legacy conf)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_testdata_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream over the driver's events.parquet: the file source needs a
+    DIRECTORY, so the single testdata file is exposed through a
+    symlinked temp dir; ts is read as raw int64 nanos (legacy conf) and
+    converted with integer div (double /1000 has 256 ns ulp at 2026
+    epochs). Shared by every stream_* registry entry."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return (
+        spark.readStream.schema(EVENTS_RAW_NANOS_SCHEMA)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
