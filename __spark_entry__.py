@@ -140,6 +140,7 @@ _PRIORITY = [
     "ext_intersect_all",
     "ext_except_all",
     "ext_source_csv_corrupt",
+    "ext_collect_list_ordered",
 ]
 
 

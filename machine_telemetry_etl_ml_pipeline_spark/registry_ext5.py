@@ -1132,3 +1132,40 @@ def ext_source_csv_corrupt(spark, sf_dir):
         F.count(F.col("_bad")).alias("n_corrupt"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "ext_collect_list_ordered",
+    """
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS type_seq,
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS type_path
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def ext_collect_list_ordered(spark, sf_dir):
+    """Deterministic ordered array aggregation: collect_list gives NO
+    ordering guarantee (it concatenates partition-arrival order), so
+    the portable idiom is collect structs carrying the sort key, then
+    sort_array + transform to project the payload — equal to SQL's
+    list(x ORDER BY ...) in any engine. The per-user event-type PATH is
+    the sessionized-journey shape downstream sequence models consume."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    seq = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_timestamp("ts").alias("ts_s"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("t"),
+                )
+            )
+        ),
+        lambda s: s["t"],
+    )
+    return e.groupBy("user_id").agg(
+        seq.alias("type_seq"),
+        F.array_join(seq, ">").alias("type_path"),
+    )
