@@ -25,13 +25,21 @@ def chunk_documents(
     (overlap = chunk - stride). One Generate over pre-split word
     arrays: rows multiply by ~len/stride, bytes stay ~1x + overlap."""
     ws = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    # start bound: len - overlap — a start past that yields a chunk fully
+    # contained in its predecessor (every word already covered), so a
+    # 20-word doc gets exactly one 20-word chunk, a 21-word doc two
+    overlap = chunk - stride
     return (
         docs.select(id_col, ws.alias("ws"))
         .select(
             id_col,
             "ws",
             F.posexplode(
-                F.sequence(F.lit(1), F.greatest(F.size("ws"), F.lit(1)), F.lit(stride))
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("ws") - F.lit(overlap), F.lit(1)),
+                    F.lit(stride),
+                )
             ).alias("idx", "start"),
         )
         .select(

@@ -533,9 +533,9 @@ def llm_multimodal_decode(spark, sf_dir):
              list_slice(ws, start, least(start + 19, len(ws))) AS chunk_words
       FROM (
         SELECT doc_id, ws,
-               unnest(generate_series(1, greatest(len(ws), 1), 15)) AS start,
-               unnest(generate_series(1, greatest(len(ws), 1), 15)) - 1 AS _s0,
-               CAST((unnest(generate_series(1, greatest(len(ws), 1), 15)) - 1) / 15
+               unnest(generate_series(1, greatest(len(ws) - 5, 1), 15)) AS start,
+               unnest(generate_series(1, greatest(len(ws) - 5, 1), 15)) - 1 AS _s0,
+               CAST((unnest(generate_series(1, greatest(len(ws) - 5, 1), 15)) - 1) / 15
                     AS BIGINT) AS idx
         FROM (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -659,7 +659,7 @@ def llm_ann_ivf_recall(spark, sf_dir):
              list_slice(ws, start, least(start + 19, len(ws))) AS chunk_words
       FROM (
         SELECT doc_id, ws,
-               unnest(generate_series(1, greatest(len(ws), 1), 15)) AS start
+               unnest(generate_series(1, greatest(len(ws) - 5, 1), 15)) AS start
         FROM (
           SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
           FROM docs

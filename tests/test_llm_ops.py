@@ -248,3 +248,38 @@ def test_ivf_recall_tunable_via_probes(spark):
     r1, r3 = recall(1), recall(3)
     assert r3 >= 0.5, (r1, r3)
     assert r1 <= r3, (r1, r3)
+
+
+def test_chunking_invariants(spark):
+    """Chunk coverage: every word of every doc appears in at least one
+    chunk; chunk 0 starts at word 0; consecutive chunks overlap by
+    chunk-stride words; no chunk exceeds the chunk size."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.prep import chunk_documents
+
+    rows = [
+        (1, "a b c"),                        # shorter than one chunk
+        (2, " ".join(f"w{i}" for i in range(20))),   # exactly one chunk
+        (3, " ".join(f"w{i}" for i in range(21))),   # one word spills
+        (4, " ".join(f"w{i}" for i in range(100))),  # many chunks
+        (5, ""),                              # empty text
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(d, chunk=20, stride=15)
+    got = {}
+    for r in out.collect():
+        assert 1 <= r.n_words <= 20
+        got.setdefault(r.doc_id, {})[r.chunk_idx] = r.chunk_text.split(" ")
+    # doc 5 has no words -> no chunks; doc 2 exactly one chunk
+    assert 5 not in got
+    assert list(got[2]) == [0] and len(got[2][0]) == 20
+    # doc 3 (21 words): second chunk holds the tail with the 5-word overlap
+    assert len(got[3]) == 2 and got[3][1] == [f"w{i}" for i in range(15, 21)]
+    # doc 1 (3 words): single short chunk
+    assert list(got[1]) == [0] and got[1][0] == ["a", "b", "c"]
+    # doc 4: full coverage and correct overlap between consecutive chunks
+    words = set()
+    for idx, ws in got[4].items():
+        words.update(ws)
+    assert words == {f"w{i}" for i in range(100)}
+    for idx in range(len(got[4]) - 1):
+        assert got[4][idx][15:] == got[4][idx + 1][: len(got[4][idx][15:])]
