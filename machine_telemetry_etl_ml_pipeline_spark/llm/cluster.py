@@ -32,13 +32,25 @@ def connected_components(
     id_col: str = "doc_id",
     max_iterations: int = 20,
     stats: dict | None = None,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """nodes: one column `id_col`; edges: columns (a, b), undirected.
 
     Returns (id_col, component) where component = min node id reachable
     — deterministic, so oracle-comparable against a recursive-CTE
     transitive closure. If `stats` is passed, stats["iterations"] is
-    set to the number of rounds actually run (for convergence tests).
+    set to the number of rounds actually run (for convergence tests)
+    and stats["strategy"] to "local" or "distributed".
+
+    Adaptive strategy (the broadcast-join idea applied to graphs): when
+    the EDGE count is under `small_graph_threshold`, the component
+    mapping is solved with a driver-side union-find over the edge
+    ENDPOINTS only and broadcast back — one join instead of
+    O(log diameter) iterative rounds. The mapping size is bounded by
+    2x edges, never by the node count, so the node side stays fully
+    distributed at any scale; graphs over the threshold run the
+    iterative loop unchanged. Pass small_graph_threshold=0 to force
+    the distributed path (tests do).
     """
     sym = (
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -60,6 +72,46 @@ def connected_components(
     spark = nodes.sparkSession
     default_parts = spark.conf.get("spark.sql.shuffle.partitions")
     n_edges = sym.count()
+
+    if n_edges <= small_graph_threshold:
+        # Local strategy: union-find over edge endpoints, broadcast the
+        # (endpoint -> component-min) mapping, one left join for the
+        # full node set. Non-endpoint nodes are their own component.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            ra, rb = find(row.u), find(row.v)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in list(parent)] + [
+            (r, r) for r in set(map(find, parent)) if r not in parent
+        ]
+        if stats is not None:
+            stats["iterations"] = 0
+            stats["strategy"] = "local"
+        if not mapping:
+            return nodes.select(
+                F.col(id_col), F.col(id_col).cast("long").alias("component")
+            )
+        mdf = spark.createDataFrame(mapping, "u long, mapped long")
+        return (
+            nodes.select(F.col(id_col).alias("u"))
+            .join(F.broadcast(mdf), "u", "left")
+            .select(
+                F.col("u").alias(id_col),
+                F.coalesce("mapped", F.col("u").cast("long")).alias("component"),
+            )
+        )
+
     iter_parts = max(4, min(int(default_parts), n_edges // 200_000 + 1))
     rounds = 0
     try:

@@ -159,7 +159,9 @@ def test_connected_components_long_chain_converges_fast(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a long, b long")
     stats: dict = {}
-    out = connected_components(nodes, edges, stats=stats).collect()
+    # force the distributed loop — the adaptive local strategy would
+    # otherwise absorb a graph this small
+    out = connected_components(nodes, edges, stats=stats, small_graph_threshold=0).collect()
     assert {r.component for r in out} == {0}
     assert len(out) == n
     # log2(120) ~ 7; allow slack for the fixpoint-detection round.

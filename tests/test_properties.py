@@ -157,5 +157,11 @@ def test_connected_components_matches_union_find(spark, edges):
 
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
-    got = {r.doc_id: r.component for r in connected_components(nodes, edf).collect()}
-    assert got == expected
+    # both strategies must agree with the reference union-find
+    local = {r.doc_id: r.component for r in connected_components(nodes, edf).collect()}
+    dist = {
+        r.doc_id: r.component
+        for r in connected_components(nodes, edf, small_graph_threshold=0).collect()
+    }
+    assert local == expected
+    assert dist == expected
