@@ -141,6 +141,7 @@ _PRIORITY = [
     "ext_except_all",
     "ext_source_csv_corrupt",
     "ext_collect_list_ordered",
+    "ext_manifest_pruned_scan",
 ]
 
 

@@ -1169,3 +1169,29 @@ def ext_collect_list_ordered(spark, sf_dir):
         seq.alias("type_seq"),
         F.array_join(seq, ">").alias("type_path"),
     )
+
+
+@register(
+    "ext_manifest_pruned_scan",
+    """
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events WHERE user_id BETWEEN 40 AND 60
+    """,
+)
+def ext_manifest_pruned_scan(spark, sf_dir):
+    """Metadata-pruned scan end to end: events written Z-ordered on
+    (user_id, value), a file-level min/max manifest built over it, and
+    the range read resolved through the manifest (only overlapping
+    files opened — operators/manifest.py). The oracle is the plain
+    relational filter: pruning must be invisible in the answer."""
+    import tempfile
+
+    from .operators.layout import zorder_write
+    from .operators.manifest import build_manifest, pruned_read
+
+    work = tempfile.mkdtemp(prefix="manifest_scan_")
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zorder_write(e, "user_id", "value", f"{work}/t", num_files=8)
+    build_manifest(spark, f"{work}/t", ["user_id"], f"{work}/m")
+    out = pruned_read(spark, f"{work}/t", f"{work}/m", "user_id", 40, 60)
+    return out.select("event_id", "user_id", F.round("value", 4).alias("value"))
