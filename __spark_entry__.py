@@ -142,6 +142,7 @@ _PRIORITY = [
     "ext_source_csv_corrupt",
     "ext_collect_list_ordered",
     "ext_manifest_pruned_scan",
+    "ext_recursive_cte",
 ]
 
 

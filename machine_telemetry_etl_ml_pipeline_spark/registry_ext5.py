@@ -1195,3 +1195,43 @@ def ext_manifest_pruned_scan(spark, sf_dir):
     build_manifest(spark, f"{work}/t", ["user_id"], f"{work}/m")
     out = pruned_read(spark, f"{work}/t", f"{work}/m", "user_id", 40, 60)
     return out.select("event_id", "user_id", F.round("value", 4).alias("value"))
+
+
+@register(
+    "ext_recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < DATE '2001-08-01'
+    )
+    SELECT CAST(floor(epoch(m)) AS BIGINT) AS month_epoch,
+           count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders
+      ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+    GROUP BY m
+    """,
+)
+def ext_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE): the calendar-spine
+    idiom — generate every month in the data range recursively, left
+    join facts so empty months survive with count 0. The recursion is
+    driver-bounded (one row per month), the join and aggregate stay
+    distributed."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+          WHERE m < DATE '2001-08-01'
+        )
+        SELECT CAST(unix_timestamp(CAST(m AS TIMESTAMP)) AS BIGINT) AS month_epoch,
+               count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders
+          ON date_trunc('month', o_orderdate) = CAST(m AS TIMESTAMP)
+        GROUP BY m
+        """
+    )
