@@ -143,6 +143,8 @@ _PRIORITY = [
     "ext_collect_list_ordered",
     "ext_manifest_pruned_scan",
     "ext_recursive_cte",
+    "ext_variant_json",
+    "ext_sql_udf",
 ]
 
 

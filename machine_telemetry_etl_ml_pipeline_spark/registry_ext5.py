@@ -1235,3 +1235,57 @@ def ext_recursive_cte(spark, sf_dir):
         GROUP BY m
         """
     )
+
+
+@register(
+    "ext_variant_json",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_variant_json(spark, sf_dir):
+    """VARIANT semi-structured type (Spark 4): parse_json once into a
+    binary-encoded variant, then typed variant_get extraction — the
+    shredding-friendly path for JSON at scale (vs re-parsing strings
+    per access, which ext_json_extract's get_json_object does)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+    )
+
+
+@register(
+    "ext_sql_udf",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def ext_sql_udf(spark, sf_dir):
+    """SQL-body scalar UDF (CREATE FUNCTION ... RETURN expr, Spark 4):
+    the function inlines into the plan as a plain expression — full
+    codegen, no Python boundary — which is why the oracle is the
+    inlined arithmetic."""
+    _views(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(net_price(l_extendedprice, l_discount)), 4) AS net_revenue
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
