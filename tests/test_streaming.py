@@ -179,3 +179,34 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # event must NOT have created a 07:00 window.
     assert "2026-01-01 07:00:00" not in rows, rows
     assert rows.get("2026-01-01 08:00:00") == 2, rows
+
+
+def test_transform_with_state_gated_or_works(spark, events_dir):
+    """transformWithStateInPandas twin: runs where protobuf exists,
+    raises the documented NotImplementedError where it doesn't (this
+    container) — either way the wiring is exercised."""
+    import uuid
+
+    from machine_telemetry_etl_ml_pipeline_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    stream = file_stream(spark, events_dir)
+    try:
+        out = running_user_stats_tws(stream.select("user_id", "value"))
+    except NotImplementedError as e:
+        assert "protobuf" in str(e)
+        return
+    name = f"tws_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batch = spark.read.parquet(events_dir).groupBy("user_id").count()
+    got = spark.table(name).groupBy("user_id").agg(F.max("n").alias("n"))
+    joined = got.join(batch, "user_id")
+    assert joined.filter("n != count").count() == 0
