@@ -145,6 +145,7 @@ _PRIORITY = [
     "ext_recursive_cte",
     "ext_variant_json",
     "ext_sql_udf",
+    "llm_repetition_stats",
 ]
 
 

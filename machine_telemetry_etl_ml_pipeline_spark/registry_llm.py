@@ -776,3 +776,74 @@ def llm_dedup_keep_best(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("component", "doc_id", "quality_score")
     )
+
+
+@register(
+    "llm_repetition_stats",
+    """
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+           round(1.0 - n_distinct_words / n_words, 4) AS dup_word_ratio,
+           CAST(max_word_count AS BIGINT) AS max_word_count
+    FROM (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             len(list_distinct(ws)) AS n_distinct_words,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM unnest(ws) AS t(w) GROUP BY w
+             )) AS max_word_count
+      FROM (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+      )
+    ) WHERE n_words > 0
+    """,
+)
+def llm_repetition_stats(spark, sf_dir):
+    """Repetition-based quality features (the Gopher-rules shape):
+    duplicate-word ratio and the hottest word's count per document —
+    high repetition flags boilerplate/spam for pre-training filters.
+    Pure column expressions: distinct count via array ops, the max
+    word frequency via aggregate over a sorted array (no explode, no
+    shuffle — each doc computes locally)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sorted_ws = F.array_sort(ws)
+    # max run length in the sorted array == max word frequency
+    run = F.aggregate(
+        sorted_ws,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1))
+            .otherwise(acc["run"] + 1)
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(acc["prev"].isNull() | (acc["prev"] != x), F.lit(1)).otherwise(
+                    acc["run"] + 1
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    out = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.array_distinct(ws)).cast("long").alias("n_distinct_words"),
+        run.cast("long").alias("max_word_count"),
+    ).filter(F.col("n_words") > 0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        F.round(1.0 - F.col("n_distinct_words") / F.col("n_words"), 4).alias(
+            "dup_word_ratio"
+        ),
+        "max_word_count",
+    )
