@@ -146,6 +146,7 @@ _PRIORITY = [
     "ext_variant_json",
     "ext_sql_udf",
     "llm_repetition_stats",
+    "llm_minhash_jaccard_estimate",
 ]
 
 

@@ -847,3 +847,68 @@ def llm_repetition_stats(spark, sf_dir):
         ),
         "max_word_count",
     )
+
+
+@register(
+    "llm_minhash_jaccard_estimate",
+    f"""
+    WITH {SHINGLES_SQL}, {MINHASH_SQL},
+    banded AS (
+      SELECT doc_id, md5(mh1 || '|' || mh2) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, md5(mh3 || '|' || mh4) AS band_key FROM mh
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    est AS (
+      SELECT p.a, p.b,
+             ((CASE WHEN ma.mh1 = mb.mh1 THEN 1 ELSE 0 END)
+            + (CASE WHEN ma.mh2 = mb.mh2 THEN 1 ELSE 0 END)
+            + (CASE WHEN ma.mh3 = mb.mh3 THEN 1 ELSE 0 END)
+            + (CASE WHEN ma.mh4 = mb.mh4 THEN 1 ELSE 0 END)) / 4.0 AS est_jaccard
+      FROM pairs p JOIN mh ma ON ma.doc_id = p.a JOIN mh mb ON mb.doc_id = p.b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.a, p.b, count(*) AS n_inter
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.a
+      JOIN sh sb ON sb.doc_id = p.b AND sb.shingle = sa.shingle
+      GROUP BY p.a, p.b
+    )
+    SELECT e.a, e.b, round(e.est_jaccard, 4) AS est_jaccard,
+           round(i.n_inter / (za.sz + zb.sz - i.n_inter), 4) AS exact_jaccard
+    FROM est e
+    JOIN inter i ON i.a = e.a AND i.b = e.b
+    JOIN sizes za ON za.doc_id = e.a
+    JOIN sizes zb ON zb.doc_id = e.b
+    """,
+)
+def llm_minhash_jaccard_estimate(spark, sf_dir):
+    """The MinHash ESTIMATOR property made explicit: for every LSH
+    candidate pair, the fraction of agreeing signature components
+    (an unbiased estimate of Jaccard) next to the exact shingle-set
+    Jaccard — the number the whole minhash/banding stack approximates.
+    Candidate-bounded: both columns computed only on LSH pairs."""
+    d = _t(spark, sf_dir, "documents")
+    sh = char_shingles(d)
+    sigs = minhash_signatures(char_shingles(d, distinct=False))
+    pairs = lsh_candidate_pairs(sigs)
+    ma = sigs.select(
+        F.col("doc_id").alias("a"), *[F.col(c).alias(f"a_{c}") for c in ["mh1", "mh2", "mh3", "mh4"]]
+    )
+    mb = sigs.select(
+        F.col("doc_id").alias("b"), *[F.col(c).alias(f"b_{c}") for c in ["mh1", "mh2", "mh3", "mh4"]]
+    )
+    agree = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0) for i in range(1, 5)
+    )
+    est = pairs.join(ma, "a").join(mb, "b").select(
+        "a", "b", F.round(agree / 4.0, 4).alias("est_jaccard")
+    )
+    exact = jaccard_pairs(sh, pairs).select(
+        "a", "b", F.col("jaccard").alias("exact_jaccard")
+    )
+    return est.join(exact, ["a", "b"]).select("a", "b", "est_jaccard", "exact_jaccard")
