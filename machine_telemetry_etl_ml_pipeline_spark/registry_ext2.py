@@ -1,8 +1,9 @@
 """Second extension batch: write-path/sink operators (SURVEY §2A rows
-4,7-9), pivot/unpivot, GROUPING SETS, SQL subqueries (scalar +
-correlated), extra window functions, array/map/regexp/date-format
-surface, TPC-H classic shapes (Q1/Q3/Q6), an oracle-checked Structured
-Streaming query, and MLlib StringIndexer parity.
+4,7-9; digest-oracle-checked since round 2), pivot/unpivot, GROUPING
+SETS, SQL subqueries (scalar + correlated), extra window functions,
+array/map/regexp/date-format surface, TPC-H classic shapes
+(Q1/Q3/Q4/Q6/Q14), an oracle-checked Structured Streaming query, and
+MLlib StringIndexer parity.
 """
 
 from __future__ import annotations

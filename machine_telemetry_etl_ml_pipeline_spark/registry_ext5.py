@@ -1,9 +1,22 @@
-"""Round-2 extension batch: the remaining §2B join variants (right /
-full-outer / broadcast band-range join) and five more TPC-H shapes over
-the slimmed testdata schema (Q5, Q7, Q8, Q10, plus Q12/Q19 adaptations
-— the testdata lacks l_shipmode/l_commitdate/l_receiptdate and
-p_container, so those two keep the classic plan SHAPE with the columns
-that exist; adaptations are documented per-query).
+"""Round-2 extension batch:
+
+- remaining §2B join variants: right / full-outer / broadcast
+  band-range join / SQL-hinted broadcast;
+- seven more TPC-H shapes over the slimmed testdata schema (Q5, Q7,
+  Q8, Q10, Q13, Q18, plus Q12/Q19 adaptations — the testdata lacks
+  l_shipmode/l_commitdate/l_receiptdate and p_container, so those two
+  keep the classic plan SHAPE with the columns that exist);
+- ML differential checks (seeded GBT fit+score invariants, M2/M3);
+- sources/sinks: JSONL + ORC digest round trips, PERMISSIVE
+  corrupt-CSV capture, small-file compaction, dynamic partition
+  overwrite, Z-order + manifest metadata-pruned scan;
+- subquery/set-op completions: NOT IN (null-aware), LATERAL,
+  recursive CTE, INTERSECT/EXCEPT ALL;
+- multi-granularity time rollup, higher-order array functions,
+  ordered array aggregation, percentile_approx accuracy check,
+  stratified sampling;
+- streaming: stream-stream interval join, foreachBatch sink;
+- Spark 4 surfaces: VARIANT JSON extraction, SQL-body scalar UDF.
 
 Float-parity convention (round-1 memory): aggregates are rounded to
 4dp on BOTH sides; ratios of two large sums are emitted as separate
