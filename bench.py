@@ -74,12 +74,18 @@ def main() -> None:
         per_query[name] = round(run(name), 3)
 
     total = round(sum(per_query.values()), 3)
+    # The headline set grew round-over-round (14 -> 19 queries), so the
+    # suite total is NOT comparable across rounds; r1_subset_wall_sec
+    # sums exactly the round-1 queries for a like-for-like comparison.
+    r1_set = HEADLINE[:14]
+    r1_total = round(sum(per_query[n] for n in r1_set if n in per_query), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_sec",
                 "value": total,
                 "unit": "sec",
+                "r1_subset_wall_sec": r1_total,
                 "queries": per_query,
                 "sf": sf,
             }
