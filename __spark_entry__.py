@@ -147,6 +147,7 @@ _PRIORITY = [
     "ext_sql_udf",
     "llm_repetition_stats",
     "llm_minhash_jaccard_estimate",
+    "ext_approx_top_k",
 ]
 
 

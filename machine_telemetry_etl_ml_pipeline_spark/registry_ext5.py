@@ -16,7 +16,8 @@
   ordered array aggregation, percentile_approx accuracy check,
   stratified sampling;
 - streaming: stream-stream interval join, foreachBatch sink;
-- Spark 4 surfaces: VARIANT JSON extraction, SQL-body scalar UDF.
+- Spark 4 surfaces: VARIANT JSON extraction, SQL-body scalar UDF,
+  approx_top_k heavy-hitters sketch.
 
 Float-parity convention (round-1 memory): aggregates are rounded to
 4dp on BOTH sides; ratios of two large sums are emitted as separate
@@ -1302,3 +1303,32 @@ def ext_sql_udf(spark, sf_dir):
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@register(
+    "ext_approx_top_k",
+    """
+    SELECT word AS item, count(*) AS cnt FROM (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      FROM documents
+    ) GROUP BY word ORDER BY cnt DESC, item ASC LIMIT 5
+    """,
+)
+def ext_approx_top_k(spark, sf_dir):
+    """Heavy-hitters sketch (Spark 4 approx_top_k): mergeable
+    frequency sketch — the cardinality-bounded path for 'top terms
+    over 100 TB of text' where an exact word count's shuffle is the
+    bottleneck. At this vocabulary size (31 synthetic words) the
+    sketch is exact, so the ORACLE is the exact top-5 — on real heavy-
+    tailed data the counts are approximate and the check would be an
+    invariant instead."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("w")
+    )
+    top = words.agg(F.expr("approx_top_k(w, 5)").alias("tk")).select(
+        F.explode("tk").alias("e")
+    )
+    return top.select(
+        F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
+    ).orderBy(F.col("cnt").desc(), F.col("item").asc())
