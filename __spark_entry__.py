@@ -148,6 +148,9 @@ _PRIORITY = [
     "llm_repetition_stats",
     "llm_minhash_jaccard_estimate",
     "ext_approx_top_k",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
 ]
 
 

@@ -1332,3 +1332,102 @@ def ext_approx_top_k(spark, sf_dir):
     return top.select(
         F.col("e.item").alias("item"), F.col("e.count").alias("cnt")
     ).orderBy(F.col("cnt").desc(), F.col("item").asc())
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15 top-supplier: a named aggregate reused twice (the
+    revenue CTE feeds both the scalar max and the equality filter) —
+    Catalyst plans the CTE once and reuses the exchange; the scalar
+    subquery broadcasts one value."""
+    _views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 9, 13, 17)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape, adapted: the testdata has no partsupp, so the
+    supplier relationship comes from lineitem — same plan (selective
+    dim filter -> join -> DISTINCT count grouped by part attributes,
+    the two-shuffle exact-distinct path)."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q17",
+    """
+    SELECT round(sum(l1.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#11'
+      AND l1.l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+      )
+    """,
+)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17 small-quantity-order: correlated scalar AVG per part.
+    Expressed as an explicit pre-aggregated join (the decorrelation
+    Catalyst performs anyway): one partial-aggregable avg per part,
+    broadcast-joined back — never a per-row subquery execution."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg((F.avg("l_quantity") * 0.5).alias("half_avg"))
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_qty.withColumnRenamed("l_partkey", "p_partkey"), "p_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+    )
+    return joined.agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
