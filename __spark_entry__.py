@@ -151,6 +151,7 @@ _PRIORITY = [
     "tpch_q15",
     "tpch_q16",
     "tpch_q17",
+    "tpch_q21",
 ]
 
 

@@ -1431,3 +1431,63 @@ def tpch_q17(spark, sf_dir):
         .filter(F.col("l_quantity") < F.col("half_avg"))
     )
     return joined.agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+
+
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, count(*) AS numwait FROM (
+      SELECT DISTINCT s_name, l1.l_orderkey, l1.l_suppkey
+      FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+        )
+    )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 waiting-suppliers shape, adapted ('late' =
+    l_shipdate > o_orderdate + 60 days since the testdata lacks
+    commit/receipt dates): the EXISTS / NOT EXISTS pair over lineitem
+    self-joins — planned as a left-semi then left-anti join against
+    the same scan, the classic decorrelation."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait FROM (
+          SELECT DISTINCT s_name, l1.l_orderkey, l1.l_suppkey
+          FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+          WHERE o_orderstatus = 'F'
+            AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+            AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+            )
+            AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+            )
+        )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """
+    )
