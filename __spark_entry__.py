@@ -152,6 +152,7 @@ _PRIORITY = [
     "tpch_q16",
     "tpch_q17",
     "tpch_q21",
+    "llm_chunk_dedup_stats",
 ]
 
 

@@ -912,3 +912,42 @@ def llm_minhash_jaccard_estimate(spark, sf_dir):
         "a", "b", F.col("jaccard").alias("exact_jaccard")
     )
     return est.join(exact, ["a", "b"]).select("a", "b", "est_jaccard", "exact_jaccard")
+
+
+@register(
+    "llm_chunk_dedup_stats",
+    """
+    SELECT count(*) AS n_chunks,
+           count(DISTINCT md5(chunk_text)) AS n_unique_chunks,
+           round(1.0 - count(DISTINCT md5(chunk_text)) / count(*), 4) AS chunk_dup_ratio
+    FROM (
+      SELECT array_to_string(
+               list_slice(ws, start, least(start + 19, len(ws))), ' ') AS chunk_text
+      FROM (
+        SELECT ws, unnest(generate_series(1, greatest(len(ws) - 5, 1), 15)) AS start
+        FROM (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents
+        )
+      )
+      WHERE len(list_slice(ws, start, least(start + 19, len(ws)))) > 0
+    )
+    """,
+)
+def llm_chunk_dedup_stats(spark, sf_dir):
+    """Chunk-level dedup cardinality: after chunking, how much of the
+    corpus is repeated chunks (boilerplate shared across documents) —
+    the dedup decision moves from document granularity to training-
+    sample granularity. Shuffles 16-byte chunk fingerprints, never
+    chunk text."""
+    from .llm.prep import chunk_documents
+
+    chunks = chunk_documents(_t(spark, sf_dir, "documents"))
+    fp = chunks.select(F.md5("chunk_text").alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("fp").alias("n_unique_chunks"),
+        F.round(1.0 - F.countDistinct("fp") / F.count(F.lit(1)), 4).alias(
+            "chunk_dup_ratio"
+        ),
+    )
