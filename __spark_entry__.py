@@ -153,6 +153,8 @@ _PRIORITY = [
     "tpch_q17",
     "tpch_q21",
     "llm_chunk_dedup_stats",
+    "llm_embedding_centroids",
+    "llm_nearest_centroid_accuracy",
 ]
 
 

@@ -951,3 +951,101 @@ def llm_chunk_dedup_stats(spark, sf_dir):
             "chunk_dup_ratio"
         ),
     )
+
+
+@register(
+    "llm_embedding_centroids",
+    """
+    SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(v), 4) AS mean_val
+    FROM (
+      SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def llm_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids in long form (label, dim, mean):
+    posexplode -> partial-aggregable avg per (label, dim). Rows scale
+    as n x dim — the standard distributed element-wise mean; the
+    shuffle carries |labels| x dim partials, not vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "v"
+        ),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("v"), 4).alias("mean_val")
+    )
+
+
+@register(
+    "llm_nearest_centroid_accuracy",
+    """
+    WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (
+      SELECT label AS c_label, list(mean_val ORDER BY pos) AS cv FROM (
+        SELECT label, pos, avg(v) AS mean_val FROM (
+          SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    ),
+    scored AS (
+      SELECT b.vec_id, b.label,
+             (SELECT c.c_label FROM cent c
+              ORDER BY list_dot_product(b.v, c.cv)
+                       / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                       c.c_label ASC
+              LIMIT 1) AS pred
+      FROM base b
+    )
+    SELECT count(*) AS n,
+           CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM scored
+    """,
+)
+def llm_nearest_centroid_accuracy(spark, sf_dir):
+    """Nearest-centroid classification, EXACTLY oracle-checked (no
+    invariant needed: centroids, cosine, and argmax are all
+    deterministic arithmetic both engines can run). Spark shape:
+    centroids collected per label (|labels| x dim — tiny), broadcast
+    as a cross-joined literal-free dim, per-vector argmax via a
+    window; corpus scanned once."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    exploded = e.select("label", F.posexplode("v").alias("pos", "x"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform("pm", lambda s: s["m"]).alias("cv"),
+        )
+    )
+    from .llm.similarity import cosine
+
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "c_label", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("c_label").asc())
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("c_label").alias("pred"))
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("label") == F.col("pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
