@@ -155,6 +155,7 @@ _PRIORITY = [
     "llm_chunk_dedup_stats",
     "llm_embedding_centroids",
     "llm_nearest_centroid_accuracy",
+    "llm_vector_quantize",
 ]
 
 

@@ -1049,3 +1049,39 @@ def llm_nearest_centroid_accuracy(spark, sf_dir):
         .cast("long")
         .alias("n_correct"),
     )
+
+
+@register(
+    "llm_vector_quantize",
+    """
+    WITH mm AS (
+      SELECT min(v) AS lo, max(v) AS hi FROM (
+        SELECT unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings
+      )
+    )
+    SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(least(floor((x - mm.lo) / (mm.hi - mm.lo) * 256), 255) AS BIGINT)
+           ) AS codes
+    FROM embeddings, mm
+    WHERE vec_id < 50
+    """,
+)
+def llm_vector_quantize(spark, sf_dir):
+    """int8-range scalar quantization of embeddings (corpus-global
+    min/max): 4 bytes/dim -> 1, the standard storage/bandwidth
+    compression before ANN at 100 TB. floor (never round) keeps the
+    code arithmetic bit-identical across engines; the min/max pass is
+    one partial-aggregable scan, applied as broadcast literals."""
+    e = _t(spark, sf_dir, "embeddings")
+    mm = e.select(F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias("v")).agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).first()
+    lo, hi = mm.lo, mm.hi
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.least(
+            F.floor((x.cast("double") - F.lit(lo)) / F.lit(hi - lo) * 256), F.lit(255.0)
+        ).cast("long"),
+    )
+    return e.filter(F.col("vec_id") < 50).select("vec_id", codes.alias("codes"))
