@@ -156,6 +156,7 @@ _PRIORITY = [
     "llm_embedding_centroids",
     "llm_nearest_centroid_accuracy",
     "llm_vector_quantize",
+    "tpch_q22",
 ]
 
 

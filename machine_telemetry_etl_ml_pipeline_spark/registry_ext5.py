@@ -1491,3 +1491,36 @@ def tpch_q21(spark, sf_dir):
         LIMIT 20
         """
     )
+
+
+@register(
+    "tpch_q22",
+    """
+    SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+      )
+    ORDER BY c_custkey
+    """,
+)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 global-sales-opportunity shape, adapted: every
+    customer in this data has SOME order (making the classic NOT
+    EXISTS vacuous), so 'inactive' means no order since mid-2000 —
+    same plan (scalar avg subquery filter + anti join)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, round(c_acctbal, 4) AS c_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+          )
+        ORDER BY c_custkey
+        """
+    )
