@@ -956,7 +956,7 @@ def llm_chunk_dedup_stats(spark, sf_dir):
 @register(
     "llm_embedding_centroids",
     """
-    SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(v), 4) AS mean_val
+    SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(v), 4) + 0 AS mean_val
     FROM (
       SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
              generate_subscripts(embedding, 1) AS pos
@@ -977,8 +977,10 @@ def llm_embedding_centroids(spark, sf_dir):
             "pos", "v"
         ),
     )
+    # `+ 0` normalizes IEEE negative zero (round of a tiny negative
+    # mean gives -0.0 in one engine, 0.0 in the other — seen at sf0.001)
     return exploded.groupBy("label", "pos").agg(
-        F.round(F.avg("v"), 4).alias("mean_val")
+        (F.round(F.avg("v"), 4) + F.lit(0.0)).alias("mean_val")
     )
 
 
