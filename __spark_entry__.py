@@ -157,6 +157,7 @@ _PRIORITY = [
     "llm_nearest_centroid_accuracy",
     "llm_vector_quantize",
     "tpch_q22",
+    "ext_window_time_range_frame",
 ]
 
 

@@ -1524,3 +1524,37 @@ def tpch_q22(spark, sf_dir):
         ORDER BY c_custkey
         """
     )
+
+
+@register(
+    "ext_window_time_range_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_last_hour
+    FROM (SELECT event_id, user_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def ext_window_time_range_frame(spark, sf_dir):
+    """Time-interval RANGE frame (rolling 1-hour totals per user) —
+    the event-time sliding aggregate as a window function, distinct
+    from the numeric-offset range frame (ext_window_range_frame) and
+    from bucketed sliding windows (the frame is anchored per ROW, not
+    per bucket). Exact integer cents keep the frame sums
+    engine-identical; ties in ts share a frame by RANGE semantics, so
+    no tiebreak is needed for determinism."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               count(*) OVER w AS n_last_hour,
+               CAST(sum(cents) OVER w AS BIGINT) AS cents_last_hour
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )

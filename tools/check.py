@@ -66,27 +66,43 @@ def canon_rows(cols, rows):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument(
+        "--sf",
+        action="append",
+        help="testdata dir; repeatable — multi-SF sweeps catch "
+        "scale-dependent latent bugs (a -0.0 centroid only appeared "
+        "at sf0.001). Default: $SPARK_GRAFT_SF_DIR or sf0.01",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    sfs = args.sf or [os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")]
 
     import __spark_entry__ as ent
     from machine_telemetry_etl_ml_pipeline_spark.session import get_spark
 
     spark = get_spark("check")
+    rc = 0
+    for sf in sfs:
+        if len(sfs) > 1:
+            print(f"\n#### SF dir: {sf}")
+        rc |= run_sf(spark, ent, sf, args.names)
+    sys.exit(rc)
+
+
+def run_sf(spark, ent, sf_dir, names):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = ent.queries()
     oracles = ent.oracle_sql()
-    names = args.names or list(qs)
+    names = names or list(qs)
     n_pass = n_fail = n_rows_only = 0
     failures = []
     for name in names:
         t0 = time.time()
         try:
-            sdf = qs[name](spark, args.sf)
+            sdf = qs[name](spark, sf_dir)
             scols = list(sdf.columns)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
@@ -129,7 +145,8 @@ def main():
     print(f"\n== {n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
     if failures:
         print("failing:", " ".join(failures))
-        sys.exit(1)
+        return 1
+    return 0
 
 
 if __name__ == "__main__":
