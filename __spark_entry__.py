@@ -158,6 +158,8 @@ _PRIORITY = [
     "llm_vector_quantize",
     "tpch_q22",
     "ext_window_time_range_frame",
+    "tpch_q2",
+    "tpch_q11",
 ]
 
 

@@ -1558,3 +1558,82 @@ def ext_window_time_range_frame(spark, sf_dir):
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "tpch_q2",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey)
+    SELECT p_partkey, s_suppkey, s_name, round(c.unit_cost, 4) AS unit_cost
+    FROM part
+      JOIN cost c ON c.l_partkey = p_partkey
+      JOIN best b ON b.l_partkey = p_partkey AND c.unit_cost = b.min_cost
+      JOIN supplier ON s_suppkey = c.l_suppkey
+    WHERE p_size = 10
+    ORDER BY p_partkey, s_suppkey
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 minimum-cost-supplier shape, adapted (no partsupp:
+    unit cost observed from lineitem): per-(part,supplier) min cost,
+    then the per-part minimum joined BACK on equality — the
+    min-per-group + join-back decorrelation, distinct from Q17's
+    filter-below-average."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10).select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    out = (
+        p.join(cost, p.p_partkey == cost.l_partkey)
+        .join(best, (F.col("b_partkey") == F.col("p_partkey")) & (F.col("unit_cost") == F.col("min_cost")))
+        .join(s, s.s_suppkey == cost.l_suppkey)
+    )
+    return out.select(
+        "p_partkey", "s_suppkey", "s_name", F.round("unit_cost", 4).alias("unit_cost")
+    ).orderBy("p_partkey", "s_suppkey")
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH value AS (
+      SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS v
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT l_suppkey, round(v, 4) AS supplier_value
+    FROM value
+    WHERE v > (SELECT 0.0105 * sum(v) FROM value)
+    ORDER BY supplier_value DESC, l_suppkey
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 value-concentration shape, adapted (shipped value
+    from lineitem instead of partsupp stock): per-supplier totals
+    filtered against a FRACTION of the global total — the aggregate
+    reused by both the group rows and the scalar subquery (one CTE,
+    planned once)."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        WITH value AS (
+          SELECT l_suppkey, sum(l_extendedprice * l_quantity) AS v
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, round(v, 4) AS supplier_value
+        FROM value
+        WHERE v > (SELECT 0.0105 * sum(v) FROM value)
+        ORDER BY supplier_value DESC, l_suppkey
+        """
+    )
