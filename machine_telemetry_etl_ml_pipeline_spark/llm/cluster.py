@@ -68,9 +68,15 @@ def connected_components(
     # session's full shuffle width pay ~rounds * stages * partitions in
     # pure task-scheduling overhead (measured 2x wall at sf0.1). Clamped
     # to the session default on the high side, so a 100 TB edge list
-    # keeps its full width. Restored in the finally below.
+    # keeps its full width. Applied per-plan via explicit repartition on
+    # the round's join/agg keys — NOT by mutating the session-global
+    # shuffle-partitions conf, which would clamp any concurrent query
+    # sharing the SparkSession.
     spark = nodes.sparkSession
-    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):  # e.g. "auto" on some platforms
+        default_parts = 200
     n_edges = sym.count()
 
     if n_edges <= small_graph_threshold:
@@ -112,50 +118,57 @@ def connected_components(
             )
         )
 
-    iter_parts = max(4, min(int(default_parts), n_edges // 200_000 + 1))
+    iter_parts = max(4, min(default_parts, n_edges // 200_000 + 1))
+    # Pre-partition the static edge side once on the join key: every
+    # round's neighbor join then reuses this exchange instead of
+    # re-shuffling the edge list at session width per iteration.
+    sym = sym.repartition(iter_parts, "v")
     rounds = 0
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-        for _ in range(max_iterations):
-            rounds += 1
-            neighbor_min = (
-                sym.join(labels.withColumnRenamed("u", "v2"), sym.v == F.col("v2"))
-                .groupBy("u")
-                .agg(F.min("label").alias("nbr_label"))
+    for _ in range(max_iterations):
+        rounds += 1
+        neighbor_min = (
+            sym.join(
+                labels.withColumnRenamed("u", "v2").repartition(iter_parts, "v2"),
+                sym.v == F.col("v2"),
             )
-            prop = labels.join(neighbor_min, "u", "left").select(
+            .repartition(iter_parts, "u")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = labels.repartition(iter_parts, "u").join(
+            neighbor_min, "u", "left"
+        ).select(
+            "u",
+            F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                "mid_label"
+            ),
+            "label",
+        )
+        # Pointer jump (path halving): follow the label chain one
+        # more hop — label(label(u)). Labels are node ids, so the
+        # jump table is `prop` itself keyed by u. This is what turns
+        # O(diameter) convergence into O(log diameter) on chains.
+        jump = prop.select(
+            F.col("u").alias("mid_label"), F.col("mid_label").alias("jmp_label")
+        )
+        updated = (
+            prop.repartition(iter_parts, "mid_label")
+            .join(jump.repartition(iter_parts, "mid_label"), "mid_label", "left")
+            .select(
                 "u",
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "mid_label"
-                ),
+                F.least(
+                    F.col("mid_label"), F.coalesce("jmp_label", F.col("mid_label"))
+                ).alias("new_label"),
                 "label",
             )
-            # Pointer jump (path halving): follow the label chain one
-            # more hop — label(label(u)). Labels are node ids, so the
-            # jump table is `prop` itself keyed by u. This is what turns
-            # O(diameter) convergence into O(log diameter) on chains.
-            jump = prop.select(
-                F.col("u").alias("mid_label"), F.col("mid_label").alias("jmp_label")
-            )
-            updated = (
-                prop.join(jump, "mid_label", "left")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("mid_label"), F.coalesce("jmp_label", F.col("mid_label"))
-                    ).alias("new_label"),
-                    "label",
-                )
-                # checkpoint BEFORE the convergence check so the round's
-                # joins run once (counting first would recompute them)
-                .localCheckpoint(eager=True)
-            )
-            changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
-            labels = updated.select("u", F.col("new_label").alias("label"))
-            if changed == 0:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+            # checkpoint BEFORE the convergence check so the round's
+            # joins run once (counting first would recompute them)
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
+        labels = updated.select("u", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
     if stats is not None:
         stats["iterations"] = rounds
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))

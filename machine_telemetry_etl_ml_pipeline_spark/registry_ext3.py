@@ -56,7 +56,7 @@ def ref_ddl_create_table(spark, sf_dir):
 @register(
     "ext_salted_agg",
     """
-    SELECT event_type, sum(cnt_events) AS cnt_events,
+    SELECT event_type, CAST(sum(cnt_events) AS BIGINT) AS cnt_events,
            round(sum(sum_value), 4) AS sum_value
     FROM (
       SELECT event_type, count(*) AS cnt_events, sum(value) AS sum_value

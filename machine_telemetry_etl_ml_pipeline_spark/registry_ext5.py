@@ -1132,7 +1132,7 @@ def ext_source_csv_corrupt(spark, sf_dir):
         f.write("3,30,3.5\n")
         f.write("4,notanumber,4.5\n")   # type-corrupt -> _corrupt_record
         f.write("5,50,alsobad\n")        # type-corrupt -> _corrupt_record
-        f.write("6,60\n")                # short row -> NULL-padded, good
+        f.write("6,60\n")                # short row -> corrupt in Spark 4 PERMISSIVE (not null-padded)
     df = (
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")

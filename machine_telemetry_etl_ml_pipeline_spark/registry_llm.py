@@ -624,7 +624,11 @@ def llm_scrub_text(spark, sf_dir):
 
 @register(
     "llm_ann_ivf_recall",
-    "SELECT CAST(50 AS BIGINT) AS n_pairs, true AS recall_ge_half",
+    """
+    SELECT CAST(5 * count(*) FILTER (WHERE vec_id < 10) AS BIGINT) AS n_pairs,
+           true AS recall_ge_half
+    FROM embeddings
+    """,
 )
 def llm_ann_ivf_recall(spark, sf_dir):
     """IVF-style ANN (seeded KMeans coarse quantizer, 8 cells, probe
@@ -632,7 +636,12 @@ def llm_ann_ivf_recall(spark, sf_dir):
     exact brute-force top-5 for 10 queries, computed in-query via a
     semi join. KMeans is deterministic under the fixed seed, so the
     invariant is stable; measured recall 0.62 at sf0.01 scoring ~3/8 of
-    the corpus per query (llm/similarity.ivf_topk)."""
+    the corpus per query (llm/similarity.ivf_topk). The oracle derives
+    n_pairs from the table (5 per present query id) rather than a
+    literal, so the invariant self-adjusts if an SF dir lacks some of
+    vec_id 0-9; the recall>=0.5 bound is likewise checked relative to
+    the actual pair count. Recall was validated at sf0.001/0.01/0.1 —
+    revalidate when a new SF dir joins the sweep."""
     from .llm.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -641,7 +650,9 @@ def llm_ann_ivf_recall(spark, sf_dir):
     ivf = ivf_topk(e, qids, k=5, n_cells=8, n_probe=3).select("query_id", "neighbor_id")
     hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
     return brute.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
-        hits.agg((F.count(F.lit(1)) >= F.lit(25)).alias("recall_ge_half"))
+        hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    ).select(
+        "n_pairs", (F.col("n_hits") * 2 >= F.col("n_pairs")).alias("recall_ge_half")
     )
 
 

@@ -161,7 +161,17 @@ def udf_map_in_arrow(spark, sf_dir):
         for batch in batches:
             t = pa.Table.from_batches([batch])
             t = t.filter(pc.greater(t.column("value"), 100.0))
-            cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+            # round_mode pinned: pyarrow's default is half_to_even, but
+            # DuckDB round() and Spark round() are half-away-from-zero —
+            # the same tie-boundary trap udf_apply_in_pandas hit with
+            # pandas .round()
+            cents = pc.cast(
+                pc.round(
+                    pc.multiply(t.column("value"), 100.0),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
             out = pa.table({"event_id": t.column("event_id"), "cents": cents})
             for b in out.to_batches():
                 yield b

@@ -115,9 +115,13 @@ def run_sf(spark, ent, sf_dir, names):
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # Fetch through Arrow, not fetchall(): DuckDB's Python fetchall
+            # collapses HUGEINT (sum of BIGINT) to plain int, which masked
+            # the exact type divergence the driver's hash sees (round-2
+            # red row ext_salted_agg). Arrow keeps it as decimal128.
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = list(tbl.column_names)
+            orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
