@@ -43,7 +43,7 @@ def connected_components(
     and stats["strategy"] to "local" or "distributed".
 
     Adaptive strategy (the broadcast-join idea applied to graphs): when
-    the EDGE count is under `small_graph_threshold`, the component
+    the RAW edge count is under `small_graph_threshold`, the component
     mapping is solved with a driver-side union-find over the edge
     ENDPOINTS only and broadcast back — one join instead of
     O(log diameter) iterative rounds. The mapping size is bounded by
@@ -52,37 +52,25 @@ def connected_components(
     iterative loop unchanged. Pass small_graph_threshold=0 to force
     the distributed path (tests do).
     """
-    sym = (
-        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .distinct()
-        # materialize once: the edge list is re-joined every round, and
-        # without this its full upstream lineage (e.g. the MinHash-LSH
-        # pipeline that produced the pairs) re-executes per iteration
-        .localCheckpoint(eager=True)
-    )
-    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).cast("long").alias("label"))
-
-    # Size the iteration's shuffles to the MEASURED edge volume (sym is
-    # already materialized, so the count is free): tiny graphs at the
-    # session's full shuffle width pay ~rounds * stages * partitions in
-    # pure task-scheduling overhead (measured 2x wall at sf0.1). Clamped
-    # to the session default on the high side, so a 100 TB edge list
-    # keeps its full width. Applied per-plan via explicit repartition on
-    # the round's join/agg keys — NOT by mutating the session-global
-    # shuffle-partitions conf, which would clamp any concurrent query
-    # sharing the SparkSession.
     spark = nodes.sparkSession
-    try:
-        default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (ValueError, TypeError):  # e.g. "auto" on some platforms
-        default_parts = 200
-    n_edges = sym.count()
 
-    if n_edges <= small_graph_threshold:
-        # Local strategy: union-find over edge endpoints, broadcast the
-        # (endpoint -> component-min) mapping, one left join for the
-        # full node set. Non-endpoint nodes are their own component.
+    # Size probe + small-graph fetch in ONE job: take(threshold+1) on
+    # the raw edges either returns the complete edge list (small graph
+    # -> feed union-find directly, no symmetrize/distinct shuffle, no
+    # separate count or checkpoint jobs — was 3 jobs before) or proves
+    # the graph is big after scanning only the first few partitions
+    # (CollectLimit executes incrementally, so this is NOT a full pass
+    # over a 100 TB edge list).
+    raw = edges.select(F.col("a").cast("long"), F.col("b").cast("long"))
+    taken = (
+        raw.take(small_graph_threshold + 1) if small_graph_threshold > 0 else []
+    )
+
+    if small_graph_threshold > 0 and len(taken) <= small_graph_threshold:
+        # Local strategy: union-find over edge endpoints (duplicates and
+        # orientation don't matter), broadcast the (endpoint ->
+        # component-min) mapping, one left join for the full node set.
+        # Non-endpoint nodes are their own component.
         parent: dict = {}
 
         def find(x):
@@ -93,8 +81,8 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in sym.collect():
-            ra, rb = find(row.u), find(row.v)
+        for row in taken:
+            ra, rb = find(row.a), find(row.b)
             if ra != rb:
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
@@ -118,6 +106,31 @@ def connected_components(
             )
         )
 
+    sym = (
+        raw.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(raw.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        # materialize once: the edge list is re-joined every round, and
+        # without this its full upstream lineage (e.g. the MinHash-LSH
+        # pipeline that produced the pairs) re-executes per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).cast("long").alias("label"))
+
+    # Size the iteration's shuffles to the MEASURED edge volume (sym is
+    # already materialized, so the count is free): tiny graphs at the
+    # session's full shuffle width pay ~rounds * stages * partitions in
+    # pure task-scheduling overhead (measured 2x wall at sf0.1). Clamped
+    # to the session default on the high side, so a 100 TB edge list
+    # keeps its full width. Applied per-plan via explicit repartition on
+    # the round's join/agg keys — NOT by mutating the session-global
+    # shuffle-partitions conf, which would clamp any concurrent query
+    # sharing the SparkSession.
+    try:
+        default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):  # e.g. "auto" on some platforms
+        default_parts = 200
+    n_edges = sym.count()
     iter_parts = max(4, min(default_parts, n_edges // 200_000 + 1))
     # Pre-partition the static edge side once on the join key: every
     # round's neighbor join then reuses this exchange instead of

@@ -20,6 +20,7 @@ from .llm.dedup import (
     jaccard_pairs,
     lsh_candidate_pairs,
     lsh_star_edges,
+    minhash_from_docs,
     minhash_signatures,
     simhash16,
     with_fingerprint,
@@ -64,8 +65,8 @@ WORD3_SQL = """
 MINHASH_SQL = """
   mh AS (
     SELECT doc_id,
-           min(md5('s1|' || shingle)) AS mh1, min(md5('s2|' || shingle)) AS mh2,
-           min(md5('s3|' || shingle)) AS mh3, min(md5('s4|' || shingle)) AS mh4
+           min(substr(md5(shingle), 1, 8))  AS mh1, min(substr(md5(shingle), 9, 8))  AS mh2,
+           min(substr(md5(shingle), 17, 8)) AS mh3, min(substr(md5(shingle), 25, 8)) AS mh4
     FROM sh GROUP BY doc_id
   )
 """
@@ -107,10 +108,11 @@ def llm_dedup_keep_first(spark, sf_dir):
 )
 def llm_minhash_signatures(spark, sf_dir):
     """4-component MinHash signature per doc over 5-char shingles.
-    min(md5(seed||shingle)) is a valid MinHash permutation and computes
-    identically in any engine (llm/dedup.py module docstring)."""
+    min over 8-hex-char slices of md5(shingle) is a valid MinHash
+    permutation and computes identically in any engine (llm/dedup.py
+    module docstring)."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_signatures(char_shingles(d, distinct=False))
+    return minhash_from_docs(d)
 
 
 @register(
@@ -131,7 +133,7 @@ def llm_lsh_candidate_pairs(spark, sf_dir):
     band-key equi-joins — candidate generation proportional to true
     collisions, not n^2."""
     d = _t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(minhash_signatures(char_shingles(d, distinct=False)))
+    return lsh_candidate_pairs(minhash_from_docs(d))
 
 
 @register(
@@ -226,7 +228,7 @@ def llm_dedup_components(spark, sf_dir):
     # Bucket-star edges, not all-pairs: identical transitive closure,
     # linear (not quadratic) in hot-bucket occupancy — see
     # llm/dedup.lsh_star_edges.
-    edges = lsh_star_edges(minhash_signatures(char_shingles(d, distinct=False)))
+    edges = lsh_star_edges(minhash_from_docs(d))
     return connected_components(d.select("doc_id"), edges)
 
 
@@ -773,7 +775,7 @@ def llm_dedup_keep_best(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     comp = connected_components(
-        d.select("doc_id"), lsh_star_edges(minhash_signatures(char_shingles(d, distinct=False)))
+        d.select("doc_id"), lsh_star_edges(minhash_from_docs(d))
     )
     scores = ts.with_quality_score(d.select("doc_id", "text")).select(
         "doc_id", "quality_score"
@@ -905,7 +907,7 @@ def llm_minhash_jaccard_estimate(spark, sf_dir):
     Candidate-bounded: both columns computed only on LSH pairs."""
     d = _t(spark, sf_dir, "documents")
     sh = char_shingles(d)
-    sigs = minhash_signatures(char_shingles(d, distinct=False))
+    sigs = minhash_from_docs(d)
     pairs = lsh_candidate_pairs(sigs)
     ma = sigs.select(
         F.col("doc_id").alias("a"), *[F.col(c).alias(f"a_{c}") for c in ["mh1", "mh2", "mh3", "mh4"]]
