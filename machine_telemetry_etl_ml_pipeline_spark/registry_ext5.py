@@ -1637,3 +1637,121 @@ def tpch_q11(spark, sf_dir):
         ORDER BY supplier_value DESC, l_suppkey
         """
     )
+
+
+@register(
+    "tpch_q9",
+    """
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    FROM (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity AS amount
+      FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 product-type-profit shape, adapted: the testdata has no
+    partsupp table, so supply cost is a deterministic proxy
+    (0.6 * p_retailprice) instead of ps_supplycost — the plan shape
+    (part-name LIKE filter driving a 5-way star join, profit expression,
+    nation x year rollup, descending-year sort) is Q9's. part (2k rows
+    filtered to ~13%), supplier (100) and nation (25) broadcast; the
+    only shuffles are the lineitem-orders fact-fact join and the final
+    aggregation."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    WITH per AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+                      THEN l_quantity ELSE 0 END) AS qty_1996,
+             sum(l_quantity) AS qty_total
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier JOIN per ON s_suppkey = l_suppkey
+    WHERE qty_1996 > CAST(0.17 AS DOUBLE) * qty_total
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 potential-part-promotion shape, adapted: partsupp's
+    ps_availqty is absent from the testdata, so the excess-stock
+    predicate becomes shipped-quantity concentration — suppliers whose
+    1996 shipments of 'red' parts exceed 17% of their all-time total
+    (non-vacuous: 33 of 100 suppliers at sf0.01). The shape survives:
+    name-LIKE part filter driving a semi-join-reducible aggregate over
+    lineitem, a threshold comparing two sums of the same aggregate, and
+    the supplier name listing. part broadcast into the fact scan; one
+    shuffle for the per-supplier aggregate; supplier (100 rows)
+    broadcast into the result."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    per = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(F.lit(0))).alias(
+                "qty_1996"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_1996") > F.lit(0.17) * F.col("qty_total"))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        per.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
