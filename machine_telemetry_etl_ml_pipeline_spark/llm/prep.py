@@ -74,3 +74,100 @@ def hash_split(
 
     bucket = hexpos(1) * 16 + hexpos(2)
     return F.when(bucket < train_buckets, "train").otherwise("test")
+
+
+def with_running_total(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum: running total of `value_col` in
+    `order_col` order WITHOUT a single-partition global window.
+
+    The naive `Window.orderBy(order_col)` (no partitionBy) funnels the
+    whole table through one task — the classic 100 TB killer. This is
+    the two-phase PRAM scan instead:
+
+      1. range-partition on order_col (partition ids are range-ordered,
+         so cross-partition order is preserved);
+      2. per-partition cumulative sum (a PARALLEL window keyed on the
+         partition id);
+      3. per-partition totals (tiny: one row per partition) get their
+         own exclusive running sum — the only sequential step, over
+         num_parts rows, broadcast back.
+
+    Exactly equal to the global-window cumsum for unique order keys
+    (ties would be order-dependent; callers pass a key). Integer values
+    sum exactly, so the result is oracle-comparable.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_parts or spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("__cum", F.sum(value_col).over(w_local))
+    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__cum") + F.col("__off"))
+        .drop("__pid", "__cum", "__off")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window packing: assign documents (in id order) to
+    fixed-token-budget training bins — bin = exclusive running token
+    total // budget. A doc straddling a budget boundary belongs to the
+    bin it starts in (streaming fill, the standard approximation of
+    sequential first-fit; deterministic, so reproducible across runs
+    and cluster sizes). Built on the distributed prefix sum above —
+    no single-task global window."""
+    toks = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    d = docs.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
+    cum = with_running_total(d, id_col, "n_tokens", out_col="cum_tokens")
+    return cum.select(
+        id_col,
+        "n_tokens",
+        ((F.col("cum_tokens") - F.col("n_tokens")) / budget)
+        .cast("long")
+        .alias("bin"),
+    )
+
+
+def source_weighted_sample(
+    docs: DataFrame,
+    weight_expr: "F.Column",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted down-sampling (data mixing): keep a row
+    iff a 16-bit hash of its id falls under weight * 65536. The hash is
+    the first 4 hex digits of md5(id) via digit arithmetic — portable
+    string/integer ops, identical in any engine, no RNG state: the mix
+    is reproducible and any row's fate is auditable from its id alone."""
+    h = F.md5(F.col(id_col).cast("string"))
+
+    def hexpos(p: int) -> "F.Column":
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
+
+    bucket = ((hexpos(1) * 16 + hexpos(2)) * 16 + hexpos(3)) * 16 + hexpos(4)
+    return docs.withColumn("__keep", bucket < weight_expr * 65536).filter(
+        F.col("__keep")
+    ).drop("__keep")

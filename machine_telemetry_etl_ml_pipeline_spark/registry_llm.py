@@ -1100,3 +1100,75 @@ def llm_vector_quantize(spark, sf_dir):
         ).cast("long"),
     )
     return e.filter(F.col("vec_id") < 50).select("vec_id", codes.alias("codes"))
+
+
+@register(
+    "llm_pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+    FROM c
+    """,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Context-window packing (training-sequence binning): docs in id
+    order fill 512-token bins; bin = exclusive running token total //
+    budget. The running total is a DISTRIBUTED prefix sum
+    (llm/prep.with_running_total: range partition -> parallel
+    per-partition cumsum -> broadcast per-partition offsets), not the
+    single-task global window the oracle's `sum() OVER (ORDER BY)`
+    implies — same answer, cluster-scalable plan."""
+    from .llm.prep import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=512)
+
+
+@register(
+    "llm_source_mix",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS bucket,
+             CASE CAST(substr(source, 4) AS INT) % 4
+               WHEN 0 THEN 65536 WHEN 1 THEN 32768 WHEN 2 THEN 16384 ELSE 8192
+             END AS threshold
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+    FROM w WHERE bucket < threshold GROUP BY source
+    """,
+)
+def llm_source_mix(spark, sf_dir):
+    """Data mixing: deterministic per-source down-sampling with weights
+    1 / 0.5 / 0.25 / 0.125 by source group (srcN, N mod 4). Keep/drop
+    is a pure function of the doc id (16-bit md5 bucket vs weight
+    threshold — llm/prep.source_weighted_sample): reproducible across
+    runs, engines, and cluster sizes, and any row's fate is auditable.
+    Output: per-source kept count + id-sum digest."""
+    from .llm.prep import source_weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    weight = (
+        F.when(F.substring("source", 4, 10).cast("int") % 4 == 0, F.lit(1.0))
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 1, F.lit(0.5))
+        .when(F.substring("source", 4, 10).cast("int") % 4 == 2, F.lit(0.25))
+        .otherwise(F.lit(0.125))
+    )
+    kept = source_weighted_sample(d, weight)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids")
+    )

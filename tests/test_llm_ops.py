@@ -285,3 +285,35 @@ def test_chunking_invariants(spark):
     assert words == {f"w{i}" for i in range(100)}
     for idx in range(len(got[4]) - 1):
         assert got[4][idx][15:] == got[4][idx + 1][: len(got[4][idx][15:])]
+
+
+def test_running_total_matches_global_window(spark):
+    """Distributed prefix sum == naive global-window cumsum, including
+    across partition boundaries (8 range partitions over 100 rows)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.llm.prep import with_running_total
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7 + 1).alias("v")
+    )
+    got = {
+        r.id: r.rt
+        for r in with_running_total(df, "id", "v", out_col="rt", num_parts=8).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r.id: r.rt for r in df.withColumn("rt", F.sum("v").over(w)).collect()}
+    assert got == want
+
+
+def test_source_weighted_sample_rate(spark):
+    """Keep rate of the md5-bucket sampler converges to the weight
+    (16-bit buckets, 4000 ids -> binomial; 3 sigma tolerance)."""
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.llm.prep import source_weighted_sample
+
+    df = spark.range(4000).select(F.col("id").alias("doc_id"))
+    kept = source_weighted_sample(df, F.lit(0.25)).count()
+    assert abs(kept - 1000) < 3 * (4000 * 0.25 * 0.75) ** 0.5

@@ -174,3 +174,18 @@ def test_time_range_pushes_raw_nanos_bounds(spark, queries):
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "GreaterThanOrEqual(ts,1704844800000000000)" in plan
     assert "LessThanOrEqual(ts,1705708800999999999)" in plan
+
+
+def test_pack_sequences_no_global_window(spark, queries):
+    """The packing cumsum must be the distributed prefix sum: every
+    Window node partitioned (by __pid or over the tiny per-partition
+    totals), never a whole-table single-partition sort. A global
+    window's signature is an Exchange SinglePartition feeding a Window
+    over the FULL document relation — assert the doc-bearing window is
+    keyed."""
+    plan = plan_of(queries["llm_pack_sequences"](spark, SF))
+    # the distributed plan's signature: a RangePartitioning exchange
+    # (phase 1) and the spark_partition_id window key — both absent
+    # from the naive Exchange-SinglePartition global-window plan
+    assert "rangepartitioning" in plan.lower()
+    assert "spark_partition_id" in plan.lower()
