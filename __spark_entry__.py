@@ -35,14 +35,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.REGISTRY["ref_latest_per_key"].fn(spark, "/root/testdata/sf0.001")
 
 
-# Round-1 lesson: the driver's correctness gate verified only the FIRST
-# 50 registered queries, leaving TPC-H, the whole LLM suite, subqueries,
-# and UDFs without a driver row. Emit queries in an explicit priority
-# order so any verification-window prefix covers the maximum number of
-# distinct operator families, with round-1-unverified families first
-# (the round-1-verified core keeps its local exact-bar sweep signal and
-# follows immediately after).
+# The driver's correctness gate verifies a ~50-entry prefix of
+# queries() per round. Rotate the window each round: r1 covered the
+# reference + ext core, r2 covered TPC-H Q1/3/4/6/14 + the LLM suite +
+# subqueries/UDFs/windows. The r3 window below front-loads the one r2
+# red row (ext_salted_agg, oracle type fixed) and then only
+# never-driver-verified entries, ranked family-first: the remaining 17
+# TPC-H shapes, new + round-2 LLM training-data ops, Spark-4 surfaces,
+# operational write paths, streaming, and join variants. Entries
+# already green in r1/r2 keep their local exact-bar sweep signal and
+# follow after.
 _PRIORITY = [
+    # r2's only red row — oracle HUGEINT fixed, prove it
+    "ext_salted_agg",
+    # TPC-H shapes without a driver row (completes 22/22 coverage)
+    "tpch_q2",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # LLM training-data ops (new this round + round-2 additions)
+    "llm_pack_sequences",
+    "llm_source_mix",
+    "llm_dedup_keep_first",
+    "llm_dedup_keep_best",
+    "llm_chunk_documents",
+    "llm_train_test_split",
+    "llm_scrub_text",
+    "llm_ann_ivf_recall",
+    "llm_embedding_centroids",
+    "llm_vector_quantize",
+    "llm_repetition_stats",
+    "llm_minhash_jaccard_estimate",
+    # Spark-4 surfaces
+    "ext_recursive_cte",
+    "ext_variant_json",
+    "ext_sql_udf",
+    "udf_python_udtf",
+    "udf_map_in_arrow",
+    # operational write/source paths
+    "ext_compact_small_files",
+    "ext_dynamic_partition_overwrite",
+    "ext_source_csv_corrupt",
+    "ext_manifest_pruned_scan",
+    "ext_source_orc",
+    # streaming (oracle-checked batch-parity entries)
+    "stream_session_counts",
+    "stream_sliding_counts",
+    "stream_static_join",
+    "stream_dedup_within_watermark",
+    "stream_foreach_batch_sink",
+    # join variants + misc
+    "ext_join_right",
+    "ext_join_full_outer",
+    "ext_range_join",
+    "ext_join_hinted",
+    "ext_not_in_subquery",
+    # --- ~50-entry window boundary; previously-verified core follows ---
     # round-1 driver failures, now fixed — prove the fix
     "ext_scalar_math",
     "ext_window_running",
@@ -172,8 +233,9 @@ def _ordered_names() -> list[str]:
     rest = [n for n in registry.REGISTRY if n not in set(_PRIORITY)]
     # keep the r1-verified reference core + join/setop/window families
     # right after the priority block (registry registration order already
-    # reflects that grouping)
-    return [n for n in _PRIORITY if n in registry.REGISTRY] + rest
+    # reflects that grouping); dedupe preserving first (window) position
+    ordered = [n for n in _PRIORITY if n in registry.REGISTRY] + rest
+    return list(dict.fromkeys(ordered))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
