@@ -69,6 +69,8 @@ _PRIORITY = [
     # LLM training-data ops (new this round + round-2 additions)
     "llm_pack_sequences",
     "llm_source_mix",
+    "llm_quality_filter_by_lang",
+    "llm_embedding_truncate",
     "llm_dedup_keep_first",
     "llm_dedup_keep_best",
     "llm_chunk_documents",

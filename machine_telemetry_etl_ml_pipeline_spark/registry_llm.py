@@ -1172,3 +1172,91 @@ def llm_source_mix(spark, sf_dir):
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_kept_ids")
     )
+
+
+@register(
+    "llm_quality_filter_by_lang",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round((CASE WHEN n_tokens >= 20 THEN 0.4::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.3::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN n_punct / n_chars_calc <= 0.1 THEN 0.2::DOUBLE ELSE 0.0 END)
+                 + (CASE WHEN n_stop > 0 THEN 0.1::DOUBLE ELSE 0.0 END), 4) AS quality_score
+      FROM (
+        SELECT doc_id, lang,
+               length(text) AS n_chars_calc,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+               length(replace(text, ' ', ''))
+                 / len(list_filter(string_split(text, ' '), x -> x <> '')) AS mean_word_len,
+               {_HITS_SQL["en"]} AS n_stop
+        FROM documents
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality_score,
+             percent_rank() OVER (PARTITION BY lang
+                                  ORDER BY quality_score, doc_id) AS pr
+      FROM scored
+    )
+    SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+           round(min(quality_score), 4) AS min_kept_score
+    FROM ranked WHERE pr >= CAST(0.1 AS DOUBLE) GROUP BY lang
+    """,
+)
+def llm_quality_filter_by_lang(spark, sf_dir):
+    """Percentile-based quality filtering within each language: drop
+    the bottom decile of composite quality score PER LANGUAGE (the
+    standard way to quality-filter multilingual pretraining data
+    without starving low-resource languages). percent_rank over a
+    lang-partitioned window — parallel across languages, no global
+    sort; deterministic doc_id tiebreak for oracle parity."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = ts.with_quality_score(d).select("doc_id", "lang", "quality_score")
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    kept = scored.withColumn("pr", F.percent_rank().over(w)).filter(
+        F.col("pr") >= 0.1
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_kept_ids"),
+        F.round(F.min("quality_score"), 4).alias("min_kept_score"),
+    )
+
+
+@register(
+    "llm_embedding_truncate",
+    """
+    WITH t AS (
+      SELECT vec_id, list_slice(embedding::DOUBLE[], 1, 8) AS v8
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v8, sqrt(list_dot_product(v8, v8)) AS nrm FROM t
+    )
+    SELECT vec_id,
+           list_transform(v8, x -> round(x / nrm, 4) + 0) AS unit8,
+           round(nrm, 4) AS trunc_norm
+    FROM n
+    """,
+)
+def llm_embedding_truncate(spark, sf_dir):
+    """Matryoshka-style embedding truncation: keep the first 8 of 64
+    dims and L2-renormalize — the cheap dimension-reduction step used
+    to trade recall for cost in vector pipelines. Pure array
+    expressions (slice / zip-fold dot / transform), no UDF; `+ 0`
+    normalizes IEEE -0.0 identically in both engines."""
+    from .llm.similarity import _as_double, dot
+
+    e = _t(spark, sf_dir, "embeddings")
+    v8 = F.slice(_as_double(F.col("embedding")), 1, 8)
+    base = e.select("vec_id", v8.alias("v8"))
+    nrm = F.sqrt(dot(F.col("v8"), F.col("v8")))
+    base = base.select("vec_id", "v8", nrm.alias("nrm"))
+    unit = F.transform(F.col("v8"), lambda x: F.round(x / F.col("nrm"), 4) + 0)
+    return base.select(
+        "vec_id", unit.alias("unit8"), F.round("nrm", 4).alias("trunc_norm")
+    )
