@@ -71,6 +71,8 @@ _PRIORITY = [
     "llm_source_mix",
     "llm_quality_filter_by_lang",
     "llm_embedding_truncate",
+    "llm_decontaminate",
+    "llm_unigram_logprob",
     "llm_dedup_keep_first",
     "llm_dedup_keep_best",
     "llm_chunk_documents",

@@ -45,6 +45,10 @@ HEADLINE = [
     # ANN path.
     "tpch_q5",
     "llm_ann_multiprobe_topk",
+    # round-3 additions: the 5-way star join (Q9 profit rollup) and the
+    # distributed-prefix-sum packing path.
+    "tpch_q9",
+    "llm_pack_sequences",
 ]
 
 

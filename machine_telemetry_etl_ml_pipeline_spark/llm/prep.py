@@ -101,6 +101,14 @@ def with_running_total(
     Exactly equal to the global-window cumsum for unique order keys
     (ties would be order-dependent; callers pass a key). Integer values
     sum exactly, so the result is oracle-comparable.
+
+    Shuffle budget: the plan carries 2-3 wide exchanges (range
+    partition, window hash partition; the totals branch re-derives its
+    input when AQE declines to reuse the range exchange) — deliberately
+    traded for eliminating the Exchange SinglePartition + single-task
+    sort of the naive global window, which is the plan that cannot run
+    at 100 TB. Totals/offsets relations are num_parts rows, so their
+    exchanges are metadata-sized.
     """
     from pyspark.sql import Window
 
@@ -115,7 +123,10 @@ def with_running_total(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("__cum", F.sum(value_col).over(w_local))
-    totals = part.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
+    # aggregate totals from `local`, not `part`: local is already
+    # hash-partitioned by __pid for the window, so the groupBy reuses
+    # that exchange instead of re-shuffling the range-partitioned input
+    totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__pid", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")

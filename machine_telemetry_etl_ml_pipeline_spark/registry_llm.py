@@ -1260,3 +1260,96 @@ def llm_embedding_truncate(spark, sf_dir):
     return base.select(
         "vec_id", unit.alias("unit8"), F.round("nrm", 4).alias("trunc_norm")
     )
+
+
+@register(
+    "llm_decontaminate",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(ws, i, i + 7), ' ') AS g8
+      FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents
+        )
+      )
+    ),
+    eval_grams AS (SELECT DISTINCT g8 FROM grams WHERE doc_id < 5),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id
+      FROM grams g JOIN eval_grams e ON g.g8 = e.g8
+      WHERE g.doc_id >= 5
+    )
+    SELECT count(*) AS n_contaminated, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+    FROM contaminated
+    """,
+)
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    8-gram with the eval set (doc_id < 5 stands in for a benchmark).
+    The eval n-gram set is tiny and BROADCAST into a semi join against
+    the corpus n-gram stream — the corpus is never shuffled, flags are
+    proportional to true overlaps (the shape that holds when the corpus
+    is 100 TB and the benchmark is a few MB)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = word_ngrams(d, n=8, spread=True)
+    eval_g = grams.filter(F.col("doc_id") < 5).select("shingle").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(eval_g), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_contaminated"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
+@register(
+    "llm_unigram_logprob",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM words) AS p
+      FROM words GROUP BY w
+    )
+    SELECT doc_id, round(avg(ln(p)), 4) AS mean_logprob, count(*) AS n_words
+    FROM words JOIN vocab USING (w)
+    GROUP BY doc_id
+    """,
+)
+def llm_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scoring: corpus word frequencies -> mean log
+    probability per document (the cheap stand-in for model-based
+    perplexity filtering; outlier docs score low). Two partial-
+    aggregable groupBys + one equi-join on the word; the vocabulary is
+    corpus-bounded (not row-bounded), so the join side stays small
+    relative to the corpus at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(ts.words_col(F.col("text"))).alias("w")
+    )
+    # corpus total as a lazy 1-row broadcast, not an eager .count():
+    # keeps the whole scorer one declarative plan
+    total = words.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .crossJoin(F.broadcast(total))
+        .select("w", (F.col("__c") / F.col("__total")).alias("p"))
+    )
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(F.log("p")), 4).alias("mean_logprob"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
