@@ -101,6 +101,10 @@ _PRIORITY = [
     "stream_static_join",
     "stream_dedup_within_watermark",
     "stream_foreach_batch_sink",
+    # analytics-engine ops added r3
+    "ext_merge_upsert",
+    "ext_funnel_conversion",
+    "ext_cohort_retention",
     # join variants + misc
     "ext_join_right",
     "ext_join_full_outer",

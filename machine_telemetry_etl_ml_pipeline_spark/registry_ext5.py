@@ -1755,3 +1755,156 @@ def tpch_q20(spark, sf_dir):
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@register(
+    "ext_merge_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000
+    ),
+    source AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    ),
+    merged AS (
+      SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
+      FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM merged
+    """,
+)
+def ext_merge_upsert(spark, sf_dir):
+    """MERGE INTO / upsert semantics on plain parquet (no Delta in this
+    container): WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT,
+    expressed as a full-outer join with source-wins coalesce and an
+    atomic table rewrite. The digest (count + key/price sums) is
+    recomputed by the oracle from the logical inputs, so the check
+    covers both the merge semantics and the write-read round trip.
+    At scale the join shuffles on the merge key — the same plan Delta's
+    MERGE produces for the matched partition set."""
+    import tempfile
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    target = o.filter(F.col("o_orderkey") < 1000)
+    source = o.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500)).select(
+        "o_orderkey", (F.col("o_totalprice") + 10.0).alias("o_totalprice")
+    )
+    path = tempfile.mkdtemp(prefix="merge_") + "/t"
+    target.write.mode("overwrite").parquet(path)
+
+    tgt = spark.read.parquet(path).alias("t")
+    src = source.alias("s")
+    merged = tgt.join(src, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full_outer").select(
+        F.coalesce(F.col("s.o_orderkey"), F.col("t.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("s.o_totalprice"), F.col("t.o_totalprice")).alias("o_totalprice"),
+    )
+    out_path = tempfile.mkdtemp(prefix="merge_out_") + "/t"
+    merged.write.mode("overwrite").parquet(out_path)
+    back = spark.read.parquet(out_path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+@register(
+    "ext_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t0
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t1
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_view_click,
+           (SELECT count(*) FROM p) AS n_view_click_purchase
+    """,
+)
+def ext_funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis (view -> click -> purchase): each stage
+    counts users whose earliest qualifying event strictly follows their
+    previous stage's earliest event. Three filtered aggregates chained
+    by equi-joins on user_id — every stage partial-aggregable, no
+    window over the full event stream, no timestamp in the output (the
+    nanos column stays internal)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t0"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "ext_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+    )
+    SELECT CAST(epoch(cohort_week) AS BIGINT) AS cohort_epoch,
+           CAST((epoch(activity_week) - epoch(cohort_week)) // 604800 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ext_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per week offset they return in. Two aggregates + one
+    equi-join on user_id; weeks are ISO date_trunc (cross-engine
+    parity) and surface as epoch BIGINT (nanos-safe). The classic
+    product-analytics rollup, all partial-aggregable."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            F.unix_timestamp("cohort_week").alias("cohort_epoch"),
+            ((F.unix_timestamp("activity_week") - F.unix_timestamp("cohort_week")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_epoch", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
