@@ -105,6 +105,8 @@ _PRIORITY = [
     "ext_merge_upsert",
     "ext_funnel_conversion",
     "ext_cohort_retention",
+    "ext_gap_islands",
+    "ext_scd2_history",
     # join variants + misc
     "ext_join_right",
     "ext_join_full_outer",

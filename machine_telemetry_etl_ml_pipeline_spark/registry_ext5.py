@@ -1908,3 +1908,112 @@ def ext_cohort_retention(spark, sf_dir):
         .groupBy("cohort_epoch", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "ext_gap_islands",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type, rn_all - rn_type AS grp, count(*) AS run_len
+      FROM ordered GROUP BY user_id, event_type, rn_all - rn_type
+    )
+    SELECT event_type, count(*) AS n_islands,
+           CAST(max(run_len) AS BIGINT) AS longest_run,
+           round(avg(run_len), 4) AS avg_run_len
+    FROM islands GROUP BY event_type
+    """,
+)
+def ext_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: collapse each user's consecutive runs of the
+    same event_type into islands via the row_number-difference trick
+    (two user-partitioned windows, zero joins), then summarize run
+    statistics per type. The canonical sessionless sequence-analysis
+    shape; windows partition by user so the plan parallelizes across
+    the key space. Deterministic (ts, event_id) tiebreak."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    islands = (
+        e.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return islands.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.round(F.avg("run_len"), 4).alias("avg_run_len"),
+    )
+
+
+@register(
+    "ext_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_type
+      FROM events WHERE user_id < 10
+    ),
+    runs AS (
+      SELECT user_id, event_type, min(ts) AS valid_from
+      FROM ordered GROUP BY user_id, event_type, rn_all - rn_type
+    ),
+    hist AS (
+      SELECT user_id, event_type, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+      FROM runs
+    )
+    SELECT user_id, event_type,
+           CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_epoch,
+           CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_epoch
+    FROM hist
+    """,
+)
+def ext_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    consecutive same-type runs (islands), then chain validity windows
+    with lead() — open-ended current rows keep NULL valid_to. The
+    standard CDC-to-warehouse materialization, expressed as two
+    user-partitioned windows + one aggregate; timestamps surface as
+    epoch BIGINT (nanos-safe). 10-user slice bounds the output."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.min("ts").alias("valid_from"))
+    )
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+    ).select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from_epoch"),
+        F.unix_timestamp("valid_to").alias("valid_to_epoch"),
+    )
