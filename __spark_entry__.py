@@ -107,6 +107,7 @@ _PRIORITY = [
     "ext_cohort_retention",
     "ext_gap_islands",
     "ext_scd2_history",
+    "ext_salted_join",
     # join variants + misc
     "ext_join_right",
     "ext_join_full_outer",

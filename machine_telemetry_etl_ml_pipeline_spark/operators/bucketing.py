@@ -77,3 +77,37 @@ def salted_agg(
                 "(n/cnt_/sum_/min_/max_) so the merge phase is well-defined"
             )
     return partial.groupBy(key).agg(*merge)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    fact_salt_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe equi-join for a fact table whose join key is hot:
+    replicate the (small/medium) dim side salt_buckets times and give
+    each fact row a deterministic salt, so one hot key spreads over
+    salt_buckets reducers instead of one straggler task.
+
+    The fact salt must be deterministic for oracle parity — derived
+    from `fact_salt_col` (a unique row id; defaults to the first
+    column) via md5-hex-digit arithmetic, not rand(). Result set is
+    EXACTLY the plain join's (replication only multiplies the dim side,
+    and each fact row matches exactly its own salt's replica).
+
+    Use when AQE's skew-join split can't fire: the downstream operator
+    needs the join's partitioning, the payload compresses too well for
+    the byte-based detector, or the engine runs without AQE.
+    """
+    sc = fact_salt_col or fact.columns[0]
+    h = F.md5(F.col(sc).cast("string"))
+    digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    f = fact.withColumn("__salt", (digit % salt_buckets).cast("int"))
+    replicas = dim.crossJoin(
+        F.broadcast(
+            f.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    return f.join(replicas, [key, "__salt"]).drop("__salt")

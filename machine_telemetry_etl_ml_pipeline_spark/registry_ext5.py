@@ -2017,3 +2017,44 @@ def ext_scd2_history(spark, sf_dir):
         F.unix_timestamp("valid_from").alias("valid_from_epoch"),
         F.unix_timestamp("valid_to").alias("valid_to_epoch"),
     )
+
+
+@register(
+    "ext_salted_join",
+    """
+    SELECT event_type, count(*) AS n_rows,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT) * wt10) AS BIGINT)
+                 / 1000.0, 4) AS weighted_value
+    FROM events JOIN (
+      SELECT 'click' AS event_type, 10 AS wt10 UNION ALL
+      SELECT 'view', 5 UNION ALL
+      SELECT 'purchase', 30 UNION ALL
+      SELECT 'signup', 20 UNION ALL
+      SELECT 'error', 0
+    ) w USING (event_type)
+    GROUP BY event_type
+    """,
+)
+def ext_salted_join(spark, sf_dir):
+    """Skew-safe salted join: event_type has 5 values over the whole
+    fact table — the worst-case hot-key join shape. The dim (weights)
+    is replicated per salt bucket and each fact row carries a
+    deterministic md5-derived salt (operators/bucketing.salted_join),
+    spreading every hot key over 8 reducers. Oracle: the plain join —
+    the salted result must be EXACTLY equal (sums are exact integer
+    deci-cents, so the salt's different addition order cannot move a
+    float rounding boundary)."""
+    from .operators.bucketing import salted_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    weights = spark.createDataFrame(
+        [("click", 10), ("view", 5), ("purchase", 30), ("signup", 20), ("error", 0)],
+        "event_type string, wt10 long",
+    )
+    joined = salted_join(e, weights, "event_type", fact_salt_col="event_id")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("cents") * F.col("wt10")) / 1000.0, 4).alias("weighted_value"),
+    )
