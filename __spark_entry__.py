@@ -77,12 +77,7 @@ _PRIORITY = [
     "llm_dedup_keep_best",
     "llm_chunk_documents",
     "llm_train_test_split",
-    "llm_scrub_text",
     "llm_ann_ivf_recall",
-    "llm_embedding_centroids",
-    "llm_vector_quantize",
-    "llm_repetition_stats",
-    "llm_minhash_jaccard_estimate",
     # Spark-4 surfaces
     "ext_recursive_cte",
     "ext_variant_json",
@@ -100,21 +95,27 @@ _PRIORITY = [
     "stream_sliding_counts",
     "stream_static_join",
     "stream_dedup_within_watermark",
-    "stream_foreach_batch_sink",
-    # analytics-engine ops added r3
+    # analytics-engine ops added r3 (zero driver rows ever — must land
+    # inside the window)
     "ext_merge_upsert",
     "ext_funnel_conversion",
     "ext_cohort_retention",
     "ext_gap_islands",
     "ext_scd2_history",
     "ext_salted_join",
-    # join variants + misc
+    # --- 50-entry window boundary (the list above is exactly 50) ---
+    # next-round rotation candidates: never-verified but lower risk
+    "stream_foreach_batch_sink",
+    "llm_scrub_text",
+    "llm_embedding_centroids",
+    "llm_vector_quantize",
+    "llm_repetition_stats",
+    "llm_minhash_jaccard_estimate",
     "ext_join_right",
     "ext_join_full_outer",
     "ext_range_join",
     "ext_join_hinted",
     "ext_not_in_subquery",
-    # --- ~50-entry window boundary; previously-verified core follows ---
     # round-1 driver failures, now fixed — prove the fix
     "ext_scalar_math",
     "ext_window_running",
@@ -175,7 +176,7 @@ _PRIORITY = [
     "ref_sink_batch_insert",
     "ext_source_jsonl",
     "ref_ddl_create_table",
-    # --- ~50-entry window boundary; r1-verified core follows ---
+    # (r1/r2-verified core continues below in family order)
     "llm_dedup_keep_first",
     "llm_ann_bucket_counts",
     "llm_simhash_hamming_pairs",

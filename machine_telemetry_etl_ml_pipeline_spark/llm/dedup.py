@@ -175,12 +175,12 @@ def minhash_from_docs(
         # bind the array index over the default
         return lambda d: d.substr(F.lit(1 + 8 * slot), F.lit(8))
 
-    cols = []
-    for i in range(1, num_hashes + 1):
-        group, slot = divmod(i - 1, 4)
-        if group != 0:  # beyond 4 components: needs a second seeded digest
-            raise NotImplementedError("array fast path supports num_hashes <= 4")
-        cols.append(F.array_min(F.transform(F.col("__dg"), slicer(slot))).alias(f"mh{i}"))
+    if not 1 <= num_hashes <= 4:  # one digest = four 32-bit slices
+        raise NotImplementedError("array fast path supports num_hashes <= 4")
+    cols = [
+        F.array_min(F.transform(F.col("__dg"), slicer(slot))).alias(f"mh{slot + 1}")
+        for slot in range(num_hashes)
+    ]
     return src.select(F.col(id_col), *cols)
 
 

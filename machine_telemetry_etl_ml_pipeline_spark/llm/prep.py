@@ -61,18 +61,31 @@ def chunk_documents(
     )
 
 
+def md5_bucket(col, n_digits: int = 2) -> "F.Column":
+    """Deterministic integer bucket in [0, 16^n_digits) from the first
+    n_digits hex digits of md5(col) — hex-digit arithmetic only, so the
+    identical expression runs in DuckDB oracles (strpos over
+    '0123456789abcdef'). The single source of truth for every
+    hash-threshold operator (train/test split, weighted sampling, join
+    salting): one definition to keep in lockstep with oracle SQL."""
+    h = F.md5(col.cast("string"))
+
+    def hexpos(p: int) -> "F.Column":
+        return F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
+
+    bucket = hexpos(1)
+    for p in range(2, n_digits + 1):
+        bucket = bucket * 16 + hexpos(p)
+    return bucket
+
+
 def hash_split(
     docs: DataFrame, train_buckets: int = 205, id_col: str = "doc_id"
 ) -> "F.Column":
     """Split assignment as a pure function of the id: first md5 byte <
     train_buckets/256 -> 'train' (default ~80/20). Returns the column
     expression so callers can attach it without a join."""
-    h = F.md5(F.col(id_col).cast("string"))
-
-    def hexpos(p: int) -> "F.Column":
-        return F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
-
-    bucket = hexpos(1) * 16 + hexpos(2)
+    bucket = md5_bucket(F.col(id_col), n_digits=2)
     return F.when(bucket < train_buckets, "train").otherwise("test")
 
 
@@ -173,12 +186,7 @@ def source_weighted_sample(
     the first 4 hex digits of md5(id) via digit arithmetic — portable
     string/integer ops, identical in any engine, no RNG state: the mix
     is reproducible and any row's fate is auditable from its id alone."""
-    h = F.md5(F.col(id_col).cast("string"))
-
-    def hexpos(p: int) -> "F.Column":
-        return F.instr(F.lit("0123456789abcdef"), F.substring(h, p, 1)) - 1
-
-    bucket = ((hexpos(1) * 16 + hexpos(2)) * 16 + hexpos(3)) * 16 + hexpos(4)
+    bucket = md5_bucket(F.col(id_col), n_digits=4)
     return docs.withColumn("__keep", bucket < weight_expr * 65536).filter(
         F.col("__keep")
     ).drop("__keep")

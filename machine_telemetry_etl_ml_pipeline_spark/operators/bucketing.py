@@ -93,18 +93,25 @@ def salted_join(
 
     The fact salt must be deterministic for oracle parity — derived
     from `fact_salt_col` (a unique row id; defaults to the first
-    column) via md5-hex-digit arithmetic, not rand(). Result set is
-    EXACTLY the plain join's (replication only multiplies the dim side,
-    and each fact row matches exactly its own salt's replica).
+    column) via md5-hex-digit arithmetic (two digits = 256 raw buckets,
+    so salt_buckets up to 256; pick a divisor of 256 for perfectly
+    uniform spread — a non-divisor skews shares by at most 1/256), not
+    rand(). Result set is EXACTLY the plain join's (replication only
+    multiplies the dim side, and each fact row matches exactly its own
+    salt's replica).
 
     Use when AQE's skew-join split can't fire: the downstream operator
     needs the join's partitioning, the payload compresses too well for
     the byte-based detector, or the engine runs without AQE.
     """
+    if not 1 <= salt_buckets <= 256:
+        raise ValueError("salt_buckets must be in [1, 256] (two md5 hex digits)")
     sc = fact_salt_col or fact.columns[0]
-    h = F.md5(F.col(sc).cast("string"))
-    digit = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
-    f = fact.withColumn("__salt", (digit % salt_buckets).cast("int"))
+    from ..llm.prep import md5_bucket
+
+    f = fact.withColumn(
+        "__salt", (md5_bucket(F.col(sc), n_digits=2) % salt_buckets).cast("int")
+    )
     replicas = dim.crossJoin(
         F.broadcast(
             f.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))

@@ -1816,18 +1816,25 @@ def ext_merge_upsert(spark, sf_dir):
 @register(
     "ext_funnel_conversion",
     """
-    WITH v AS (
-      SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+    WITH ev AS (
+      -- truncate to microseconds: Spark reads the nanos column as
+      -- micros, so sub-microsecond components (none in current
+      -- testdata, but possible in a future SF dir) must not decide
+      -- strict comparisons only on the DuckDB side
+      SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts FROM events
+    ),
+    v AS (
+      SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'view' GROUP BY user_id
     ),
     c AS (
       SELECT e.user_id, min(e.ts) AS t1
-      FROM events e JOIN v ON e.user_id = v.user_id
+      FROM ev e JOIN v ON e.user_id = v.user_id
       WHERE e.event_type = 'click' AND e.ts > v.t0
       GROUP BY e.user_id
     ),
     p AS (
       SELECT e.user_id, min(e.ts) AS t2
-      FROM events e JOIN c ON e.user_id = c.user_id
+      FROM ev e JOIN c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase' AND e.ts > c.t1
       GROUP BY e.user_id
     )
@@ -1914,9 +1921,13 @@ def ext_cohort_retention(spark, sf_dir):
     "ext_gap_islands",
     """
     WITH ordered AS (
+      -- date_trunc microseconds: align the ordering key with Spark's
+      -- nanos->micros read (no-op on current testdata)
       SELECT user_id, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
-             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_type
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY date_trunc('microseconds', ts), event_id) AS rn_type
       FROM events
     ),
     islands AS (
@@ -1961,9 +1972,11 @@ def ext_gap_islands(spark, sf_dir):
     "ext_scd2_history",
     """
     WITH ordered AS (
-      SELECT user_id, event_type, ts,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_all,
-             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_type
+      SELECT user_id, event_type, date_trunc('microseconds', ts) AS ts,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY date_trunc('microseconds', ts), event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY date_trunc('microseconds', ts), event_id) AS rn_type
       FROM events WHERE user_id < 10
     ),
     runs AS (
@@ -1971,8 +1984,12 @@ def ext_gap_islands(spark, sf_dir):
       FROM ordered GROUP BY user_id, event_type, rn_all - rn_type
     ),
     hist AS (
+      -- event_type tiebreak: two different-type runs can share a
+      -- valid_from timestamp (same-microsecond events), and lead()
+      -- order must be deterministic in both engines
       SELECT user_id, event_type, valid_from,
-             lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+             lead(valid_from) OVER (PARTITION BY user_id
+               ORDER BY valid_from, event_type) AS valid_to
       FROM runs
     )
     SELECT user_id, event_type,
@@ -2005,7 +2022,7 @@ def ext_scd2_history(spark, sf_dir):
         .groupBy("user_id", "event_type", "grp")
         .agg(F.min("ts").alias("valid_from"))
     )
-    w_hist = Window.partitionBy("user_id").orderBy("valid_from")
+    w_hist = Window.partitionBy("user_id").orderBy("valid_from", "event_type")
     return runs.select(
         "user_id",
         "event_type",

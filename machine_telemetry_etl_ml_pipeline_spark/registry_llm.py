@@ -627,7 +627,8 @@ def llm_scrub_text(spark, sf_dir):
 @register(
     "llm_ann_ivf_recall",
     """
-    SELECT CAST(5 * count(*) FILTER (WHERE vec_id < 10) AS BIGINT) AS n_pairs,
+    SELECT CAST(least(5, count(*) - 1) * count(*) FILTER (WHERE vec_id < 10) AS BIGINT)
+             AS n_pairs,
            true AS recall_ge_half
     FROM embeddings
     """,

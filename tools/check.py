@@ -121,7 +121,10 @@ def run_sf(spark, ent, sf_dir, names):
             # red row ext_salted_agg). Arrow keeps it as decimal128.
             tbl = con.execute(oracles[name]).fetch_arrow_table()
             ocols = list(tbl.column_names)
-            orows = [tuple(d[c] for c in ocols) for d in tbl.to_pylist()]
+            # positional, not to_pylist() dicts: dict keys would
+            # silently collapse duplicate column names
+            ocells = [col.to_pylist() for col in tbl.columns]
+            orows = list(zip(*ocells)) if ocells else []
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
