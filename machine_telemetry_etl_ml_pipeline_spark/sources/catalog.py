@@ -14,11 +14,13 @@ from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
-# Parquet columns written as TIMESTAMP(NANOS) — Spark has no nanosecond
-# timestamp type, so these are read as raw int64 nanos (legacy conf) and
-# converted to microsecond timestamps (truncation, matching how DuckDB
-# and Arrow downcast nanos->micros).
-_NANOS_TS_COLS = {"events": ["ts"]}
+# Event-time columns that ts_range bounds apply to. Current testdata
+# stores these as parquet TIMESTAMP(MICROS, ntz) and the predicate
+# pushes to the scan natively; a legacy layout that wrote
+# TIMESTAMP(NANOS) (read as raw int64 under the nanosAsLong conf, since
+# Spark has no nanosecond timestamp type) is still handled by the
+# bigint branch below.
+_EVENT_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(
@@ -27,31 +29,45 @@ def load_table(
     name: str,
     ts_range: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """ts_range: optional (lo_epoch_s, hi_epoch_s) INCLUSIVE bounds for
-    the nanos timestamp column, applied to the RAW int64 column BEFORE
-    conversion. The converted column is an expression, so predicates on
-    it cannot reach the parquet scan; the raw-column predicate pushes
-    (min/max row-group skipping — at 100 TB the difference between
-    scanning a day and scanning the table). The bounds are exactly
-    equivalent to `lo <= converted_ts <= hi` for non-negative epochs:
-    ns div 1000 >= lo*1e6  <=>  ns >= lo*1e9, and
-    ns div 1000 <= hi*1e6 + 999999  <=>  ns <= hi*1e9 + 999999999."""
-    nanos_cols = _NANOS_TS_COLS.get(name, [])
-    if nanos_cols:
+    """ts_range: optional (lo_epoch_s, hi_epoch_s) INCLUSIVE
+    epoch-second bounds for the event-time column, applied so the
+    predicate reaches the parquet scan (min/max row-group skipping — at
+    100 TB the difference between scanning a day and scanning the
+    table). "Inclusive" means second granularity, matching the
+    reference's `timestamp_epoch BETWEEN lo AND hi`: every row whose
+    truncated epoch-second falls in [lo, hi] is kept, i.e.
+    lo <= ts < hi+1."""
+    ts_cols = _EVENT_TS_COLS.get(name, [])
+    if ts_cols:
+        # harmless on the current micros layout; required to read a
+        # legacy TIMESTAMP(NANOS) file at all
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in nanos_cols:
+    for c in ts_cols:
         if dict(df.dtypes).get(c) == "bigint":
+            # Legacy raw-nanos layout: bound the RAW int64 column (the
+            # converted column is an expression and cannot push), then
+            # convert. Integer `div`, not double `/`: at ~1.7e18 ns the
+            # int64->double round-trip has 256 ns ulp (and double->long
+            # cast truncates toward zero, wrong pre-1970).
             if ts_range is not None:
                 lo_s, hi_s = ts_range
                 df = df.filter(
                     (F.col(c) >= int(lo_s) * 1_000_000_000)
                     & (F.col(c) <= int(hi_s) * 1_000_000_000 + 999_999_999)
                 )
-            # Integer `div`, not double `/`: at ~1.7e18 ns the int64->double
-            # round-trip has 256 ns ulp, so `/1000` can land a microsecond off
-            # (and double->long cast truncates toward zero, wrong pre-1970).
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif ts_range is not None:
+            # Native timestamp layout: a plain column-vs-literal
+            # comparison — Catalyst constant-folds the literals and
+            # pushes both bounds into the scan. The cast through the
+            # UTC session zone makes the literal match the column's
+            # (n)tz flavor exactly.
+            lo_s, hi_s = ts_range
+            col_type = dict(df.dtypes)[c]
+            lo = F.timestamp_seconds(F.lit(int(lo_s))).cast(col_type)
+            hi = F.timestamp_seconds(F.lit(int(hi_s) + 1)).cast(col_type)
+            df = df.filter((F.col(c) >= lo) & (F.col(c) < hi))
     return df
 
 

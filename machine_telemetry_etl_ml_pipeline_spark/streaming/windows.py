@@ -136,32 +136,34 @@ def foreach_batch_append(df: DataFrame, table_path: str, checkpoint: str):
     )
 
 
-EVENTS_RAW_NANOS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw nanos (legacy conf)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def events_testdata_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream over the driver's events.parquet: the file source needs a
     DIRECTORY, so the single testdata file is exposed through a
-    symlinked temp dir; ts is read as raw int64 nanos (legacy conf) and
-    converted with integer div (double /1000 has 256 ns ulp at 2026
-    epochs). Shared by every stream_* registry entry."""
+    symlinked temp dir. The stream schema mirrors the batch read
+    (ts bound as TIMESTAMP_NTZ to the parquet TIMESTAMP(MICROS, ntz)
+    column, then cast to TIMESTAMP because watermarks require an
+    instant type — a value-identical cast under the UTC session zone)
+    so the streaming result equals the batch oracle over the same
+    input. Shared by every stream_* registry entry."""
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from pyspark.sql.types import TimestampNTZType
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
     d = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
     return (
-        spark.readStream.schema(EVENTS_RAW_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .parquet(d)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )

@@ -164,16 +164,21 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
-def test_time_range_pushes_raw_nanos_bounds(spark, queries):
-    """The events table's ts is a computed (nanos->micros) column, so
-    converted-column predicates cannot push; load_table's ts_range
-    applies exactly-equivalent bounds on the RAW int64 column, which
-    must reach the parquet scan (row-group skipping)."""
+def test_time_range_pushes_ts_bounds(spark, queries):
+    """load_table's ts_range must surface as plain column-vs-literal
+    bounds on the native timestamp column so they reach the parquet
+    scan (row-group skipping). The epoch-based declarative filter alone
+    cannot push (unix_timestamp(ts) is a computed expression), so the
+    assert is on the scan's DataFilters carrying the raw ts bounds."""
     df = queries["ref_filter_range"](spark, SF)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
-    assert "GreaterThanOrEqual(ts,1704844800000000000)" in plan
-    assert "LessThanOrEqual(ts,1705708800999999999)" in plan
+    assert "(ts#" in plan and ">= 2024-01-10 00:00:00" in plan
+    assert "< 2024-01-20 00:00:01" in plan
+    # and the scan actually accepted the pushdown (not just DataFilters)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
 
 
 def test_pack_sequences_no_global_window(spark, queries):
