@@ -1,0 +1,388 @@
+"""Round-3 extension batch: retrieval, graph, and warehouse-maintenance
+operators a production analytics/training-data engine needs beyond the
+round-2 surface.
+
+- BM25 relevance scoring + inverted-index posting stats over
+  `documents` (the retrieval half of a data-curation stack: dedup and
+  ANN are already in registry_llm; this adds lexical search);
+- fixed-iteration PageRank over the customer-nation -> supplier-nation
+  trade graph (iterative join-based graph algorithm with an exact
+  chained-CTE oracle — complements llm_dedup_components' connected
+  components);
+- incremental rollup maintenance (partial-aggregate merge parity: the
+  materialized-view pattern that turns a 100 TB re-aggregation into a
+  delta merge);
+- one-pass multi-column data profiling (null/ndv/min/max/avg per
+  column in a single scan via Expand);
+- deterministic stratified sampling (per-stratum md5-threshold — the
+  oracle-checkable twin of ext_sample_stratified's RNG sampleBy).
+
+Float-parity convention (round-1 memory): aggregates rounded to 4dp on
+BOTH sides; PageRank rounds to 6dp only at the end (25-node float sums
+carry ~1e-16 noise, far under the boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .llm.prep import md5_bucket
+from .llm.textstats import words_col
+from .registry import _t, register
+
+# --- BM25 retrieval over documents -------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words
+      WHERE w IN {_BM25_TERMS!r} GROUP BY doc_id, w
+    ),
+    dft AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+    SELECT doc_id,
+           round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * ({_BM25_K1} + 1.0)
+                     / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))), 4)
+             AS bm25
+    FROM tf JOIN dft USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+"""
+
+
+@register("llm_bm25_score", _BM25_ORACLE)
+def llm_bm25_score(spark, sf_dir):
+    """BM25 lexical relevance of every matching document for a fixed
+    query (Okapi k1=1.2, b=0.75). The scale shape: the term filter is
+    applied BEFORE any aggregation, so the per-term tf table is
+    bounded by documents containing query terms, not by the corpus;
+    document length and corpus stats are partial-aggregable groupBys;
+    the per-term df table and the 1-row stats are broadcast. Only the
+    dl join shuffles on doc_id — and only for candidate docs."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        words.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dft), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+
+
+@register(
+    "llm_inverted_index",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT w, doc_id, count(*) AS tf FROM words GROUP BY w, doc_id),
+    ranked AS (
+      SELECT w, doc_id, tf,
+             CAST(sum(tf) OVER (PARTITION BY w) AS BIGINT) AS total_tf,
+             count(*) OVER (PARTITION BY w) AS df,
+             row_number() OVER (PARTITION BY w ORDER BY tf DESC, doc_id ASC) AS rn
+      FROM tf
+    )
+    SELECT w AS term, df, total_tf, doc_id AS top_doc_id, tf AS top_tf
+    FROM ranked WHERE rn = 1
+    """,
+)
+def llm_inverted_index(spark, sf_dir):
+    """Inverted-index posting-list statistics: per term, document
+    frequency, total term frequency, and the highest-tf posting
+    (deterministic doc_id tiebreak). One explode + one (w, doc_id)
+    groupBy + one window over the term partition — the posting table
+    is vocabulary x df bounded, and every stage is partial-aggregable
+    or term-partitioned (no global shuffle wider than the term key)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+    tf = words.groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql.window import Window
+
+    w_term = Window.partitionBy("w")
+    w_rank = w_term.orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        tf.withColumn("total_tf", F.sum("tf").over(w_term))
+        .withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            "total_tf",
+            F.col("doc_id").alias("top_doc_id"),
+            F.col("tf").alias("top_tf"),
+        )
+    )
+
+
+# --- PageRank over the nation trade graph ------------------------------------
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 10
+
+_PR_EDGES_SQL = """
+    SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE oracle: pr0..pr{N} unrolled (DuckDB recursive CTEs
+    disallow aggregation in the recursive term, so the fixed iteration
+    count is expressed as N chained join+aggregate steps — exactly the
+    plan the Spark side builds)."""
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""pr{i} AS (
+      SELECT n.node,
+             (1.0 - {_PR_DAMPING}) / nn.n
+               + {_PR_DAMPING} * coalesce(s.m, 0.0) AS rank
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst, sum(p.rank / e.deg) AS m
+        FROM e JOIN pr{i - 1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) s ON s.dst = n.node
+    )"""
+        )
+    return f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    e AS (SELECT src, dst, deg FROM edges JOIN deg USING (src)),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    {",".join(steps)}
+    SELECT node AS nationkey, round(rank, 6) AS pagerank FROM pr{_PR_ITERS}
+    """
+
+
+@register("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (d=0.85, 10 rounds) over the
+    customer-nation -> supplier-nation trade graph. Join-based
+    iteration: contributions = edges x ranks equi-join on src, new
+    ranks = teleport + damped incoming sum, dangling mass dropped on
+    both sides identically. The edge relation (with out-degrees) is
+    localCheckpoint-ed once — without it every round would re-execute
+    the 4-way edge-derivation join — and the rank table is
+    checkpointed per round to cap lineage (the connected-components
+    discipline, llm/cluster.py). Ranks stay node-count sized; at
+    graph scale both sides of the per-round join shuffle on the node
+    key only."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    nodes = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_PR_ITERS):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    (1.0 - _PR_DAMPING) / F.col("n")
+                    + _PR_DAMPING * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("node").alias("nationkey"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+# --- incremental rollup maintenance ------------------------------------------
+
+
+@register(
+    "ext_incremental_rollup",
+    """
+    SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_epoch,
+           o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS sum_total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def ext_incremental_rollup(spark, sf_dir):
+    """Materialized-rollup maintenance parity: the monthly aggregate is
+    computed as base partials (orderdate < 1997) MERGED with delta
+    partials (the rest) — sum-of-sums and sum-of-counts — and must
+    equal the oracle's single-pass aggregate. This is the pattern that
+    turns a 100 TB re-aggregation into an append-only delta merge:
+    every measure kept is re-aggregable (count, sum; avg is derived at
+    read time as sum/count, never stored). Both partial aggregations
+    and the merge are partial-aggregable groupBys on the same key, so
+    AQE coalesces the tiny merge shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    month = F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias(
+        "month_epoch"
+    )
+
+    def partial(df):
+        return df.groupBy(month, "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("sum_total"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("month_epoch", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("sum_total"), 4).alias("sum_total"),
+        )
+    )
+
+
+# --- one-pass multi-column profiling -----------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "ext_data_profile",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           min({c}) AS min_v, max({c}) AS max_v,
+           round(avg({c}), 4) AS avg_r4
+    FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+)
+def ext_data_profile(spark, sf_dir):
+    """Column profiling (null count, exact NDV, min/max, mean) for four
+    measure columns in ONE aggregation over ONE scan: Spark plans the
+    multi-column distinct aggregates with a single Expand (one shuffle,
+    4x expanded rows) instead of four separate scans — the oracle IS
+    the four-scan UNION ALL, proving the fused plan equivalent. The
+    wide single agg row is then unpivoted to the long profile shape
+    with stack() (driver-free, no collect)."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.round(F.avg(c), 4).alias(f"{c}__avg"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max, {c}__avg"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (col_name, n_nulls, n_distinct, min_v, max_v, avg_r4)"
+        )
+    )
+
+
+# --- deterministic stratified sampling ---------------------------------------
+
+# per-stratum keep-fractions expressed as md5-bucket thresholds out of
+# 4096 (3 hex digits): the deterministic twin of the RNG fractions in
+# ext_sample_stratified {click/view: 0.1, error: 0.5, purchase/signup: 1.0}
+_STRATA_THRESHOLDS = {"click": 410, "view": 410, "error": 2048, "purchase": 4096, "signup": 4096}
+
+
+@register(
+    "ext_sample_stratified_exact",
+    """
+    WITH b AS (
+      SELECT event_id, event_type,
+             ((strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 3, 1)) - 1)) AS bucket
+      FROM events
+    )
+    SELECT event_id, event_type FROM b
+    WHERE bucket < CASE event_type
+        WHEN 'click' THEN 410 WHEN 'view' THEN 410 WHEN 'error' THEN 2048
+        WHEN 'purchase' THEN 4096 WHEN 'signup' THEN 4096 ELSE 0 END
+    """,
+)
+def ext_sample_stratified_exact(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum keep decision is
+    a pure function of the row id (first 3 md5 hex digits < the
+    stratum's threshold/4096), so the sample is reproducible across
+    engines, runs, and retries — the property RNG sampleBy cannot give
+    and exactly what a 100 TB training-data pipeline needs for
+    auditable rebalancing. Embarrassingly parallel: no shuffle at all,
+    the predicate evaluates per-row at the scan."""
+    e = _t(spark, sf_dir, "events")
+    bucket = md5_bucket(F.col("event_id"), n_digits=3)
+    threshold = F.create_map(
+        *[F.lit(x) for kv in _STRATA_THRESHOLDS.items() for x in kv]
+    )[F.col("event_type")]
+    return e.filter(bucket < F.coalesce(threshold, F.lit(0))).select(
+        "event_id", "event_type"
+    )

@@ -1,0 +1,113 @@
+"""Round-3 batch (registry_ext6): retrieval, graph, and maintenance
+operator properties that hold at any scale — the DuckDB-oracle gate
+(tools/check.py) is the exact-value signal; these assert the invariants
+that survive a testdata regeneration."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as ent
+
+    return ent.queries()
+
+
+def test_bm25_scores_positive_and_bounded(spark, queries):
+    rows = queries["llm_bm25_score"](spark, SF).collect()
+    assert len(rows) > 0
+    # BM25 with the +1 idf formulation is strictly positive, and the
+    # per-term contribution is bounded by idf * (k1 + 1)
+    assert all(r.bm25 > 0 for r in rows)
+
+
+def test_inverted_index_invariants(spark, queries):
+    rows = queries["llm_inverted_index"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.df >= 1
+        assert r.total_tf >= r.df  # every posting has tf >= 1
+        assert r.top_tf >= 1
+
+
+def test_pagerank_mass_and_node_count(spark, queries):
+    rows = queries["graph_pagerank"](spark, SF).collect()
+    assert len(rows) == 25  # one rank per nation, isolated nodes kept
+    total = sum(r.pagerank for r in rows)
+    # dangling mass is dropped, never added: total in (0, 1]
+    assert 0 < total <= 1.000001
+    assert all(r.pagerank > 0 for r in rows)  # teleport floor
+
+
+def test_incremental_rollup_matches_direct(spark, queries):
+    """Partial-merge result == single-pass aggregate computed in-Spark
+    (engine-internal twin of the DuckDB oracle)."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    merged = {
+        (r.month_epoch, r.o_orderstatus): (r.n_orders, r.sum_total)
+        for r in queries["ext_incremental_rollup"](spark, SF).collect()
+    }
+    direct = {
+        (r.month_epoch, r.o_orderstatus): (r.n_orders, r.sum_total)
+        for r in _t(spark, SF, "orders")
+        .groupBy(
+            F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("month_epoch"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for k, (n, s) in merged.items():
+        dn, ds = direct[k]
+        assert n == dn
+        assert abs(s - ds) < 1e-4  # float-merge order differs, sub-rounding only
+
+
+def test_data_profile_shape(spark, queries):
+    rows = {r.col_name: r for r in queries["ext_data_profile"](spark, SF).collect()}
+    assert set(rows) == {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}
+    for r in rows.values():
+        assert r.n_nulls >= 0
+        assert r.n_distinct >= 1
+        assert r.min_v <= r.max_v
+        assert r.min_v <= r.avg_r4 <= r.max_v
+
+
+def test_stratified_exact_rates_and_determinism(spark, queries):
+    out = queries["ext_sample_stratified_exact"](spark, SF)
+    counts = {
+        r.event_type: r.n
+        for r in out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    totals = {
+        r.event_type: r.n
+        for r in _t(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # full-keep strata are exact; fractional strata within binomial noise
+    for t in ("purchase", "signup"):
+        if t in totals:
+            assert counts.get(t, 0) == totals[t]
+    for t, frac in (("click", 410 / 4096), ("view", 410 / 4096), ("error", 0.5)):
+        if t in totals and totals[t] >= 50:
+            rate = counts.get(t, 0) / totals[t]
+            assert abs(rate - frac) < 0.12
+    # determinism: same rows on a second evaluation
+    assert sorted(r.event_id for r in out.collect()) == sorted(
+        r.event_id for r in queries["ext_sample_stratified_exact"](spark, SF).collect()
+    )
