@@ -49,6 +49,10 @@ HEADLINE = [
     # distributed-prefix-sum packing path.
     "tpch_q9",
     "llm_pack_sequences",
+    # round-3 batch 2: lexical retrieval (explode + candidate-bounded
+    # join) and the adaptive iterative graph path.
+    "llm_bm25_score",
+    "graph_pagerank",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Graph operators beyond connected components (llm/cluster.py):
+join-based PageRank with the same adaptive small-graph strategy.
+
+Design notes (100 TB posture):
+- The distributed path shuffles only on the node key: contributions =
+  edges x ranks equi-join on src, new ranks = teleport + damped
+  incoming sum. The edge relation (with out-degrees) is materialized
+  once with localCheckpoint — without it, every round re-executes the
+  edge-derivation plan (here a 4-way join) — and the rank table is
+  checkpointed per round to cap lineage growth, the
+  connected-components discipline (llm/cluster.py:116).
+- The small-graph path proves the edge list is small with a bounded
+  take(threshold + 1) (CollectLimit executes incrementally — not a
+  full scan of a 100 TB edge list), then runs the power iteration on
+  the driver over edge ENDPOINTS only. Nodes that never receive an
+  edge hold the constant teleport rank (1 - d)/n after the first
+  round, so the full node set never leaves the cluster: the endpoint
+  ranks are broadcast back and left-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    stats: dict | None = None,
+    small_graph_threshold: int = 100_000,
+) -> DataFrame:
+    """nodes: one column `node`; edges: columns (src, dst), directed,
+    assumed distinct. Returns (node, rank) after `iterations` rounds of
+    rank = (1-d)/n + d * sum(rank_src / outdeg_src); dangling mass is
+    dropped (not redistributed) — the oracle must implement the same
+    convention. Deterministic up to float addition order; round the
+    result before exact comparison. iterations must be >= 1 (the local
+    path's constant-teleport shortcut for non-endpoint nodes assumes
+    at least one round)."""
+    if iterations < 1:
+        raise ValueError("pagerank requires iterations >= 1")
+    spark = nodes.sparkSession
+    n_nodes = nodes.count()
+    teleport = (1.0 - damping) / n_nodes
+
+    raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    taken = raw.take(small_graph_threshold + 1) if small_graph_threshold > 0 else []
+
+    if small_graph_threshold > 0 and len(taken) <= small_graph_threshold:
+        # Driver power iteration over endpoints only.
+        from collections import defaultdict
+
+        out: dict = defaultdict(list)
+        endpoints: set = set()
+        for r in taken:
+            out[r.src].append(r.dst)
+            endpoints.add(r.src)
+            endpoints.add(r.dst)
+        rank = {u: 1.0 / n_nodes for u in endpoints}
+        for _ in range(iterations):
+            incoming: dict = defaultdict(float)
+            for u, dsts in out.items():
+                share = rank[u] / len(dsts)
+                for v in dsts:
+                    incoming[v] += share
+            rank = {u: teleport + damping * incoming.get(u, 0.0) for u in endpoints}
+        if stats is not None:
+            stats["strategy"] = "local"
+        if not rank:
+            return nodes.select("node", F.lit(teleport).alias("rank"))
+        mdf = spark.createDataFrame(
+            [(int(u), float(v)) for u, v in rank.items()], "node long, rank double"
+        )
+        # non-endpoint nodes: no incoming mass ever -> constant teleport
+        return (
+            nodes.join(F.broadcast(mdf), "node", "left")
+            .select("node", F.coalesce("rank", F.lit(teleport)).alias("rank"))
+        )
+
+    if stats is not None:
+        stats["strategy"] = "distributed"
+    deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = raw.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport) + damping * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

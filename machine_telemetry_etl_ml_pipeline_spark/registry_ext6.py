@@ -190,16 +190,16 @@ def _pagerank_oracle() -> str:
 @register("graph_pagerank", _pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     """Fixed-iteration PageRank (d=0.85, 10 rounds) over the
-    customer-nation -> supplier-nation trade graph. Join-based
-    iteration: contributions = edges x ranks equi-join on src, new
-    ranks = teleport + damped incoming sum, dangling mass dropped on
-    both sides identically. The edge relation (with out-degrees) is
-    localCheckpoint-ed once — without it every round would re-execute
-    the 4-way edge-derivation join — and the rank table is
-    checkpointed per round to cap lineage (the connected-components
-    discipline, llm/cluster.py). Ranks stay node-count sized; at
-    graph scale both sides of the per-round join shuffle on the node
-    key only."""
+    customer-nation -> supplier-nation trade graph, via the adaptive
+    operator (operators/graph.pagerank): a bounded take() proves this
+    25-node graph small, so the power iteration runs on the driver
+    over edge endpoints and broadcasts back — one join instead of 10
+    checkpointed rounds (the connected-components strategy,
+    llm/cluster.py). Graphs over the threshold run the distributed
+    join-based loop; the oracle (chained-CTE, 6dp) and the forced-
+    distributed pytest pin both paths to identical results."""
+    from .operators.graph import pagerank
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -213,37 +213,10 @@ def graph_pagerank(spark, sf_dir):
         )
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, "src").localCheckpoint(eager=True)
-
     nodes = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranks = (
-        nodes.crossJoin(F.broadcast(nn))
-        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_PR_ITERS):
-        contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("m"))
-        )
-        ranks = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                (
-                    (1.0 - _PR_DAMPING) / F.col("n")
-                    + _PR_DAMPING * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
+    ranks = pagerank(nodes, edges, iterations=_PR_ITERS, damping=_PR_DAMPING)
     return ranks.select(
         F.col("node").alias("nationkey"), F.round("rank", 6).alias("pagerank")
     )

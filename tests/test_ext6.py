@@ -45,6 +45,41 @@ def test_pagerank_mass_and_node_count(spark, queries):
     assert all(r.pagerank > 0 for r in rows)  # teleport floor
 
 
+def test_pagerank_local_equals_distributed(spark):
+    """The adaptive small-graph path and the forced-distributed
+    join-iteration path must agree to 6dp on the same graph (the same
+    pin connected_components carries for its two strategies)."""
+    from machine_telemetry_etl_ml_pipeline_spark.operators.graph import pagerank
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    o = _t(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, SF, "lineitem").select("l_orderkey", "l_suppkey")
+    s = _t(spark, SF, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    nodes = _t(spark, SF, "nation").select(F.col("n_nationkey").alias("node"))
+    stats_l, stats_d = {}, {}
+    local = {
+        r.node: round(r.rank, 6)
+        for r in pagerank(nodes, edges, stats=stats_l).collect()
+    }
+    dist = {
+        r.node: round(r.rank, 6)
+        for r in pagerank(
+            nodes, edges, stats=stats_d, small_graph_threshold=0
+        ).collect()
+    }
+    assert stats_l["strategy"] == "local"
+    assert stats_d["strategy"] == "distributed"
+    assert local == dist
+
+
 def test_incremental_rollup_matches_direct(spark, queries):
     """Partial-merge result == single-pass aggregate computed in-Spark
     (engine-internal twin of the DuckDB oracle)."""
