@@ -61,20 +61,22 @@ _BM25_ORACLE = f"""
 @register("llm_bm25_score", _BM25_ORACLE)
 def llm_bm25_score(spark, sf_dir):
     """BM25 lexical relevance of every matching document for a fixed
-    query (Okapi k1=1.2, b=0.75). The scale shape: the term filter is
-    applied BEFORE any aggregation, so the per-term tf table is
-    bounded by documents containing query terms, not by the corpus;
-    document length and corpus stats are partial-aggregable groupBys;
-    the per-term df table and the 1-row stats are broadcast. Only the
-    dl join shuffles on doc_id — and only for candidate docs."""
+    query (Okapi k1=1.2, b=0.75). The scale shape: document length is
+    size(words) — an array expression, NO explode and no shuffle, so
+    the corpus-wide Generate runs exactly once (for tf) instead of
+    twice; the term filter is applied BEFORE any aggregation, so the
+    per-term tf table is bounded by documents containing query terms,
+    not by the corpus; the per-term df table and the 1-row corpus
+    stats are broadcast. Only the dl join shuffles on doc_id — and
+    only for candidate docs."""
     d = _t(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
-    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = d.select("doc_id", F.size(words_col(F.col("text"))).alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        words.filter(F.col("w").isin(*_BM25_TERMS))
+        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -315,6 +317,54 @@ def ext_data_profile(spark, sf_dir):
         F.expr(
             f"stack({len(_PROFILE_COLS)}, {stack_args}) "
             "AS (col_name, n_nulls, n_distinct, min_v, max_v, avg_r4)"
+        )
+    )
+
+
+# --- Spark 4 Python Data Source API ------------------------------------------
+
+
+@register(
+    "ext_python_datasource",
+    """
+    WITH src AS (
+      SELECT i AS id,
+             ((strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 2, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 3, 1)) - 1)) AS bucket
+      FROM range(0, 5000) t(i)
+    )
+    SELECT CAST(bucket // 256 AS INTEGER) AS bucket_hi,
+           count(*) AS n,
+           round(sum(bucket / 4096.0), 4) AS sum_weight
+    FROM src GROUP BY 1
+    """,
+)
+def ext_python_datasource(spark, sf_dir):
+    """Spark 4 Python Data Source API: a custom partitioned source
+    (sources/pydatasource.SyntheticEventsDataSource) registered via
+    spark.dataSource.register and read through the standard
+    spark.read.format(...).load() path, then aggregated. Rows are a
+    pure md5 function of the row index, so the DuckDB range() oracle
+    reproduces the full source exactly (partition planning and the
+    per-task Arrow iterator are the real surface under test). The
+    8-way partitions() split means every executor generates its slice
+    independently — the connector template for systems Spark lacks a
+    reader for."""
+    from .sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    return (
+        df.groupBy(F.expr("CAST(bucket div 256 AS INT)").alias("bucket_hi"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("bucket") / 4096.0), 4).alias("sum_weight"),
         )
     )
 

@@ -164,6 +164,55 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.set(k, v)
 
 
+def test_runtime_bloom_filter_injection(spark):
+    """Runtime bloom-filter join pruning (the Spark analog of a
+    semi-join reducer): with a selective filter on the creation side
+    of a shuffle join, the optimizer injects might_contain(bloom) into
+    the application-side scan, so fact rows that cannot match are
+    dropped BEFORE the shuffle — at 100 TB this is the difference
+    between shuffling the table and shuffling the matching slice. The
+    size thresholds are lowered because the feature gates on scan
+    bytes (defaults assume 10 GB+ facts); results must equal the
+    un-filtered join exactly."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast joins reuse keys instead
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def run():
+        li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderstatus") == "F"
+        )
+        out = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("q")
+        )
+        rows = out.collect()
+        return rows[0], out._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        filtered_row, plan = run()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain_row, plain_plan = run()
+    assert "might_contain" not in plain_plan.lower()
+    assert (filtered_row.n, filtered_row.q) == (plain_row.n, plain_row.q)
+
+
 def test_time_range_pushes_ts_bounds(spark, queries):
     """load_table's ts_range must surface as plain column-vs-literal
     bounds on the native timestamp column so they reach the parquet
