@@ -369,6 +369,134 @@ def ext_python_datasource(spark, sf_dir):
     )
 
 
+# --- telemetry time-series toolkit -------------------------------------------
+
+
+@register(
+    "ext_gap_fill_ffill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, round(avg(value), 4) AS v
+      FROM events WHERE user_id <= 5 GROUP BY 1, 2
+    ),
+    bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    joined AS (
+      SELECT g.user_id, g.h, hourly.v,
+             (hourly.v IS NULL) AS is_gap
+      FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+    )
+    SELECT user_id, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           is_gap
+    FROM joined
+    """,
+)
+def ext_gap_fill_ffill(spark, sf_dir):
+    """Telemetry gap-fill: densify each machine's reading stream onto
+    an hourly grid (sequence + explode between per-key min/max) and
+    forward-fill missing hours with the last observation
+    (last(ignorenulls) over an unbounded-preceding frame) — the
+    resample/ffill idiom of the reference's telemetry domain, as one
+    declarative plan. Shuffle profile: one groupBy and one window,
+    both keyed by user_id (same exchange, reused); the grid explode is
+    per-key and never materializes a global calendar. The hourly
+    average is rounded BEFORE filling so propagated values are
+    bit-identical to their source row on both engines."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 5)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.round(F.avg("value"), 4).alias("v"))
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h", "v", F.col("v").isNull().alias("is_gap")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("h").alias("hour_epoch"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        "is_gap",
+    )
+
+
+@register(
+    "ext_rolling_median",
+    """
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 8 PRECEDING AND CURRENT ROW), 4) AS med9
+    FROM events WHERE user_id <= 3
+    """,
+)
+def ext_rolling_median(spark, sf_dir):
+    """Rolling exact median over a trailing 9-reading frame per machine
+    (the robust-smoothing twin of a rolling mean — outlier readings
+    don't drag it). Spark's exact percentile() is a true window
+    aggregate here, ordered with an event_id tiebreak so the frame
+    contents are engine-identical; linear interpolation semantics
+    match DuckDB's quantile_cont. One shuffle on the machine key."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") <= 3)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-8, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.expr("percentile(value, 0.5)").over(w), 4).alias("med9"),
+    )
+
+
+@register(
+    "ext_histogram",
+    """
+    SELECT CAST(CAST(round(value * 100) AS BIGINT) // 2500 AS INT) AS bucket,
+           count(*) AS n, round(sum(value), 4) AS sum_v
+    FROM events GROUP BY 1
+    """,
+)
+def ext_histogram(spark, sf_dir):
+    """Equi-width histogram (25.0-wide bins) over the reading value —
+    binned on integer CENTS (round(value*100) then integer-divide), so
+    bucket assignment is exact on both engines: a float width_bucket
+    boundary (which DuckDB also lacks) can flip on the 1-ulp
+    difference between v/25 and v*0.04 exactly at the decimal grid
+    points the data lands on. Embarrassingly parallel partial
+    aggregation; bucket count is range-bounded, not row-bounded."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.expr("CAST(round(value * 100) AS BIGINT) div 2500").cast("int").alias("bucket")
+    )
+    return e.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_v")
+    )
+
+
 # --- deterministic stratified sampling ---------------------------------------
 
 # per-stratum keep-fractions expressed as md5-bucket thresholds out of

@@ -119,6 +119,57 @@ def test_data_profile_shape(spark, queries):
         assert r.min_v <= r.avg_r4 <= r.max_v
 
 
+def test_gap_fill_dense_and_filled(spark, queries):
+    out = queries["ext_gap_fill_ffill"](spark, SF).collect()
+    assert len(out) > 0
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rows in by_user.items():
+        hours = sorted(r.hour_epoch for r in rows)
+        # dense hourly grid: consecutive epochs differ by exactly 3600
+        assert all(b - a == 3600 for a, b in zip(hours, hours[1:]))
+        # forward fill leaves no nulls (grid starts at an observed hour)
+        assert all(r.v_filled is not None for r in rows)
+    # gaps exist in the testdata and are flagged
+    assert any(r.is_gap for r in out)
+
+
+def test_rolling_median_bounded_by_frame(spark, queries):
+    rows = queries["ext_rolling_median"](spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.med9 is not None for r in rows)
+
+
+def test_histogram_partitions_all_rows(spark, queries):
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    rows = queries["ext_histogram"](spark, SF).collect()
+    total = sum(r.n for r in rows)
+    assert total == _t(spark, SF, "events").count()
+    assert all(r.bucket >= 0 for r in rows)
+
+
+def test_python_datasource_partitioned_read(spark, queries):
+    out = queries["ext_python_datasource"](spark, SF)
+    rows = out.collect()
+    assert sum(r.n for r in rows) == 5000
+    # and the raw source exposes the requested parallelism
+    from machine_telemetry_etl_ml_pipeline_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    raw = (
+        spark.read.format("synthetic_events")
+        .option("n", "1000")
+        .option("partitions", "4")
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 4
+    assert raw.count() == 1000
+
+
 def test_stratified_exact_rates_and_determinism(spark, queries):
     out = queries["ext_sample_stratified_exact"](spark, SF)
     counts = {
