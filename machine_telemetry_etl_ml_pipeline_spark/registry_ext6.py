@@ -497,6 +497,79 @@ def ext_histogram(spark, sf_dir):
     )
 
 
+# --- SQL-standard regression aggregates --------------------------------------
+
+
+@register(
+    "ml_linear_regression_sql",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def ml_linear_regression_sql(spark, sf_dir):
+    """Closed-form per-group OLS via the SQL-standard regr_* aggregate
+    family (slope/intercept/R^2 of price on quantity per return flag)
+    — the distributed path for simple regression: single-pass
+    partial-aggregable moments (sums, cross-products), no iterative
+    solver, no driver-side matrix. The grouped-model idiom (one model
+    per segment) that MLlib needs applyInPandas for is free here."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- fuzzy string matching ----------------------------------------------------
+
+
+@register(
+    "ext_fuzzy_levenshtein",
+    """
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           levenshtein(a.src, b.src) AS dist
+    FROM (SELECT DISTINCT lang, source AS src FROM documents) a
+    JOIN (SELECT DISTINCT lang, source AS src FROM documents) b
+      ON a.lang < b.lang AND levenshtein(a.src, b.src) <= 1
+    """,
+)
+def ext_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy matching on edit distance: near-identical source labels
+    across language slices (levenshtein <= 1) — the record-linkage
+    primitive for dirty dimension data. The theta-join runs on the
+    DISTINCT (lang, source) projection, so the pair space is
+    dimension-bounded (|langs| x |sources|), never row-bounded: the
+    pattern at 100 TB is dedupe-the-dim-first, then fuzzy-join the
+    tiny distinct sets (broadcast both sides), never edit-distance
+    over fact rows."""
+    d = _t(spark, sf_dir, "documents")
+    dims = d.select("lang", F.col("source").alias("src")).distinct()
+    a = dims.alias("a")
+    b = dims.alias("b")
+    dist = F.levenshtein(F.col("a.src"), F.col("b.src"))
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.lang") < F.col("b.lang")) & (dist <= 1),
+        )
+        .select(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            dist.alias("dist"),
+        )
+    )
+
+
 # --- deterministic stratified sampling ---------------------------------------
 
 # per-stratum keep-fractions expressed as md5-bucket thresholds out of
