@@ -71,6 +71,59 @@ def decode_stub(content: bytes, n_features: int = 4, fake: bool = False) -> list
     ][:n_features]
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def frame_sample(
+    assets: DataFrame, frame_size: int = 16, every: int = 4
+) -> DataFrame:
+    """Frame sampling over opaque binary content: treat the payload as
+    fixed-stride frames (video/audio convention), keep every k-th full
+    frame, fingerprint each sampled frame. The real decode is the
+    stubbed codec's job; the byte-slicing batch shape here IS the real
+    distributed plumbing — Arrow batches in, one output row per
+    sampled frame, partitioning preserved (narrow op, no shuffle).
+    Fully deterministic, so it carries an exact SQL oracle (unlike
+    decode_stub's rows-only entry)."""
+
+    def _sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, digests, totals = [], [], [], []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                n_frames = len(blob) // frame_size
+                for fi in range(0, n_frames, every):
+                    ids.append(asset_id)
+                    idxs.append(fi)
+                    digests.append(
+                        hashlib.md5(
+                            blob[fi * frame_size : (fi + 1) * frame_size]
+                        ).hexdigest()
+                    )
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame_md5": digests,
+                    "n_frames": totals,
+                }
+            )
+
+    return assets.mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def decode_assets(assets: DataFrame, fake: bool = True) -> DataFrame:
     """Arrow-batched decode over mapInPandas: one python worker per
     input partition, whole Arrow batches in/out — never row-at-a-time.

@@ -497,6 +497,38 @@ def ext_histogram(spark, sf_dir):
     )
 
 
+# --- multimodal frame sampling ------------------------------------------------
+
+
+@register(
+    "llm_multimodal_framesample",
+    """
+    SELECT doc_id AS asset_id,
+           t.fi AS frame_idx,
+           md5(substring(text, CAST(t.fi * 16 + 1 AS BIGINT), 16)) AS frame_md5,
+           CAST(length(text) // 16 AS BIGINT) AS n_frames
+    FROM documents,
+         unnest(generate_series(0, CAST(length(text) // 16 AS BIGINT) - 1, 4)) AS t(fi)
+    """,
+)
+def llm_multimodal_framesample(spark, sf_dir):
+    """Multimodal frame sampling with an EXACT oracle: documents are
+    packed into the opaque-binary asset convention, the payload is
+    treated as 16-byte frames, and every 4th full frame is
+    fingerprinted via Arrow-batched mapInPandas
+    (llm/multimodal.frame_sample) — the distributed batch shape a real
+    video frame-sampler runs in, minus only the codec. The corpus is
+    ASCII (asserted by the oracle's char-slicing equivalence: DuckDB
+    md5(substring(text,...)) hashes the same bytes Python slices), so
+    the rows-only limitation of the stubbed decoder does not apply
+    here. Narrow op: no shuffle, output ∝ sampled frames."""
+    from .llm.multimodal import frame_sample, pack_assets
+
+    d = _t(spark, sf_dir, "documents")
+    assets = pack_assets(d, "doc_id", "text", F.lit("video/fake"))
+    return frame_sample(assets, frame_size=16, every=4)
+
+
 # --- SQL-standard regression aggregates --------------------------------------
 
 

@@ -170,6 +170,21 @@ def test_python_datasource_partitioned_read(spark, queries):
     assert raw.count() == 1000
 
 
+def test_framesample_stride_and_counts(spark, queries):
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    rows = queries["llm_multimodal_framesample"](spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r.frame_idx % 4 == 0 for r in rows)
+    assert all(0 <= r.frame_idx < r.n_frames for r in rows)
+    assert all(len(r.frame_md5) == 32 for r in rows)
+    # every document with at least one full 16-byte frame is sampled
+    n_docs_with_frames = (
+        _t(spark, SF, "documents").filter(F.length("text") >= 16).count()
+    )
+    assert len({r.asset_id for r in rows}) == n_docs_with_frames
+
+
 def test_stratified_exact_rates_and_determinism(spark, queries):
     out = queries["ext_sample_stratified_exact"](spark, SF)
     counts = {
