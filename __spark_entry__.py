@@ -104,8 +104,26 @@ _PRIORITY = [
     "ext_gap_islands",
     "ext_scd2_history",
     "ext_salted_join",
-    # --- 50-entry window boundary (the list above is exactly 50) ---
-    # next-round rotation candidates: never-verified but lower risk
+    # the list above is 49 entries; llm_bm25_score (the strongest
+    # round-3 batch-2 op) takes the 50th driver-window slot
+    "llm_bm25_score",
+    # --- 50-entry window boundary ---
+    # next-round rotation candidates: the remaining round-3 batch-2/3
+    # additions (never driver-verified — front-load these in the r4
+    # window)
+    "llm_inverted_index",
+    "graph_pagerank",
+    "ext_incremental_rollup",
+    "ext_data_profile",
+    "ext_sample_stratified_exact",
+    "ext_python_datasource",
+    "ext_gap_fill_ffill",
+    "ext_rolling_median",
+    "ext_histogram",
+    "ml_linear_regression_sql",
+    "ext_fuzzy_levenshtein",
+    "llm_multimodal_framesample",
+    # then: never-verified but lower risk
     "stream_foreach_batch_sink",
     "llm_scrub_text",
     "llm_embedding_centroids",
