@@ -123,6 +123,8 @@ _PRIORITY = [
     "ml_linear_regression_sql",
     "ext_fuzzy_levenshtein",
     "llm_multimodal_framesample",
+    "ext_scd2_point_in_time_join",
+    "ext_try_arithmetic",
     # then: never-verified but lower risk
     "stream_foreach_batch_sink",
     "llm_scrub_text",

@@ -497,6 +497,126 @@ def ext_histogram(spark, sf_dir):
     )
 
 
+# --- point-in-time SCD2 join ---------------------------------------------------
+
+
+@register(
+    "ext_scd2_point_in_time_join",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS rn_all,
+             row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+               ORDER BY o_orderdate, o_orderkey) AS rn_type
+      FROM orders
+    ),
+    runs AS (
+      SELECT o_custkey, o_orderstatus, min(o_orderdate) AS valid_from
+      FROM ordered GROUP BY o_custkey, o_orderstatus, rn_all - rn_type
+    ),
+    hist AS (
+      SELECT o_custkey, o_orderstatus, valid_from,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+               ORDER BY valid_from, o_orderstatus) AS valid_to
+      FROM runs
+    ),
+    fact AS (
+      SELECT o_custkey AS custkey, l_shipdate AS ts, l_quantity
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT coalesce(h.o_orderstatus, 'none') AS status_at_ship,
+           count(*) AS n, round(sum(f.l_quantity), 4) AS qty
+    FROM fact f LEFT JOIN hist h
+      ON h.o_custkey = f.custkey
+     AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def ext_scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (temporal validity) join: each shipment is
+    enriched with the customer's order-status VERSION valid at ship
+    time — the canonical warehouse lookup against an SCD2 dimension
+    (ext_scd2_history builds the version table; this entry joins
+    through it). Join shape: equi-key on custkey with half-open
+    [valid_from, valid_to) range predicates; the version dimension is
+    customer-bounded (a few rows per key), so it broadcasts and the
+    fact table never shuffles — at 100 TB the alternative (sort-merge
+    on custkey) is one shuffle, still never a range cross-product."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w_all = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_type = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    runs = (
+        o.select(
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("o_custkey", "o_orderstatus", "grp")
+        .agg(F.min("o_orderdate").alias("valid_from"))
+    )
+    w_hist = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderstatus")
+    hist = runs.select(
+        "o_custkey",
+        "o_orderstatus",
+        "valid_from",
+        F.lead("valid_from").over(w_hist).alias("valid_to"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+    fact = li.join(
+        o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey")
+    ).select(F.col("o_custkey").alias("custkey"), F.col("l_shipdate").alias("ts"), "l_quantity")
+    joined = fact.join(
+        F.broadcast(hist),
+        (hist.o_custkey == fact.custkey)
+        & (fact.ts >= hist.valid_from)
+        & (hist.valid_to.isNull() | (fact.ts < hist.valid_to)),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce("o_orderstatus", F.lit("none")).alias("status_at_ship")
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("qty")
+    )
+
+
+# --- ANSI-safe arithmetic ------------------------------------------------------
+
+
+@register(
+    "ext_try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / NULLIF(l_quantity - 30.0, 0.0) AS per_unit_off30,
+           TRY_CAST(l_returnflag AS DOUBLE) AS flag_as_num
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+)
+def ext_try_arithmetic(spark, sf_dir):
+    """ANSI-mode-safe arithmetic surface (Spark 4 runs ANSI on by
+    default, where bare division by zero and bad casts THROW):
+    try_divide yields NULL on the zero denominator and try_cast NULL
+    on the non-numeric string — row-level fault tolerance without
+    disabling ANSI globally, the property a 100 TB batch job needs so
+    one dirty row cannot kill a 6-hour stage. Oracle: NULLIF-guarded
+    division and TRY_CAST (DuckDB's equivalent semantics)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 30.0).alias(
+            "per_unit_off30"
+        ),
+        F.expr("try_cast(l_returnflag AS DOUBLE)").alias("flag_as_num"),
+    )
+
+
 # --- multimodal frame sampling ------------------------------------------------
 
 
