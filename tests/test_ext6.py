@@ -170,6 +170,42 @@ def test_python_datasource_partitioned_read(spark, queries):
     assert raw.count() == 1000
 
 
+def test_scd2_pit_join_covers_all_shipments(spark, queries):
+    """Every lineitem lands in exactly one group (at most one version's
+    half-open window can contain a timestamp), so group counts must sum
+    to the lineitem count. The synthetic data allows shipdates BEFORE
+    the customer's first order date, so a 'none' (no version yet)
+    group is legitimate — what must never happen is double-matching,
+    which would overshoot the total."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    rows = queries["ext_scd2_point_in_time_join"](spark, SF).collect()
+    assert sum(r.n for r in rows) == _t(spark, SF, "lineitem").count()
+    assert {r.status_at_ship for r in rows} >= {"F", "O", "P"}
+
+
+def test_try_arithmetic_nulls_not_errors(spark, queries):
+    rows = queries["ext_try_arithmetic"](spark, SF).collect()
+    assert len(rows) > 0
+    # non-numeric cast is NULL for every row, never an exception
+    assert all(r.flag_as_num is None for r in rows)
+    # qty == 30 rows exist in the slice and yield NULL division
+    assert any(r.per_unit_off30 is None for r in rows)
+
+
+def test_linear_regression_sql_sane(spark, queries):
+    import math
+
+    rows = queries["ml_linear_regression_sql"](spark, SF).collect()
+    assert len(rows) == 3
+    for r in rows:
+        # slope sign is data-dependent (price and quantity are drawn
+        # independently in the synthetic data); the invariants are
+        # finiteness and the R^2 range
+        assert r.slope is not None and math.isfinite(r.slope)
+        assert 0 <= r.r2 <= 1
+
+
 def test_framesample_stride_and_counts(spark, queries):
     from machine_telemetry_etl_ml_pipeline_spark.registry import _t
 
