@@ -125,6 +125,7 @@ _PRIORITY = [
     "llm_multimodal_framesample",
     "ext_scd2_point_in_time_join",
     "ext_try_arithmetic",
+    "llm_novel_ngram_ratio",
     # then: never-verified but lower risk
     "stream_foreach_batch_sink",
     "llm_scrub_text",

@@ -497,6 +497,64 @@ def ext_histogram(spark, sf_dir):
     )
 
 
+# --- novel n-gram ratio (priority dedup scoring) -------------------------------
+
+
+@register(
+    "llm_novel_ngram_ratio",
+    """
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(ws, i, i + 7), ' ') AS g8
+      FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents
+        )
+      )
+    ),
+    owner AS (SELECT g8, min(doc_id) AS owner FROM grams GROUP BY g8)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(count(*) FILTER (WHERE o.owner = g.doc_id) AS BIGINT) AS n_novel,
+           round(CAST(count(*) FILTER (WHERE o.owner = g.doc_id) AS DOUBLE)
+                 / count(*), 4) AS novel_ratio
+    FROM grams g JOIN owner o ON g.g8 = o.g8
+    GROUP BY g.doc_id
+    """,
+)
+def llm_novel_ngram_ratio(spark, sf_dir):
+    """Novel-n-gram scoring (the C4/RefinedWeb-style priority-dedup
+    signal): for each document, the fraction of its distinct word
+    8-grams it is the FIRST (min doc_id) to introduce — near-copies of
+    earlier documents score near 0 and get dropped first. Two
+    gram-keyed stages: a partial-aggregable min per gram (the owner
+    table is gram-cardinality bounded, not corpus bounded) and a
+    gram-keyed join back; the exchange on the gram key is planned once
+    and reused by both. No all-pairs comparison anywhere."""
+    from .llm.dedup import word_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    grams = word_ngrams(d, n=8)
+    owner = grams.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    novel = F.sum(
+        F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        grams.join(owner, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 4
+            ).alias("novel_ratio"),
+        )
+    )
+
+
 # --- point-in-time SCD2 join ---------------------------------------------------
 
 

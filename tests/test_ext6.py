@@ -206,6 +206,17 @@ def test_linear_regression_sql_sane(spark, queries):
         assert 0 <= r.r2 <= 1
 
 
+def test_novel_ngram_ratio_bounds_and_first_doc(spark, queries):
+    rows = {r.doc_id: r for r in queries["llm_novel_ngram_ratio"](spark, SF).collect()}
+    assert len(rows) > 0
+    for r in rows.values():
+        assert 0 <= r.n_novel <= r.n_grams
+        assert 0.0 <= r.novel_ratio <= 1.0
+    # the lowest doc_id can only introduce grams, never repeat earlier ones
+    first = rows[min(rows)]
+    assert first.novel_ratio == 1.0
+
+
 def test_framesample_stride_and_counts(spark, queries):
     from machine_telemetry_etl_ml_pipeline_spark.registry import _t
 
