@@ -126,6 +126,8 @@ _PRIORITY = [
     "ext_scd2_point_in_time_join",
     "ext_try_arithmetic",
     "llm_novel_ngram_ratio",
+    "ext_window_distinct_count",
+    "ext_group_by_all",
     # then: never-verified but lower risk
     "stream_foreach_batch_sink",
     "llm_scrub_text",

@@ -497,6 +497,68 @@ def ext_histogram(spark, sf_dir):
     )
 
 
+# --- windowed distinct count (dense_rank bridge) -------------------------------
+
+
+@register(
+    "ext_window_distinct_count",
+    """
+    SELECT event_id, user_id, event_type,
+           count(DISTINCT event_type) OVER (PARTITION BY user_id)
+             AS n_types_for_user
+    FROM events WHERE user_id < 20
+    """,
+)
+def ext_window_distinct_count(spark, sf_dir):
+    """Distinct count as a window value on every row: Spark disallows
+    DISTINCT aggregates over windows, so the idiom is the dense_rank
+    bridge — max(dense_rank ORDER BY key) over the partition equals
+    the partition's distinct key count. Two windows over ONE
+    user_id-keyed sort order (single exchange, single sort); the
+    DuckDB oracle uses the native count(DISTINCT ...) OVER form,
+    proving the bridge exact."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_rank = Window.partitionBy("user_id").orderBy("event_type")
+    w_all = Window.partitionBy("user_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.max(F.dense_rank().over(w_rank)).over(w_all).alias("n_types_for_user"),
+    )
+
+
+# --- GROUP BY ALL surface -------------------------------------------------------
+
+
+@register(
+    "ext_group_by_all",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY ALL
+    """,
+)
+def ext_group_by_all(spark, sf_dir):
+    """GROUP BY ALL (Spark 4 + DuckDB shared SQL surface): every
+    non-aggregate select item becomes a grouping key — the
+    keystroke-saving form analysts actually write. Registered through
+    spark.sql to exercise the SQL-text path end-to-end; the plan is
+    the identical partial-aggregable hash aggregate."""
+    from .registry_ext2 import _views
+
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM lineitem GROUP BY ALL
+        """
+    )
+
+
 # --- novel n-gram ratio (priority dedup scoring) -------------------------------
 
 
