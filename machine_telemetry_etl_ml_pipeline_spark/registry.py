@@ -151,9 +151,9 @@ def ref_filter_eq(spark, sf_dir):
 def ref_filter_range(spark, sf_dir):
     """WHERE timestamp_epoch BETWEEN %s AND %s (reference
     project/db.py:197-200)."""
-    # ts_range pushes the equivalent raw-nanos bounds into the parquet
-    # scan (row-group skipping); the converted-column filter stays for
-    # the declarative semantics (catalog.load_table docstring)
+    # ts_range surfaces as plain column-vs-literal timestamp bounds
+    # that push into the parquet scan (row-group skipping); the epoch
+    # filter stays for the declarative semantics (catalog.load_table)
     e = _t(spark, sf_dir, "events", ts_range=(1704844800, 1705708800))
     lo = F.unix_timestamp(F.lit("2024-01-10 00:00:00").cast("timestamp"))
     hi = F.unix_timestamp(F.lit("2024-01-20 00:00:00").cast("timestamp"))

@@ -1894,7 +1894,7 @@ def ext_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted per week offset they return in. Two aggregates + one
     equi-join on user_id; weeks are ISO date_trunc (cross-engine
-    parity) and surface as epoch BIGINT (nanos-safe). The classic
+    parity) and surface as epoch BIGINT (engine-portable). The classic
     product-analytics rollup, all partial-aggregable."""
     e = _t(spark, sf_dir, "events").select("user_id", "ts")
     firsts = e.groupBy("user_id").agg(
@@ -2004,7 +2004,7 @@ def ext_scd2_history(spark, sf_dir):
     with lead() — open-ended current rows keep NULL valid_to. The
     standard CDC-to-warehouse materialization, expressed as two
     user-partitioned windows + one aggregate; timestamps surface as
-    epoch BIGINT (nanos-safe). 10-user slice bounds the output."""
+    epoch BIGINT (engine-portable). 10-user slice bounds the output."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10).select(

@@ -21,8 +21,10 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
-    """events written as a plain-timestamp parquet dir (the testdata
-    file has nanos timestamps the stream schema can't bind to)."""
+    """events re-written through load_table into a parquet dir the
+    LTZ stream schema binds to directly (the canonical stream-source
+    normalization step; the raw testdata is read via
+    events_testdata_stream instead)."""
     d = str(tmp_path_factory.mktemp("stream") / "events")
     load_table(spark, SF, "events").write.parquet(d)
     return d
