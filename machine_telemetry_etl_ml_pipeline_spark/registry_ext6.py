@@ -1,21 +1,27 @@
-"""Round-3 extension batch: retrieval, graph, and warehouse-maintenance
-operators a production analytics/training-data engine needs beyond the
-round-2 surface.
+"""Round-3 extension batch: retrieval, graph, time-series, and
+warehouse-maintenance operators a production analytics/training-data
+engine needs beyond the round-2 surface.
 
-- BM25 relevance scoring + inverted-index posting stats over
-  `documents` (the retrieval half of a data-curation stack: dedup and
-  ANN are already in registry_llm; this adds lexical search);
-- fixed-iteration PageRank over the customer-nation -> supplier-nation
-  trade graph (iterative join-based graph algorithm with an exact
-  chained-CTE oracle — complements llm_dedup_components' connected
-  components);
-- incremental rollup maintenance (partial-aggregate merge parity: the
-  materialized-view pattern that turns a 100 TB re-aggregation into a
-  delta merge);
-- one-pass multi-column data profiling (null/ndv/min/max/avg per
-  column in a single scan via Expand);
-- deterministic stratified sampling (per-stratum md5-threshold — the
-  oracle-checkable twin of ext_sample_stratified's RNG sampleBy).
+- retrieval: BM25 relevance scoring + inverted-index posting stats
+  over `documents` (the lexical half of a curation stack; dedup and
+  ANN live in registry_llm) and the novel-n-gram priority-dedup
+  signal;
+- graph: fixed-iteration PageRank over the customer-nation ->
+  supplier-nation trade graph (adaptive operators/graph.pagerank,
+  exact chained-CTE oracle);
+- maintenance: incremental rollup (partial-aggregate merge parity),
+  one-pass multi-column profiling (single scan via Expand),
+  deterministic stratified sampling (md5-threshold twin of RNG
+  sampleBy);
+- time series: hourly gap-fill + forward-fill, rolling exact median,
+  integer-cents equi-width histogram;
+- temporal & safety: point-in-time SCD2 join, ANSI-safe
+  try_divide/try_cast;
+- SQL-native ML & fuzzy match: regr_* closed-form OLS, levenshtein
+  record linkage on distinct dims;
+- surfaces: Spark 4 Python Data Source API, GROUP BY ALL, the
+  dense_rank bridge for distinct window counts, Arrow-batched
+  multimodal frame sampling with an exact oracle.
 
 Float-parity convention (round-1 memory): aggregates rounded to 4dp on
 BOTH sides; PageRank rounds to 6dp only at the end (25-node float sums
