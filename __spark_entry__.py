@@ -128,6 +128,8 @@ _PRIORITY = [
     "llm_novel_ngram_ratio",
     "ext_window_distinct_count",
     "ext_group_by_all",
+    "stream_update_mode_upsert",
+    "ext_sql_unpivot_native",
     # then: never-verified but lower risk
     "stream_foreach_batch_sink",
     "llm_scrub_text",

@@ -503,6 +503,107 @@ def ext_histogram(spark, sf_dir):
     )
 
 
+# --- streaming update output mode (CDC upsert + compaction) --------------------
+
+
+@register(
+    "stream_update_mode_upsert",
+    """
+    SELECT user_id, count(*) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS sum_value
+    FROM events WHERE user_id < 50 GROUP BY user_id
+    """,
+)
+def stream_update_mode_upsert(spark, sf_dir):
+    """Streaming UPDATE output mode end-to-end: the events stream is
+    split into 4 files and consumed one file per micro-batch, the
+    per-user aggregate emits only CHANGED rows each batch (update
+    mode, via foreachBatch), every delta lands in a CDC table stamped
+    with its batch id, and the final read compacts last-write-wins per
+    key (max batch_id window) — the stream-to-warehouse upsert
+    pattern. The compacted state must equal the plain batch aggregate
+    (the oracle), proving update-mode deltas lose nothing across
+    batches. Integer-cents sums make the cross-batch comparison
+    bit-stable."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from .session import tune_session
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="stream_upd_")
+    src, sink, ckpt = f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    e.select("event_id", "user_id", "value").repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+        ).alias("sum_raw"),
+    )
+
+    def _upsert(batch, batch_id: int) -> None:
+        batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            sink
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(_upsert)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"upd_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+
+    cdc = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n", F.round("sum_raw", 4).alias("sum_value"))
+    )
+
+
+# --- native SQL UNPIVOT surface -------------------------------------------------
+
+
+@register(
+    "ext_sql_unpivot_native",
+    """
+    SELECT l_orderkey, l_linenumber, metric, v
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey < 200)
+    UNPIVOT (v FOR metric IN (l_quantity, l_discount, l_tax))
+    """,
+)
+def ext_sql_unpivot_native(spark, sf_dir):
+    """Native SQL UNPIVOT syntax (Spark 4 + DuckDB shared surface; the
+    DataFrame twin ext_unpivot uses stack()). Same physical plan — an
+    Expand over the projected columns, no shuffle, output 3x the
+    filtered slice."""
+    from .registry_ext2 import _views
+
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, metric, v
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+              FROM lineitem WHERE l_orderkey < 200)
+        UNPIVOT (v FOR metric IN (l_quantity, l_discount, l_tax))
+        """
+    )
+
+
 # --- windowed distinct count (dense_rank bridge) -------------------------------
 
 
