@@ -50,7 +50,14 @@ def pagerank(
     taken = raw.take(small_graph_threshold + 1) if small_graph_threshold > 0 else []
 
     if small_graph_threshold > 0 and len(taken) <= small_graph_threshold:
-        # Driver power iteration over endpoints only.
+        # Driver power iteration over endpoints only. Rank lives ONLY on
+        # endpoints that are actual members of `nodes` — the distributed
+        # path seeds ranks from `nodes` and drops mass arriving at
+        # non-node dsts, so an edge endpoint outside `nodes` must neither
+        # hold nor emit rank here either (it still counts toward its
+        # source's out-degree, exactly like deg in the distributed path).
+        # Membership is resolved with one semi-join collecting at most
+        # |endpoints| ids, never the full node table.
         from collections import defaultdict
 
         out: dict = defaultdict(list)
@@ -59,14 +66,28 @@ def pagerank(
             out[r.src].append(r.dst)
             endpoints.add(r.src)
             endpoints.add(r.dst)
-        rank = {u: 1.0 / n_nodes for u in endpoints}
+        if endpoints:
+            ep_df = spark.createDataFrame(
+                [(int(u),) for u in sorted(endpoints)], "node long"
+            )
+            members = {
+                r.node
+                for r in nodes.select(F.col("node").cast("long").alias("node"))
+                .join(F.broadcast(ep_df), "node", "left_semi")
+                .collect()
+            }
+        else:
+            members = set()
+        rank = {u: 1.0 / n_nodes for u in members}
         for _ in range(iterations):
             incoming: dict = defaultdict(float)
             for u, dsts in out.items():
+                if u not in rank:
+                    continue
                 share = rank[u] / len(dsts)
                 for v in dsts:
                     incoming[v] += share
-            rank = {u: teleport + damping * incoming.get(u, 0.0) for u in endpoints}
+            rank = {u: teleport + damping * incoming.get(u, 0.0) for u in members}
         if stats is not None:
             stats["strategy"] = "local"
         if not rank:

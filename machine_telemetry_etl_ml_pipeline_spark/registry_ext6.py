@@ -76,7 +76,13 @@ def llm_bm25_score(spark, sf_dir):
     stats are broadcast. Only the dl join shuffles on doc_id — and
     only for candidate docs."""
     d = _t(spark, sf_dir, "documents")
-    dl = d.select("doc_id", F.size(words_col(F.col("text"))).alias("dl"))
+    # dl > 0: the oracle's dl CTE is derived from exploded words, so an
+    # empty/whitespace-only document never gets a dl row there — filter
+    # the array-expression side identically so both engines define the
+    # corpus (n_docs, avgdl) over the same set.
+    dl = d.select("doc_id", F.size(words_col(F.col("text"))).alias("dl")).filter(
+        F.col("dl") > 0
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -613,7 +619,7 @@ def ext_sql_unpivot_native(spark, sf_dir):
     SELECT event_id, user_id, event_type,
            count(DISTINCT event_type) OVER (PARTITION BY user_id)
              AS n_types_for_user
-    FROM events WHERE user_id < 20
+    FROM events WHERE user_id < 20 AND event_type IS NOT NULL
     """,
 )
 def ext_window_distinct_count(spark, sf_dir):
@@ -623,10 +629,16 @@ def ext_window_distinct_count(spark, sf_dir):
     the partition's distinct key count. Two windows over ONE
     user_id-keyed sort order (single exchange, single sort); the
     DuckDB oracle uses the native count(DISTINCT ...) OVER form,
-    proving the bridge exact."""
+    proving the bridge exact. Both sides filter NULL keys up front:
+    dense_rank ranks NULLs but count(DISTINCT) ignores them, so the
+    bridge is only exact over non-null keys."""
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .filter(F.col("event_type").isNotNull())
+    )
     w_rank = Window.partitionBy("user_id").orderBy("event_type")
     w_all = Window.partitionBy("user_id")
     return e.select(

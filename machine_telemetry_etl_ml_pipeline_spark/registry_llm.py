@@ -1237,11 +1237,17 @@ def llm_quality_filter_by_lang(spark, sf_dir):
     ),
     n AS (
       SELECT vec_id, v8, sqrt(list_dot_product(v8, v8)) AS nrm FROM t
+    ),
+    e AS (
+      SELECT vec_id, v8, nrm,
+             unnest(generate_series(1, len(v8))) AS i
+      FROM n
     )
     SELECT vec_id,
-           list_transform(v8, x -> round(x / nrm, 4) + 0) AS unit8,
+           CAST(i - 1 AS INT) AS dim_idx,
+           round(v8[i] / nrm, 4) + 0 AS unit_val,
            round(nrm, 4) AS trunc_norm
-    FROM n
+    FROM e
     """,
 )
 def llm_embedding_truncate(spark, sf_dir):
@@ -1249,7 +1255,9 @@ def llm_embedding_truncate(spark, sf_dir):
     dims and L2-renormalize — the cheap dimension-reduction step used
     to trade recall for cost in vector pipelines. Pure array
     expressions (slice / zip-fold dot / transform), no UDF; `+ 0`
-    normalizes IEEE -0.0 identically in both engines."""
+    normalizes IEEE -0.0 identically in both engines. Output is
+    posexploded to one (vec_id, dim_idx, unit_val) row per kept
+    dimension so every column is a hashable scalar."""
     from .llm.similarity import _as_double, dot
 
     e = _t(spark, sf_dir, "embeddings")
@@ -1259,7 +1267,9 @@ def llm_embedding_truncate(spark, sf_dir):
     base = base.select("vec_id", "v8", nrm.alias("nrm"))
     unit = F.transform(F.col("v8"), lambda x: F.round(x / F.col("nrm"), 4) + 0)
     return base.select(
-        "vec_id", unit.alias("unit8"), F.round("nrm", 4).alias("trunc_norm")
+        "vec_id",
+        F.posexplode(unit).alias("dim_idx", "unit_val"),
+        F.round("nrm", 4).alias("trunc_norm"),
     )
 
 
