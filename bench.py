@@ -53,6 +53,12 @@ HEADLINE = [
     # join) and the adaptive iterative graph path.
     "llm_bm25_score",
     "graph_pagerank",
+    # round-4 additions (VERDICT r3 item 8): the window-heavy gap-fill /
+    # rolling-median paths and the explode-heavy novel-ngram dedup
+    # priority score — tracked so their plans can't regress silently.
+    "ext_gap_fill_ffill",
+    "ext_rolling_median",
+    "llm_novel_ngram_ratio",
 ]
 
 
