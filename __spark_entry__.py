@@ -22,6 +22,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext3  # noqa: E402,
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext4  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext5  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext6  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext7  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -112,8 +113,11 @@ _PRIORITY = [
     "llm_repetition_stats",
     "llm_minhash_jaccard_estimate",
     # --- 50-entry window boundary ---
-    # r5 rotation queue: the last never-driver-checked entries (plus
-    # anything added in round 4)
+    # r5 rotation queue: the round-4 additions, then the last
+    # never-driver-checked entries
+    "stream_topk_update_mode",
+    "llm_segment_dedup",
+    "llm_bpe_merge_step",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -1,0 +1,226 @@
+"""Round-4 extension batch: streaming top-k materialization and two
+corpus-curation operators LLM training pipelines run at scale.
+
+- stream_topk_update_mode: update-output-mode top-k with per-batch
+  candidate pruning — the CDC sink stores O(k) rows per micro-batch
+  instead of every changed key, and last-write-wins compaction still
+  reconstructs the EXACT global top-k because the ranked metric
+  (count) is monotone non-decreasing (proof in the docstring);
+- llm_segment_dedup: C4-style corpus-wide duplicated-line removal,
+  adapted to the newline-free synthetic corpus as non-overlapping
+  10-word segments — keep the first occurrence (min (doc_id,
+  seg_idx)), report per-document retention;
+- llm_bpe_merge_step: the first merge step of BPE-style tokenizer
+  induction — global adjacent-pair frequencies, top-20 — built from
+  array zips (zero self-joins, zero windows; the pair stream is a
+  single Generate).
+
+Reference anchor: the reference's text/ETL surface stops at
+per-document feature extraction (/root/reference/project/
+data_processing.py); these extend the same documents table the way a
+training-data pipeline does. Float-parity convention (round-1
+memory): ratios rounded to 4dp on both sides; counts stay integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .llm.textstats import words_col
+from .registry import _t, register
+
+# --- streaming update-mode top-k (pruned CDC) ---------------------------------
+
+
+@register(
+    "stream_topk_update_mode",
+    """
+    SELECT user_id, n
+    FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def stream_topk_update_mode(spark, sf_dir):
+    """Streaming top-k in UPDATE output mode with per-batch candidate
+    pruning: the events stream is consumed one file per micro-batch,
+    the per-user count aggregate emits only changed keys (update
+    mode), and foreachBatch writes only the batch's OWN top-10 of
+    those changed keys to the CDC sink — O(k) rows per batch, not
+    O(changed keys). The final read compacts last-write-wins per key
+    and takes the global top-10.
+
+    Why pruning is lossless here: counts are monotone non-decreasing.
+    If a key belongs to the final global top-10, then in the last
+    batch that changed it, any key that out-ranked it (higher count,
+    or equal count with a smaller user_id tiebreak — the same ordering
+    used everywhere) holds that advantage forever; fewer than 10 such
+    keys can exist, so the key makes its batch's top-10 carrying its
+    FINAL count. Stale rows from earlier batches carry smaller counts
+    and cannot displace true members. The oracle is the plain batch
+    top-10 — exact equality, not approximation."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from .session import tune_session
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="stream_topk_")
+    src, sink, ckpt = f"{work}/src", f"{work}/sink", f"{work}/ckpt"
+    e = _t(spark, sf_dir, "events")
+    e.select("event_id", "user_id").repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    def _prune_upsert(batch, batch_id: int) -> None:
+        top = batch.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
+        top.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sink)
+
+    q = (
+        agg.writeStream.foreachBatch(_prune_upsert)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName(f"topk_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+
+    cdc = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    latest = (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n")
+    )
+    return latest.orderBy(F.desc("n"), F.asc("user_id")).limit(10)
+
+
+# --- C4-style corpus-wide segment dedup ----------------------------------------
+
+
+@register(
+    "llm_segment_dedup",
+    """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST((i - 1) // 10 AS INT) AS seg_idx,
+             array_to_string(list_slice(ws, i, least(i + 9, len(ws))), ' ') AS seg
+      FROM (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws), 10)) AS i
+        FROM ws WHERE len(ws) > 0
+      )
+    ),
+    marked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS kept_ratio
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def llm_segment_dedup(spark, sf_dir):
+    """C4-style duplicated-line removal at corpus scope, on a corpus
+    with no newlines: each document is cut into non-overlapping
+    10-word segments (trailing partial kept, like a short last line),
+    a segment survives only at its FIRST occurrence — min (doc_id,
+    seg_idx) across the whole corpus — and every document reports its
+    retention. Shapes for 100 TB: segments are built with array
+    slice/zip expressions (one Generate, no self-join), first-
+    occurrence is a struct-min window over the segment hash key (one
+    seg-keyed exchange, partial-aggregable), then one doc_id-keyed
+    rollup. Nothing is ever quadratic in corpus size."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(ws), F.lit(10))
+    segs = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("int").alias("seg_idx"),
+            F.array_join(F.slice(ws, s, 10), " ").alias("seg"),
+        ),
+    )
+    seg_rows = (
+        d.filter(F.size(ws) > 0)
+        .select("doc_id", F.explode(segs).alias("s"))
+        .select("doc_id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
+    )
+    first = F.min(F.struct("doc_id", "seg_idx")).over(Window.partitionBy("seg"))
+    marked = seg_rows.withColumn(
+        "is_first",
+        (F.col("doc_id") == first["doc_id"]) & (F.col("seg_idx") == first["seg_idx"]),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("is_first").cast("long")).alias("n_kept"),
+        F.round(
+            F.sum(F.col("is_first").cast("double")) / F.count(F.lit(1)), 4
+        ).alias("kept_ratio"),
+    )
+
+
+# --- BPE-style tokenizer induction: first merge step ---------------------------
+
+
+@register(
+    "llm_bpe_merge_step",
+    """
+    WITH ws AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT ws[i] || ' ' || ws[i + 1] AS pair
+      FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM ws WHERE len(ws) > 1)
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+)
+def llm_bpe_merge_step(spark, sf_dir):
+    """One merge step of BPE-style tokenizer induction: count every
+    adjacent symbol pair across the corpus and emit the 20 most
+    frequent (the pair a real BPE trainer would merge next, plus
+    runners-up; deterministic pair-text tiebreak). The pair stream is
+    zip_with over two shifted slices of the SAME word array — a single
+    Generate per document, no posexplode self-join, no window — then
+    one pair-keyed partial-aggregable count. At 100 TB this is exactly
+    one shuffle of (pair, partial count), the minimum any global
+    frequency count needs."""
+    d = _t(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    pairs = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        d.filter(n > 1)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

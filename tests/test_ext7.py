@@ -1,0 +1,87 @@
+"""Round-4 batch (registry_ext7): streaming top-k materialization and
+corpus-curation operator properties that hold at any scale — the
+DuckDB-oracle gate (tools/check.py) is the exact-value signal; these
+assert the invariants that survive a testdata regeneration."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as ent
+
+    return ent.queries()
+
+
+def test_stream_topk_matches_batch_topk(spark, queries):
+    """The pruned-CDC streaming top-k must EXACTLY equal the batch
+    top-10 (monotone-count proof in the docstring) — the whole point
+    of the operator."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    got = {
+        (r.user_id, r.n)
+        for r in queries["stream_topk_update_mode"](spark, SF).collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in _t(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 10
+
+
+def test_segment_dedup_retention_bounds(spark, queries):
+    rows = queries["llm_segment_dedup"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.n_kept <= r.n_segs or r.n_kept == 0
+        assert 0.0 <= r.kept_ratio <= 1.0
+    # the first document (doc_id ordering is the keep rule) loses nothing
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_kept == first.n_segs
+
+
+def test_segment_dedup_conserves_distinct_segments(spark, queries):
+    """Sum of kept segments corpus-wide == number of DISTINCT segments
+    (each distinct segment text survives exactly once)."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.textstats import words_col
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    rows = queries["llm_segment_dedup"](spark, SF).collect()
+    total_kept = sum(r.n_kept for r in rows)
+    d = _t(spark, SF, "documents")
+    ws = words_col(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(ws), F.lit(10))
+    segs = F.transform(starts, lambda s: F.array_join(F.slice(ws, s, 10), " "))
+    n_distinct = (
+        d.filter(F.size(ws) > 0)
+        .select(F.explode(segs).alias("seg"))
+        .select("seg")
+        .distinct()
+        .count()
+    )
+    assert total_kept == n_distinct
+
+
+def test_bpe_merge_step_descending_and_positive(spark, queries):
+    rows = queries["llm_bpe_merge_step"](spark, SF).collect()
+    assert len(rows) == 20
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] >= 1
+    # every pair is two non-empty space-joined words
+    for r in rows:
+        a, b = r.pair.split(" ")
+        assert a and b
