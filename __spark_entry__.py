@@ -118,6 +118,8 @@ _PRIORITY = [
     "stream_topk_update_mode",
     "llm_segment_dedup",
     "llm_bpe_merge_step",
+    "ext_session_dynamic_gap",
+    "llm_bigram_logprob",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -177,6 +177,146 @@ def llm_segment_dedup(spark, sf_dir):
     )
 
 
+# --- dynamic-gap session windows ----------------------------------------------
+
+
+@register(
+    "ext_session_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'click' THEN 1800000000
+                  ELSE 3600000000 END AS gap
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, event_id, t, gap,
+             max(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_end
+      FROM e
+    ),
+    m AS (
+      SELECT user_id, event_id, t, gap,
+             CASE WHEN prev_end IS NULL OR t >= prev_end THEN 1 ELSE 0 END
+               AS is_start
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, t, gap,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           CAST(min(t) // 1000000 AS BIGINT) AS sess_start,
+           CAST(max(t + gap) // 1000000 AS BIGINT) AS sess_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def ext_session_dynamic_gap(spark, sf_dir):
+    """Native session_window with a DYNAMIC per-event gap (30 min for
+    clicks, 60 min otherwise) — the idle-timeout-depends-on-activity
+    sessionization streaming engines advertise. This is NOT the
+    lag-based gaps-and-islands of ext_session_windows: with variable
+    gaps, sessions merge on the RUNNING MAX of window ends (interval
+    union), which the oracle reproduces with an unbounded-preceding
+    max in exact epoch-microseconds. One user_id-keyed exchange +
+    sort on either engine; session starts/ends projected as floored
+    epoch seconds (unix_timestamp semantics)."""
+    e = _t(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "click", F.lit("30 minutes")).otherwise(
+        F.lit("60 minutes")
+    )
+    return (
+        e.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).cast("long").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+# --- bigram LM scoring (add-one smoothing) -------------------------------------
+
+
+@register(
+    "llm_bigram_logprob",
+    """
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM ws WHERE len(ws) > 1)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT w) AS vocab
+      FROM (SELECT w1 AS w FROM bigrams UNION ALL SELECT w2 FROM bigrams)
+    )
+    SELECT doc_id,
+           round(avg(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + vocab))), 4)
+             AS mean_logprob,
+           count(*) AS n_bigrams
+    FROM bigrams
+    JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def llm_bigram_logprob(spark, sf_dir):
+    """Per-document bigram language-model score with add-one
+    smoothing: mean ln((c(w1,w2)+1) / (c(w1)+|V|)) — the perplexity
+    proxy quality filters use one step beyond llm_unigram_logprob's
+    unigram LM. Shapes for 100 TB: bigrams come from zip_with over
+    shifted slices (one Generate, no self-join); c12/c1 are
+    partial-aggregable counts joined back on their own keys (pair- and
+    word-keyed shuffles, never row x vocab); |V| is a 1-row broadcast
+    cross join."""
+    d = _t(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    pair_arr = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bigrams = (
+        d.filter(n > 1)
+        .select("doc_id", F.explode(pair_arr).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        bigrams.select(F.col("w1").alias("w"))
+        .unionAll(bigrams.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("vocab"))
+    )
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("vocab"))).alias(
+                "lp"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
 # --- BPE-style tokenizer induction: first merge step ---------------------------
 
 

@@ -75,6 +75,39 @@ def test_segment_dedup_conserves_distinct_segments(spark, queries):
     assert total_kept == n_distinct
 
 
+def test_session_dynamic_gap_invariants(spark, queries):
+    rows = queries["ext_session_dynamic_gap"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # a session spans at least one event and extends past its last
+        # event by the smallest gap (30 min), floored to seconds
+        assert r.sess_end >= r.sess_start + 1800 - 1
+        assert r.n_events >= 1
+    # dynamic-gap sessions can only be FEWER OR EQUAL vs slicing at the
+    # smallest gap everywhere, and MORE OR EQUAL vs the largest gap
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    e = _t(spark, SF, "events")
+
+    def n_sessions(gap: str) -> int:
+        return (
+            e.groupBy("user_id", F.session_window(F.col("ts"), gap))
+            .count()
+            .count()
+        )
+
+    n_dyn = len(rows)
+    assert n_sessions("60 minutes") <= n_dyn <= n_sessions("30 minutes")
+
+
+def test_bigram_logprob_bounds(spark, queries):
+    rows = queries["llm_bigram_logprob"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.mean_logprob < 0  # smoothed probs are < 1
+        assert r.n_bigrams >= 1
+
+
 def test_bpe_merge_step_descending_and_positive(spark, queries):
     rows = queries["llm_bpe_merge_step"](spark, SF).collect()
     assert len(rows) == 20
