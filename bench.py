@@ -59,6 +59,12 @@ HEADLINE = [
     "ext_gap_fill_ffill",
     "ext_rolling_median",
     "llm_novel_ngram_ratio",
+    # round-4: the skew-safe salted join on the 5-hot-key fact table
+    # (bench-visible per VERDICT r3 item 9) and the new corpus-dedup /
+    # sessionization heavyweights.
+    "ext_salted_join",
+    "llm_segment_dedup",
+    "ext_session_dynamic_gap",
 ]
 
 
