@@ -120,6 +120,9 @@ _PRIORITY = [
     "llm_bpe_merge_step",
     "ext_session_dynamic_gap",
     "llm_bigram_logprob",
+    "llm_vocab_coverage",
+    "ext_source_xml",
+    "ext_metadata_columns",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

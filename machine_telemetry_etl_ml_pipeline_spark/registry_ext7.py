@@ -317,6 +317,149 @@ def llm_bigram_logprob(spark, sf_dir):
     )
 
 
+# --- tokenizer vocab coverage curve -------------------------------------------
+
+
+@register(
+    "llm_vocab_coverage",
+    """
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM freq
+    ),
+    total AS (
+      SELECT CAST(sum(c) AS BIGINT) AS tot, count(*) AS vocab_size FROM freq
+    )
+    SELECT k,
+           round(CAST(sum(CASE WHEN rn <= k THEN c ELSE 0 END) AS DOUBLE)
+                 / max(tot), 4) AS coverage,
+           max(vocab_size) AS vocab_size
+    FROM ranked
+    CROSS JOIN total
+    CROSS JOIN (SELECT unnest([5, 10, 20]) AS k)
+    GROUP BY k
+    """,
+)
+def llm_vocab_coverage(spark, sf_dir):
+    """Tokenizer-design coverage curve: what fraction of all corpus
+    tokens the top-k vocabulary covers, at k = 5/10/20 — the number a
+    tokenizer team reads before choosing vocab size. The corpus-wide
+    frequency table is a partial-aggregable word-keyed count; the
+    global rank window then runs over the VOCABULARY (bounded by
+    distinct words, not corpus rows — documented single-partition
+    sort, the same bound every tokenizer trainer accepts), and the
+    coverage cut is a conditional sum per k."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = freq.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))).alias("rn")
+    )
+    total = freq.agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("vocab_size")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(5), F.lit(10), F.lit(20))).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rn") <= F.col("k"), F.col("c")).otherwise(0)).cast(
+                    "double"
+                )
+                / F.max("tot"),
+                4,
+            ).alias("coverage"),
+            F.max("vocab_size").alias("vocab_size"),
+        )
+    )
+
+
+# --- Spark 4 native XML source -------------------------------------------------
+
+
+@register(
+    "ext_source_xml",
+    """
+    SELECT id, name, CAST(price AS DOUBLE) AS price FROM (VALUES
+      (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5),
+      (4, 'delta', 4.5), (5, 'epsilon', 5.5)
+    ) AS t(id, name, price)
+    """,
+)
+def ext_source_xml(spark, sf_dir):
+    """Spark 4 built-in XML source (rowTag record splitting + explicit
+    schema — no external package since 4.0). The file is written here
+    so the entry is hermetic; the oracle is the literal payload. Same
+    digest-checked round-trip pattern as ext_source_jsonl/orc."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="xml_src_") + "/data.xml"
+    rows = [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5),
+            (4, "delta", 4.5), (5, "epsilon", 5.5)]
+    with open(path, "w") as f:
+        f.write("<rows>\n")
+        for i, name, price in rows:
+            f.write(
+                f"  <row><id>{i}</id><name>{name}</name>"
+                f"<price>{price}</price></row>\n"
+            )
+        f.write("</rows>\n")
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "row")
+        .schema("id long, name string, price double")
+        .load(path)
+    )
+
+
+# --- hidden _metadata columns (file lineage) -----------------------------------
+
+
+@register(
+    "ext_metadata_columns",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_metadata_columns(spark, sf_dir):
+    """Hidden _metadata columns as file lineage: events are written
+    partitioned by event_type, read back WITHOUT the partition column
+    projected, and each row's origin is recovered purely from
+    _metadata.file_path — the which-file-did-this-row-come-from
+    audit every warehouse debugging session needs. The per-origin
+    counts must equal the plain per-type counts (the oracle), proving
+    the hidden column binds to real scan-level file paths."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="meta_cols_") + "/by_type"
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    e.write.partitionBy("event_type").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.select(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1
+            ).alias("event_type")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # --- BPE-style tokenizer induction: first merge step ---------------------------
 
 

@@ -108,6 +108,42 @@ def test_bigram_logprob_bounds(spark, queries):
         assert r.n_bigrams >= 1
 
 
+def test_vocab_coverage_monotone(spark, queries):
+    rows = sorted(
+        queries["llm_vocab_coverage"](spark, SF).collect(), key=lambda r: r.k
+    )
+    assert [r.k for r in rows] == [5, 10, 20]
+    cov = [r.coverage for r in rows]
+    assert cov == sorted(cov)  # larger vocab never covers less
+    assert all(0.0 < c <= 1.0 for c in cov)
+    assert rows[0].vocab_size >= 20
+
+
+def test_source_xml_roundtrip(spark, queries):
+    rows = sorted(queries["ext_source_xml"](spark, SF).collect())
+    assert [(r.id, r.name, r.price) for r in rows] == [
+        (1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5),
+        (4, "delta", 4.5), (5, "epsilon", 5.5),
+    ]
+
+
+def test_metadata_columns_match_plain_counts(spark, queries):
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    got = {
+        (r.event_type, r.n)
+        for r in queries["ext_metadata_columns"](spark, SF).collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in _t(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_bpe_merge_step_descending_and_positive(spark, queries):
     rows = queries["llm_bpe_merge_step"](spark, SF).collect()
     assert len(rows) == 20
