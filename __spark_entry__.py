@@ -123,6 +123,9 @@ _PRIORITY = [
     "llm_vocab_coverage",
     "ext_source_xml",
     "ext_metadata_columns",
+    "llm_ann_filtered_topk",
+    "ext_observation_metrics",
+    "stream_checkpoint_resume",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

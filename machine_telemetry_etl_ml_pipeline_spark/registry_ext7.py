@@ -317,6 +317,198 @@ def llm_bigram_logprob(spark, sf_dir):
     )
 
 
+# --- filtered vector search ----------------------------------------------------
+
+
+@register(
+    "llm_ann_filtered_topk",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(v, v))), 4) AS cosine_sim
+      FROM q JOIN e ON e.vec_id <> q.query_id AND e.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def llm_ann_filtered_topk(spark, sf_dir):
+    """FILTERED vector search — top-5 cosine neighbors restricted by a
+    metadata predicate (neighbor label must differ from the query's
+    label; the hard-negative-mining query contrastive training runs,
+    and the filtered-search feature every vector store advertises).
+    The predicate is applied BEFORE ranking (pre-filter, exact), not
+    post-filtering a larger top-k (which can return < k rows). Same
+    scale shape as the exact baseline: bounded query set broadcast,
+    corpus scanned once, per-query top-k via partial WindowGroupLimit;
+    the label predicate rides the broadcast join condition."""
+    from pyspark.sql.window import Window
+
+    from .llm.similarity import _as_double, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    scored = base.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id")) & (F.col("label") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rnk")
+    )
+
+
+# --- Observation API (in-flight metrics) ---------------------------------------
+
+
+@register(
+    "ext_observation_metrics",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+             AS n_discounted
+    FROM lineitem WHERE l_quantity > 25
+    """,
+)
+def ext_observation_metrics(spark, sf_dir):
+    """Spark Observation API: named accumulator-backed metrics
+    collected DURING a query's execution (df.observe) — the
+    zero-extra-pass row-count / data-quality counters a production
+    pipeline attaches to every write job. The observed metrics are
+    returned as a 1-row DataFrame and must equal the oracle's
+    recomputation, proving the in-flight metrics see exactly the rows
+    the query processed (no sampling, no approximation)."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 25)
+    obs = Observation("etl_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_cents"], m["n_discounted"])],
+        "n_rows bigint, sum_cents bigint, n_discounted bigint",
+    )
+
+
+# --- streaming checkpoint resume (exactly-once restart) ------------------------
+
+
+@register(
+    "stream_checkpoint_resume",
+    """
+    SELECT user_id, count(*) AS n
+    FROM events WHERE user_id < 40 GROUP BY user_id
+    """,
+)
+def stream_checkpoint_resume(spark, sf_dir):
+    """Exactly-once RESTART semantics: the stream runs availableNow
+    over the first half of the data, terminates, MORE files land, and
+    a second query starts from the SAME checkpoint — the restarted
+    stream must resume from the recorded offsets, reprocessing
+    nothing, and the compacted CDC state must equal the plain batch
+    aggregate over ALL the data (the oracle). This is the
+    crash-recovery contract that makes foreachBatch upserts safe to
+    re-run — checkpointed source offsets + last-write-wins sink."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from .session import tune_session
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="stream_resume_")
+    stage, src, sink, ckpt = (
+        f"{work}/stage",
+        f"{work}/src",
+        f"{work}/sink",
+        f"{work}/ckpt",
+    )
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    e.select("event_id", "user_id").repartition(4).write.parquet(stage)
+    files = sorted(
+        f for f in __import__("os").listdir(stage) if f.endswith(".parquet")
+    )
+    __import__("os").makedirs(src)
+
+    def _run_stream() -> None:
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+        def _upsert(batch, batch_id: int) -> None:
+            batch.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(_upsert)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .queryName(f"resume_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        q.awaitTermination()
+
+    # first run: half the files; second run: the rest land, same checkpoint
+    half = max(1, len(files) // 2)
+    for f in files[:half]:
+        shutil.copy(f"{stage}/{f}", f"{src}/{f}")
+    _run_stream()
+    for f in files[half:]:
+        shutil.copy(f"{stage}/{f}", f"{src}/{f}")
+    _run_stream()
+
+    cdc = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        cdc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n")
+    )
+
+
 # --- tokenizer vocab coverage curve -------------------------------------------
 
 

@@ -144,6 +144,50 @@ def test_metadata_columns_match_plain_counts(spark, queries):
     assert got == want
 
 
+def test_ann_filtered_topk_respects_predicate(spark, queries):
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    rows = queries["llm_ann_filtered_topk"](spark, SF).collect()
+    assert len(rows) == 50  # 10 queries x exact top-5 (pre-filter, never short)
+    labels = {
+        r.vec_id: r.label for r in _t(spark, SF, "embeddings").collect()
+    }
+    for r in rows:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert r.neighbor_id != r.query_id
+
+
+def test_observation_metrics_match_recompute(spark, queries):
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    m = queries["ext_observation_metrics"](spark, SF).collect()[0]
+    li = _t(spark, SF, "lineitem").filter(F.col("l_quantity") > 25)
+    want = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("s"),
+    ).collect()[0]
+    assert m.n_rows == want.n
+    assert m.sum_cents == want.s
+
+
+def test_checkpoint_resume_equals_batch(spark, queries):
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    got = {
+        (r.user_id, r.n)
+        for r in queries["stream_checkpoint_resume"](spark, SF).collect()
+    }
+    want = {
+        (r.user_id, r.n)
+        for r in _t(spark, SF, "events")
+        .filter(F.col("user_id") < 40)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_bpe_merge_step_descending_and_positive(spark, queries):
     rows = queries["llm_bpe_merge_step"](spark, SF).collect()
     assert len(rows) == 20
