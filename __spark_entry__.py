@@ -126,6 +126,9 @@ _PRIORITY = [
     "llm_ann_filtered_topk",
     "ext_observation_metrics",
     "stream_checkpoint_resume",
+    "llm_minhash_band_tuning",
+    "ext_hll_sketch_merge",
+    "ext_snapshot_time_travel",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

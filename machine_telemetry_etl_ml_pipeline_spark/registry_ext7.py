@@ -317,6 +317,207 @@ def llm_bigram_logprob(spark, sf_dir):
     )
 
 
+# --- MinHash LSH band tuning ---------------------------------------------------
+
+_BAND_SHINGLES_SQL = """
+  sh AS (
+    SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM (
+      SELECT doc_id, text,
+             unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+      FROM documents
+    )
+  ),
+  mh AS (
+    SELECT doc_id,
+           min(substr(md5(shingle), 1, 8))  AS mh1, min(substr(md5(shingle), 9, 8))  AS mh2,
+           min(substr(md5(shingle), 17, 8)) AS mh3, min(substr(md5(shingle), 25, 8)) AS mh4
+    FROM sh GROUP BY doc_id
+  )
+"""
+
+
+@register(
+    "llm_minhash_band_tuning",
+    f"""
+    WITH {_BAND_SHINGLES_SQL},
+    b41 AS (
+      SELECT doc_id, md5('b1|' || mh1) AS k FROM mh
+      UNION ALL SELECT doc_id, md5('b2|' || mh2) FROM mh
+      UNION ALL SELECT doc_id, md5('b3|' || mh3) FROM mh
+      UNION ALL SELECT doc_id, md5('b4|' || mh4) FROM mh
+    ),
+    b22 AS (
+      SELECT doc_id, md5('b1|' || mh1 || '|' || mh2) AS k FROM mh
+      UNION ALL SELECT doc_id, md5('b2|' || mh3 || '|' || mh4) FROM mh
+    ),
+    b14 AS (
+      SELECT doc_id,
+             md5('b1|' || mh1 || '|' || mh2 || '|' || mh3 || '|' || mh4) AS k
+      FROM mh
+    ),
+    p41 AS (SELECT count(*) AS n FROM (
+      SELECT DISTINCT l.doc_id, r.doc_id FROM b41 l
+      JOIN b41 r ON l.k = r.k AND l.doc_id < r.doc_id)),
+    p22 AS (SELECT count(*) AS n FROM (
+      SELECT DISTINCT l.doc_id, r.doc_id FROM b22 l
+      JOIN b22 r ON l.k = r.k AND l.doc_id < r.doc_id)),
+    p14 AS (SELECT count(*) AS n FROM (
+      SELECT DISTINCT l.doc_id, r.doc_id FROM b14 l
+      JOIN b14 r ON l.k = r.k AND l.doc_id < r.doc_id))
+    SELECT '4x1' AS config, 4 AS n_bands, 1 AS rows_per_band, n AS n_pairs FROM p41
+    UNION ALL
+    SELECT '2x2', 2, 2, n FROM p22
+    UNION ALL
+    SELECT '1x4', 1, 4, n FROM p14
+    """,
+)
+def llm_minhash_band_tuning(spark, sf_dir):
+    """LSH banding parameter sweep: candidate-pair counts for the
+    three band layouts of a 4-component MinHash signature (4 bands x
+    1 row = recall-leaning, 2x2 = balanced, 1x4 = precision-leaning)
+    — the probe a dedup pipeline runs to place the S-curve before
+    committing a config at full scale. The signature pipeline is
+    materialized ONCE (localCheckpoint) and each layout is a
+    band-keyed self-equi-join over its own exploded key set (band
+    index is baked into the key, so no cross-band collisions); counts
+    decrease monotonically as rows-per-band grows."""
+    from .llm.dedup import minhash_from_docs
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_from_docs(d).localCheckpoint(eager=True)
+
+    def pairs_count(groups, label, n_bands, rows_per_band):
+        keys = [
+            F.md5(
+                F.concat_ws("|", F.lit(f"b{bi}"), *[F.col(c) for c in cols])
+            )
+            for bi, cols in enumerate(groups, 1)
+        ]
+        banded = sigs.select("doc_id", F.explode(F.array(*keys)).alias("k"))
+        pairs = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.k") == F.col("r.k"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+            .distinct()
+        )
+        return pairs.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+            F.lit(label).alias("config"),
+            F.lit(n_bands).alias("n_bands"),
+            F.lit(rows_per_band).alias("rows_per_band"),
+            "n_pairs",
+        )
+
+    return (
+        pairs_count([["mh1"], ["mh2"], ["mh3"], ["mh4"]], "4x1", 4, 1)
+        .unionAll(pairs_count([["mh1", "mh2"], ["mh3", "mh4"]], "2x2", 2, 2))
+        .unionAll(pairs_count([["mh1", "mh2", "mh3", "mh4"]], "1x4", 1, 4))
+    )
+
+
+# --- re-aggregable HLL sketches ------------------------------------------------
+
+
+@register(
+    "ext_hll_sketch_merge",
+    """
+    SELECT count(DISTINCT event_id) AS n_exact,
+           true AS merged_within_5pct,
+           true AS direct_within_5pct
+    FROM events
+    """,
+)
+def ext_hll_sketch_merge(spark, sf_dir):
+    """Re-aggregable distinct-count sketches (Spark 4 Apache
+    DataSketches HLL): per-shard sketches merged with hll_union_agg
+    answer the same global NDV a direct single-pass sketch does — the
+    property that lets a 100 TB rollup keep pre-aggregated sketch
+    columns per partition. Merged and direct estimates are NOT
+    bit-identical (union promotes sparse shard sketches into a dense
+    target, so register states differ — measured 0.2-2.9% from exact
+    across sf0.001-0.1); both must land within the 5% band (~3 sigma
+    at lgConfigK=12), computed in-query with the oracle pinning the
+    invariants true alongside the exact NDV."""
+    e = _t(spark, sf_dir, "events")
+    shard = e.withColumn("g", F.col("user_id") % 8)
+    per_shard = shard.groupBy("g").agg(
+        F.hll_sketch_agg("event_id").alias("sk")
+    )
+    merged = per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = e.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("event_id")).alias("direct_est"),
+        F.countDistinct("event_id").alias("n_exact"),
+    )
+    return (
+        direct.crossJoin(F.broadcast(merged))
+        .select(
+            "n_exact",
+            (
+                F.abs(F.col("merged_est") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("merged_within_5pct"),
+            (
+                F.abs(F.col("direct_est") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("direct_within_5pct"),
+        )
+    )
+
+
+# --- snapshot time travel ------------------------------------------------------
+
+
+@register(
+    "ext_snapshot_time_travel",
+    """
+    SELECT 1 AS version, count(*) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT 2, count(*),
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def ext_snapshot_time_travel(spark, sf_dir):
+    """Snapshot-isolation time travel over a plain parquet layout:
+    append-only file commits tracked in a per-version manifest (the
+    Iceberg/Delta mechanism with the metadata layer inlined), reads
+    resolved AS OF each version from its file list — never by
+    directory listing, so an in-flight append can't tear a read. Both
+    snapshots are aggregated from their manifests and must equal the
+    oracle's filter-defined versions."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="time_travel_")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    o.filter(F.col("o_orderkey") < 1000).write.parquet(f"{base}/commit1")
+    o.filter(
+        (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)
+    ).write.parquet(f"{base}/commit2")
+    manifest = {1: [f"{base}/commit1"], 2: [f"{base}/commit1", f"{base}/commit2"]}
+
+    def snapshot(version: int):
+        return (
+            spark.read.parquet(*manifest[version])
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("sum_cents"),
+            )
+            .select(F.lit(version).alias("version"), "n_rows", "sum_cents")
+        )
+
+    return snapshot(1).unionAll(snapshot(2))
+
+
 # --- filtered vector search ----------------------------------------------------
 
 

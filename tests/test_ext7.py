@@ -188,6 +188,30 @@ def test_checkpoint_resume_equals_batch(spark, queries):
     assert got == want
 
 
+def test_band_tuning_monotone_recall(spark, queries):
+    rows = {r.config: r for r in queries["llm_minhash_band_tuning"](spark, SF).collect()}
+    assert set(rows) == {"4x1", "2x2", "1x4"}
+    # more bands with fewer rows => strictly more-or-equal candidates
+    assert rows["4x1"].n_pairs >= rows["2x2"].n_pairs >= rows["1x4"].n_pairs
+    # 2x2 must equal the production entry's pair count
+    n_22 = queries["llm_lsh_candidate_pairs"](spark, SF).count()
+    assert rows["2x2"].n_pairs == n_22
+
+
+def test_hll_sketch_invariants(spark, queries):
+    r = queries["ext_hll_sketch_merge"](spark, SF).collect()[0]
+    assert r.merged_within_5pct and r.direct_within_5pct
+    assert r.n_exact > 0
+
+
+def test_snapshot_time_travel_versions_nest(spark, queries):
+    rows = {r.version: r for r in queries["ext_snapshot_time_travel"](spark, SF).collect()}
+    assert set(rows) == {1, 2}
+    # version 2 is append-only on top of version 1
+    assert rows[2].n_rows >= rows[1].n_rows
+    assert rows[2].sum_cents >= rows[1].sum_cents
+
+
 def test_bpe_merge_step_descending_and_positive(spark, queries):
     rows = queries["llm_bpe_merge_step"](spark, SF).collect()
     assert len(rows) == 20
