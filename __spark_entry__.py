@@ -129,6 +129,10 @@ _PRIORITY = [
     "llm_minhash_band_tuning",
     "ext_hll_sketch_merge",
     "ext_snapshot_time_travel",
+    "udf_arrow_optimized",
+    "udf_pandas_iter",
+    "ext_null_semantics",
+    "ext_lateral_view_sql",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -317,6 +317,76 @@ def llm_bigram_logprob(spark, sf_dir):
     )
 
 
+# --- NULL semantics surface ----------------------------------------------------
+
+
+@register(
+    "ext_null_semantics",
+    """
+    SELECT event_id,
+           CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END AS null_safe_eq,
+           coalesce(a, b, -1) AS first_non_null,
+           CASE WHEN a IS NULL THEN 'was_null' ELSE 'had_value' END AS a_state
+    FROM (
+      SELECT event_id,
+             nullif(CAST(round(value * 100) AS BIGINT) % 7, 3) AS a,
+             nullif(CAST(round(value * 100) AS BIGINT) % 5, 2) AS b
+      FROM events
+    )
+    """,
+)
+def ext_null_semantics(spark, sf_dir):
+    """Three-valued-logic surface in one query: null-safe equality
+    (<=> / IS NOT DISTINCT FROM), nullif-manufactured NULLs, coalesce
+    chains, and nvl2 branching — the semantics corner where engines
+    disagree silently. All integer arithmetic; every NULL is
+    deterministic (nullif on a modulus), so the differential check
+    exercises NULL propagation, not data luck."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    a = F.nullif(cents % 7, F.lit(3))
+    b = F.nullif(cents % 5, F.lit(2))
+    return e.select(
+        "event_id",
+        F.when(a.eqNullSafe(b), 1).otherwise(0).alias("null_safe_eq"),
+        F.coalesce(a, b, F.lit(-1)).alias("first_non_null"),
+        F.nvl2(a, F.lit("had_value"), F.lit("was_null")).alias("a_state"),
+    )
+
+
+# --- Hive-style LATERAL VIEW SQL surface ---------------------------------------
+
+
+@register(
+    "ext_lateral_view_sql",
+    """
+    SELECT doc_id, w, count(*) AS n
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents WHERE doc_id < 20
+    )
+    GROUP BY doc_id, w
+    """,
+)
+def ext_lateral_view_sql(spark, sf_dir):
+    """Hive-style LATERAL VIEW explode() SQL syntax — the third
+    generator spelling next to DataFrame .explode and ANSI lateral
+    joins, still the dominant form in migrated warehouse SQL. Same
+    Generate physical node; the SQL-text path is what's under test."""
+    from .registry_ext2 import _views
+
+    _views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT doc_id, w, count(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(text, ' ')) t AS w
+        WHERE doc_id < 20 AND w <> ''
+        GROUP BY doc_id, w
+        """
+    )
+
+
 # --- MinHash LSH band tuning ---------------------------------------------------
 
 _BAND_SHINGLES_SQL = """

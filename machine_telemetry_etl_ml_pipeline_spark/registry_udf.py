@@ -11,6 +11,8 @@ in this repo uses it on a hot path.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import functions as F
@@ -177,3 +179,58 @@ def udf_map_in_arrow(spark, sf_dir):
                 yield b
 
     return e.mapInArrow(scale, "event_id long, cents long")
+
+
+@register(
+    "udf_arrow_optimized",
+    """
+    SELECT event_id,
+           CAST(round(value * 100) AS BIGINT) % 97 AS bucket97
+    FROM events
+    """,
+)
+def udf_arrow_optimized(spark, sf_dir):
+    """Arrow-optimized Python UDF (Spark 4 `useArrow=True`): the plain
+    @udf API with Arrow batch transfer under the hood — per-batch
+    serialization like pandas_udf, but row-wise Python logic (the
+    migration path for legacy @udf code that can't be vectorized).
+    Integer arithmetic end-to-end, so no rounding-mode traps."""
+
+    @F.udf("long", useArrow=True)
+    def bucket97(cents: int) -> int:
+        return cents % 97
+
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        bucket97(F.round(F.col("value") * 100).cast("long")).alias("bucket97"),
+    )
+
+
+@register(
+    "udf_pandas_iter",
+    """
+    SELECT event_id,
+           round(value - avg(value) OVER (), 4) AS delta_from_global
+    FROM events
+    """,
+)
+def udf_pandas_iter(spark, sf_dir):
+    """Iterator-form pandas_udf (Iterator[pd.Series] -> Iterator
+    [pd.Series]): expensive one-time state (here the broadcast global
+    mean) is initialized ONCE per executor task, then reused across
+    every Arrow batch — the pattern for model-per-task inference where
+    per-batch reinitialization would dominate. The global mean rides a
+    broadcast variable; the oracle recomputes it as a window over the
+    whole relation."""
+    e = _t(spark, sf_dir, "events")
+    mean_val = e.agg(F.avg("value")).collect()[0][0]
+    bc = spark.sparkContext.broadcast(mean_val)
+
+    @F.pandas_udf(DoubleType())
+    def delta(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        m = bc.value  # one lookup per task, reused across batches
+        for v in batches:
+            yield v - m
+
+    return e.select("event_id", F.round(delta("value"), 4).alias("delta_from_global"))
