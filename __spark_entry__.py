@@ -133,6 +133,7 @@ _PRIORITY = [
     "udf_pandas_iter",
     "ext_null_semantics",
     "ext_lateral_view_sql",
+    "llm_knn_label_accuracy",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -317,6 +317,110 @@ def llm_bigram_logprob(spark, sf_dir):
     )
 
 
+# --- k-NN label prediction accuracy --------------------------------------------
+
+
+@register(
+    "llm_knn_label_accuracy",
+    """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, label AS true_label, v AS qv
+      FROM e WHERE vec_id < 50
+    ),
+    scored AS (
+      SELECT query_id, true_label, e.label AS nlabel,
+             round(list_dot_product(qv, v)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(v, v))), 4) AS sim,
+             e.vec_id AS neighbor_id
+      FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    top5 AS (
+      SELECT query_id, true_label, nlabel
+      FROM (
+        SELECT query_id, true_label, nlabel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ),
+    votes AS (
+      SELECT query_id, true_label, nlabel, count(*) AS n_votes
+      FROM top5 GROUP BY query_id, true_label, nlabel
+    ),
+    pred AS (
+      SELECT query_id, true_label, nlabel AS pred_label
+      FROM (
+        SELECT query_id, true_label, nlabel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, nlabel) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT count(*) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred
+    """,
+)
+def llm_knn_label_accuracy(spark, sf_dir):
+    """k-NN classification accuracy (k=5, majority vote) over the
+    embedding table — the eval loop that scores an embedding space
+    before committing it to retrieval. Fully deterministic: cosine
+    rounded to 4dp with neighbor-id tiebreaks picks the SAME top-5 in
+    both engines, and vote ties break on the smaller label. Scale
+    shape: the 50-query panel is broadcast against the corpus (one
+    scan), votes/argmax are query-keyed aggregates; accuracy of a
+    full-corpus eval would swap the broadcast side for the LSH/IVF
+    candidate path like the ANN entries."""
+    from pyspark.sql.window import Window
+
+    from .llm.similarity import _as_double, cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    q = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("nlabel"),
+        F.round(cosine(F.col("qv"), F.col("v")), 4).alias("sim"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    w_sim = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    top5 = scored.withColumn("rnk", F.row_number().over(w_sim)).filter(
+        F.col("rnk") <= 5
+    )
+    votes = top5.groupBy("query_id", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("nlabel").asc()
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w_vote))
+        .filter(F.col("r") == 1)
+        .select("query_id", "true_label", F.col("nlabel").alias("pred_label"))
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).cast("long").alias("n_correct"),
+    )
+
+
 # --- NULL semantics surface ----------------------------------------------------
 
 

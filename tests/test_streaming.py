@@ -174,6 +174,16 @@ def test_watermark_drops_late_data(spark, tmp_path):
         # one more empty-ish cycle so the 08:00 window (end 09:00 <=
         # watermark 09:30) finalizes into the append output
         q.processAllAvailable()
+        # the engine must also ACCOUNT for the drop: exactly one row
+        # crossed the watermark (the observable ops teams alert on)
+        import json
+
+        dropped = 0
+        for p in q.recentProgress:
+            pj = json.loads(p.json) if hasattr(p, "json") else p
+            for op in pj.get("stateOperators", []):
+                dropped += op.get("numRowsDroppedByWatermark", 0)
+        assert dropped == 1, dropped
     finally:
         q.stop()
     rows = {str(r.window_start): r.n for r in spark.table(name).collect()}
