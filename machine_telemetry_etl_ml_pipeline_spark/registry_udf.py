@@ -234,3 +234,39 @@ def udf_pandas_iter(spark, sf_dir):
             yield v - m
 
     return e.select("event_id", F.round(delta("value"), 4).alias("delta_from_global"))
+
+
+@register(
+    "udf_map_in_pandas",
+    """
+    SELECT user_id, count(*) AS n_big,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events WHERE value > 50 GROUP BY user_id
+    """,
+)
+def udf_map_in_pandas(spark, sf_dir):
+    """mapInPandas: whole-partition Iterator[pd.DataFrame] ->
+    Iterator[pd.DataFrame] transform — the Python boundary for
+    per-partition logic that changes cardinality (filter + project
+    here, so the semantics stay oracle-checkable). The partial
+    per-batch pre-aggregation inside the UDF mirrors map-side combine;
+    the final groupBy reduces the pre-aggregated stream, exactly how a
+    custom Python scorer would feed a distributed aggregate."""
+    from collections.abc import Iterator as _It
+
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+
+    def prefilter(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            big = pdf[pdf["value"] > 50].copy()
+            if len(big) == 0:
+                continue
+            big["cents"] = (big["value"] * 100).round().astype("int64")
+            out = big.groupby("user_id", as_index=False).agg(
+                n_big=("cents", "size"), sum_cents=("cents", "sum")
+            )
+            yield out
+    partials = e.mapInPandas(prefilter, "user_id long, n_big long, sum_cents long")
+    return partials.groupBy("user_id").agg(
+        F.sum("n_big").alias("n_big"), F.sum("sum_cents").alias("sum_cents")
+    )
