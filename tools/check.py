@@ -92,7 +92,13 @@ def main():
 def run_sf(spark, ent, sf_dir, names):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # a table is either a single parquet file (driver testdata) or a
+        # Spark-written DIRECTORY of part files (e.g. the scale-probe
+        # replica) — glob the parts in the directory case
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     qs = ent.queries()
     oracles = ent.oracle_sql()
