@@ -165,3 +165,42 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     assert local == expected
     assert dist == expected
+
+
+@given(
+    counts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # user id
+            st.integers(min_value=1, max_value=5),   # events in this batch
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_batches=st.integers(min_value=1, max_value=5),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=50, deadline=None)
+def test_pruned_cdc_topk_lemma(counts, n_batches, k):
+    """Pure-Python validation of the stream_topk_update_mode lemma: for
+    ANY batch split of a monotone count stream, writing only each
+    batch's top-k changed keys and compacting last-write-wins still
+    yields the exact global top-k. (The Spark test covers one real
+    dataset; this covers the adversarial splits.)"""
+    batches: list[list[int]] = [[] for _ in range(n_batches)]
+    for i, (u, n) in enumerate(counts):
+        batches[i % n_batches].extend([u] * n)
+
+    running: dict[int, int] = {}
+    cdc: dict[int, tuple[int, int]] = {}  # user -> (batch_id, count at write)
+    for bid, batch in enumerate(batches):
+        changed = sorted(set(batch))
+        for u in batch:
+            running[u] = running.get(u, 0) + 1
+        ranked = sorted(changed, key=lambda u: (-running[u], u))[:k]
+        for u in ranked:
+            cdc[u] = (bid, running[u])
+
+    compacted = {u: n for u, (_, n) in cdc.items()}
+    got = sorted(compacted.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    want = sorted(running.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
