@@ -135,6 +135,7 @@ _PRIORITY = [
     "ext_lateral_view_sql",
     "llm_knn_label_accuracy",
     "udf_map_in_pandas",
+    "ext_bitwise_agg",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

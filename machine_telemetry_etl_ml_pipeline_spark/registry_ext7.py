@@ -421,6 +421,33 @@ def llm_knn_label_accuracy(spark, sf_dir):
     )
 
 
+# --- bitwise aggregates --------------------------------------------------------
+
+
+@register(
+    "ext_bitwise_agg",
+    """
+    SELECT event_type,
+           bit_and(CAST(round(value * 100) AS BIGINT)) AS all_bits,
+           bit_or(CAST(round(value * 100) AS BIGINT)) AS any_bits,
+           bit_xor(CAST(round(value * 100) AS BIGINT)) AS parity_bits
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_bitwise_agg(spark, sf_dir):
+    """Bitwise aggregate surface (bit_and/bit_or/bit_xor) — flag-mask
+    rollups and parity checksums over integer codes. Order-insensitive
+    by construction (bitwise ops commute), so cross-engine parity is
+    exact with no rounding convention needed."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.groupBy("event_type").agg(
+        F.bit_and(cents).alias("all_bits"),
+        F.bit_or(cents).alias("any_bits"),
+        F.bit_xor(cents).alias("parity_bits"),
+    )
+
+
 # --- NULL semantics surface ----------------------------------------------------
 
 
