@@ -136,6 +136,10 @@ _PRIORITY = [
     "llm_knn_label_accuracy",
     "udf_map_in_pandas",
     "ext_bitwise_agg",
+    "ext_asof_join_forward",
+    "llm_tfidf_topk_terms",
+    "ext_grouped_median",
+    "ext_decimal_exact",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

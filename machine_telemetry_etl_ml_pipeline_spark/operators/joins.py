@@ -90,3 +90,52 @@ def asof_join(
         *[F.col("__lrow").getField(c).alias(c) for c in lcols],
         *[F.col(f"{prefix}{p}") for p in payload],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    prefix: str = "next_",
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row
+    with the same key and right_ts >= left_ts (inclusive) — the
+    next-reading-after lookup (fill-forward's mirror).
+
+    Same union+window shape as asof_join, reflected: left rows sort
+    BEFORE right rows at equal ts and the first non-null payload is
+    taken over the FOLLOWING frame, so the inclusive (>=) semantics
+    hold with one shuffle on the key."""
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),  # left before right on ties
+        F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = l.unionByName(r).select(
+        "__side",
+        "__lrow",
+        *[F.first(f"__p_{p}", ignorenulls=True).over(w).alias(f"{prefix}{p}") for p in payload],
+    )
+    out = carried.filter(F.col("__side") == 0)
+    return out.select(
+        *[F.col("__lrow").getField(c).alias(c) for c in lcols],
+        *[F.col(f"{prefix}{p}") for p in payload],
+    )

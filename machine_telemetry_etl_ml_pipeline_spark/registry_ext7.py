@@ -421,6 +421,166 @@ def llm_knn_label_accuracy(spark, sf_dir):
     )
 
 
+# --- forward as-of join --------------------------------------------------------
+
+
+@register(
+    "ext_asof_join_forward",
+    """
+    SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
+           p.value, v.event_id AS next_event_id, v.value AS next_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def ext_asof_join_forward(spark, sf_dir):
+    """FORWARD as-of join: for each purchase, the user's EARLIEST view
+    at-or-after it — what-did-they-do-next attribution, the mirror of
+    ext_asof_join's latest-before lookup. Same union+window shape
+    (operators/joins.asof_join_forward), one shuffle on user_id,
+    first(ignorenulls) over the FOLLOWING frame; oracle is DuckDB's
+    native ASOF LEFT JOIN with the inequality flipped."""
+    from .operators.joins import asof_join_forward
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view")
+    out = asof_join_forward(
+        purchases, views, "user_id", "ts", "ts", ["event_id", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp(F.col("ts")).cast("long").alias("ts_epoch"),
+        "value",
+        "next_event_id",
+        "next_value",
+    )
+
+
+# --- TF-IDF keyword extraction -------------------------------------------------
+
+
+@register(
+    "llm_tfidf_topk_terms",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, w, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+      FROM tf JOIN df USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, w AS term, tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, w, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, w) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_tfidf_topk_terms(spark, sf_dir):
+    """TF-IDF keyword extraction: the 3 most characteristic terms per
+    document (tf x ln(N/df), deterministic term tiebreak) — the
+    classic document-labeling pass a curation pipeline runs for
+    clustering and topic mixes. Scale shape: tf is a (doc, term)
+    partial-aggregable count off ONE explode; df re-aggregates tf by
+    term (vocabulary-bounded); N is a 1-row broadcast; top-3 per doc
+    is a WindowGroupLimit-prunable window, never a global sort."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf", "rnk")
+    )
+
+
+# --- grouped exact percentiles -------------------------------------------------
+
+
+@register(
+    "ext_grouped_median",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(quantile_cont(value, 0.9), 4) AS p90_value,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_grouped_median(spark, sf_dir):
+    """Exact percentiles as GROUPED aggregates (median + p90 per
+    event type) — the per-segment latency/size SLO readout. Exact
+    percentile (not approx) matches DuckDB's quantile_cont
+    interpolation; the grouped form is partial-aggregable by
+    partition, unlike a global sort."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- exact DECIMAL money arithmetic --------------------------------------------
+
+
+@register(
+    "ext_decimal_exact",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))
+                    * CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(20,2)) AS total,
+           CAST(avg(CAST(round(value * 100) AS DECIMAL(18,0))
+                    * CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(20,4)) AS avg_amt
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_decimal_exact(spark, sf_dir):
+    """Exact DECIMAL money arithmetic: cents reconstructed as
+    DECIMAL(18,0), scaled by a DECIMAL literal, summed and averaged
+    with NO floating point anywhere — the financial-aggregation
+    guarantee (sum is order-independent and exact, unlike double).
+    Both engines cast the results to pinned scales (20,2)/(20,4) so
+    the canonical string forms agree digit-for-digit."""
+    e = _t(spark, sf_dir, "events")
+    amt = (
+        F.round(F.col("value") * 100).cast("decimal(18,0)")
+        * F.lit("0.01").cast("decimal(3,2)")
+    )
+    return e.groupBy("event_type").agg(
+        F.sum(amt).cast("decimal(20,2)").alias("total"),
+        F.avg(amt).cast("decimal(20,4)").alias("avg_amt"),
+    )
+
+
 # --- bitwise aggregates --------------------------------------------------------
 
 

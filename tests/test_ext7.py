@@ -212,6 +212,58 @@ def test_snapshot_time_travel_versions_nest(spark, queries):
     assert rows[2].sum_cents >= rows[1].sum_cents
 
 
+def test_asof_forward_is_mirror_of_backward(spark):
+    """On a crafted frame, forward as-of picks the earliest following
+    right row (inclusive), backward the latest preceding — the two
+    directions disagree exactly where they should."""
+    from machine_telemetry_etl_ml_pipeline_spark.operators.joins import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    left = spark.createDataFrame([(1, 10, "a"), (1, 20, "b")], "k int, t int, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 10, 200), (1, 25, 300)], "k int, t int, v int"
+    )
+    fwd = {r.tag: r.next_v for r in asof_join_forward(left, right, "k", "t", "t", ["v"]).collect()}
+    back = {r.tag: r.asof_v for r in asof_join(left, right, "k", "t", "t", ["v"]).collect()}
+    assert fwd == {"a": 200, "b": 300}   # inclusive >=: t=10 matches itself
+    assert back == {"a": 200, "b": 200}  # inclusive <=: latest at-or-before
+
+
+def test_tfidf_topk_terms_shape(spark, queries):
+    rows = queries["llm_tfidf_topk_terms"](spark, SF).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, rs in by_doc.items():
+        assert len(rs) <= 3
+        scores = [r.tfidf for r in sorted(rs, key=lambda r: r.rnk)]
+        assert scores == sorted(scores, reverse=True)
+        # a term in EVERY document has idf=0 and can never be characteristic
+        assert all(r.tfidf >= 0 for r in rs)
+
+
+def test_decimal_exact_is_order_independent(spark, queries):
+    """The decimal totals must be identical under a different partition
+    layout (float sums would not be)."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    base = {(r.event_type, str(r.total)) for r in queries["ext_decimal_exact"](spark, SF).collect()}
+    e = _t(spark, SF, "events").repartition(17)
+    amt = (
+        F.round(F.col("value") * 100).cast("decimal(18,0)")
+        * F.lit("0.01").cast("decimal(3,2)")
+    )
+    again = {
+        (r.event_type, str(r.total))
+        for r in e.groupBy("event_type")
+        .agg(F.sum(amt).cast("decimal(20,2)").alias("total"))
+        .collect()
+    }
+    assert base == again
+
+
 def test_bpe_merge_step_descending_and_positive(spark, queries):
     rows = queries["llm_bpe_merge_step"](spark, SF).collect()
     assert len(rows) == 20
