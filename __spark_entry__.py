@@ -140,6 +140,7 @@ _PRIORITY = [
     "llm_tfidf_topk_terms",
     "ext_grouped_median",
     "ext_decimal_exact",
+    "llm_source_temperature_mix",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -421,6 +421,59 @@ def llm_knn_label_accuracy(spark, sf_dir):
     )
 
 
+# --- temperature-scaled source mixing ------------------------------------------
+
+
+@register(
+    "llm_source_temperature_mix",
+    """
+    WITH counts AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM counts),
+    shares AS (
+      SELECT source, n_docs,
+             n_docs / total AS raw_share,
+             pow(n_docs / total, 0.7) AS unnorm
+      FROM counts CROSS JOIN tot
+    )
+    SELECT source, n_docs,
+           round(raw_share, 4) AS raw_share,
+           round(unnorm / (SELECT sum(unnorm) FROM shares), 4) AS temp_share,
+           CAST(round((unnorm / (SELECT sum(unnorm) FROM shares)) * 10000)
+                AS BIGINT) AS sample_quota_10k
+    FROM shares
+    """,
+)
+def llm_source_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (tau = 0.7): the exponentiated
+    re-weighting multilingual/multi-source training runs use to
+    up-sample small sources without flattening big ones (share^tau,
+    renormalized), plus the integer sample quota out of 10k — the
+    numbers a data-mixing config actually records. Pure arithmetic
+    over a source-keyed count (partial-aggregable; the normalization
+    constant is a 1-row broadcast)."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").cast("double").alias("total"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("raw_share"),
+        F.pow(F.col("n_docs") / F.col("total"), 0.7).alias("unnorm"),
+    )
+    z = shares.agg(F.sum("unnorm").alias("z"))
+    return shares.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round("raw_share", 4).alias("raw_share"),
+        F.round(F.col("unnorm") / F.col("z"), 4).alias("temp_share"),
+        F.round(F.col("unnorm") / F.col("z") * 10000)
+        .cast("long")
+        .alias("sample_quota_10k"),
+    )
+
+
 # --- forward as-of join --------------------------------------------------------
 
 

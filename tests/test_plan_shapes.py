@@ -243,3 +243,57 @@ def test_pack_sequences_no_global_window(spark, queries):
     # from the naive Exchange-SinglePartition global-window plan
     assert "rangepartitioning" in plan.lower()
     assert "spark_partition_id" in plan.lower()
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Dynamic partition pruning: a partitioned fact joined to a
+    filtered dim must scan ONLY the partitions the dim filter selects
+    — the subquery lands in the fact scan as dynamicpruning#N. At
+    100 TB this is what turns a full-table scan into reading one
+    partition directory. Results must equal the unpruned computation."""
+    from pyspark.sql import functions as F
+
+    fact_dir = str(tmp_path / "fact_by_type")
+    e = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    e.write.partitionBy("event_type").parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("signup", 2), ("click", 3), ("view", 4), ("error", 5)],
+        "event_type string, type_code int",
+    ).filter(F.col("type_code") <= 2)
+
+    confs = {
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+        # force the non-broadcast path so DPP must materialize its own
+        # subquery rather than riding a broadcast exchange
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_dir)
+        out = fact.join(dim, "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        row = out.collect()[0]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = (
+        e.filter(F.col("event_type").isin("purchase", "signup"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert (row.n, row.cents) == (want.n, want.cents)
