@@ -1152,8 +1152,10 @@ def ext_source_csv_corrupt(spark, sf_dir):
     "ext_collect_list_ordered",
     """
     SELECT user_id,
-           list(event_type ORDER BY ts, event_id) AS type_seq,
-           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS type_path
+           array_to_string(list(event_type ORDER BY ts, event_id), '>') AS type_path,
+           count(*) AS n_events,
+           (list(event_type ORDER BY ts, event_id))[1] AS first_type,
+           (list(event_type ORDER BY ts, event_id))[-1] AS last_type
     FROM events
     WHERE user_id < 20
     GROUP BY user_id
@@ -1165,13 +1167,19 @@ def ext_collect_list_ordered(spark, sf_dir):
     the portable idiom is collect structs carrying the sort key, then
     sort_array + transform to project the payload — equal to SQL's
     list(x ORDER BY ...) in any engine. The per-user event-type PATH is
-    the sessionized-journey shape downstream sequence models consume."""
+    the sessionized-journey shape downstream sequence models consume.
+    Output projects the ordered array to scalar columns (joined path,
+    ends, length) — the driver's canonicalizer cannot hash raw array
+    cells (round-3 lesson from llm_embedding_truncate). The sort key
+    is exact epoch-MICROS (unix_timestamp's whole seconds would let
+    sub-second orderings diverge from the oracle's full-resolution
+    ORDER BY ts)."""
     e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     seq = F.transform(
         F.sort_array(
             F.collect_list(
                 F.struct(
-                    F.unix_timestamp("ts").alias("ts_s"),
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
                     F.col("event_id").alias("eid"),
                     F.col("event_type").alias("t"),
                 )
@@ -1180,8 +1188,10 @@ def ext_collect_list_ordered(spark, sf_dir):
         lambda s: s["t"],
     )
     return e.groupBy("user_id").agg(
-        seq.alias("type_seq"),
         F.array_join(seq, ">").alias("type_path"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.element_at(seq, 1).alias("first_type"),
+        F.element_at(seq, -1).alias("last_type"),
     )
 
 

@@ -1074,13 +1074,19 @@ def llm_nearest_centroid_accuracy(spark, sf_dir):
       SELECT min(v) AS lo, max(v) AS hi FROM (
         SELECT unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings
       )
+    ),
+    coded AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(least(floor((x - mm.lo) / (mm.hi - mm.lo) * 256), 255)
+                         AS BIGINT)
+             ) AS codes
+      FROM embeddings, mm
+      WHERE vec_id < 50
     )
-    SELECT vec_id,
-           list_transform(CAST(embedding AS DOUBLE[]),
-             x -> CAST(least(floor((x - mm.lo) / (mm.hi - mm.lo) * 256), 255) AS BIGINT)
-           ) AS codes
-    FROM embeddings, mm
-    WHERE vec_id < 50
+    SELECT vec_id, CAST(i - 1 AS INT) AS dim_idx, codes[i] AS code
+    FROM (SELECT vec_id, codes, unnest(generate_series(1, len(codes))) AS i
+          FROM coded)
     """,
 )
 def llm_vector_quantize(spark, sf_dir):
@@ -1088,7 +1094,10 @@ def llm_vector_quantize(spark, sf_dir):
     min/max): 4 bytes/dim -> 1, the standard storage/bandwidth
     compression before ANN at 100 TB. floor (never round) keeps the
     code arithmetic bit-identical across engines; the min/max pass is
-    one partial-aggregable scan, applied as broadcast literals."""
+    one partial-aggregable scan, applied as broadcast literals. Codes
+    are posexploded to (vec_id, dim_idx, code) scalar rows — the
+    driver's canonicalizer cannot hash raw array cells (round-3
+    lesson from llm_embedding_truncate)."""
     e = _t(spark, sf_dir, "embeddings")
     mm = e.select(F.explode(F.transform("embedding", lambda x: x.cast("double"))).alias("v")).agg(
         F.min("v").alias("lo"), F.max("v").alias("hi")
@@ -1100,7 +1109,9 @@ def llm_vector_quantize(spark, sf_dir):
             F.floor((x.cast("double") - F.lit(lo)) / F.lit(hi - lo) * 256), F.lit(255.0)
         ).cast("long"),
     )
-    return e.filter(F.col("vec_id") < 50).select("vec_id", codes.alias("codes"))
+    return e.filter(F.col("vec_id") < 50).select(
+        "vec_id", F.posexplode(codes).alias("dim_idx", "code")
+    )
 
 
 @register(
