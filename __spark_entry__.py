@@ -141,6 +141,9 @@ _PRIORITY = [
     "ext_grouped_median",
     "ext_decimal_exact",
     "llm_source_temperature_mix",
+    "stream_stream_join_outer",
+    "llm_ngram_containment",
+    "llm_char_entropy",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -421,6 +421,210 @@ def llm_knn_label_accuracy(spark, sf_dir):
     )
 
 
+# --- watermarked left-outer stream-stream join ---------------------------------
+
+
+@register(
+    "stream_stream_join_outer",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+             - INTERVAL 2 HOUR AS w
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.user_id, c.event_id, CAST(NULL AS BIGINT),
+           CAST(floor(epoch(c.ts)) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM c, wm
+    WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_stream_join_outer(spark, sf_dir):
+    """Watermarked LEFT OUTER stream-stream join — the hard streaming
+    surface: matches emit immediately, but an UNMATCHED click can only
+    emit its null row once the watermark proves no purchase can still
+    arrive (click evicted when wm > c_ts + 30min, where the global wm
+    is min(per-side max event time) - 2h, advanced by the final
+    no-data micro-batch availableNow runs). The oracle states exactly
+    that: the batch left join, with null rows RESTRICTED to clicks
+    whose join window closed below the terminal watermark — clicks
+    newer than that hold their answer until more data arrives, which
+    is correct streaming semantics, not data loss (verified row-level
+    against the batch join at build time: only the terminal-window
+    clicks differ)."""
+    import uuid
+
+    from .session import tune_session
+    from .streaming.windows import events_testdata_stream
+
+    tune_session(spark)
+
+    def side(event_type, alias):
+        return (
+            events_testdata_stream(spark, sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user_id"),
+                F.col("event_id").alias(f"{alias}_event_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.unix_timestamp("c_ts").cast("long").alias("click_epoch"),
+        F.unix_timestamp("p_ts").cast("long").alias("purchase_epoch"),
+    )
+    name = f"stream_ssoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- n-gram containment (asymmetric near-dup) ----------------------------------
+
+
+@register(
+    "llm_ngram_containment",
+    """
+    WITH w3 AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(ws, i, i + 2), ' ') AS shingle
+      FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents WHERE doc_id < 40
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM w3 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+      FROM w3 a JOIN w3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(CAST(n_inter AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    """,
+)
+def llm_ngram_containment(spark, sf_dir):
+    """Containment (|A∩B| / min(|A|,|B|)) over word-3-gram sets — the
+    ASYMMETRIC near-dup measure that catches a document embedded
+    inside a larger one, where Jaccard dilutes toward zero (the quote/
+    boilerplate-inclusion case Jaccard-only dedup misses). Same
+    shingle-intersection machinery as llm_ngram_jaccard (candidate
+    pairs from shared shingles only, never all-pairs); only the
+    normalizer changes."""
+    from .llm.dedup import word_ngrams
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = word_ngrams(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_inter").cast("double") / F.least("sza", "szb"), 4
+            ).alias("containment"),
+        )
+    )
+
+
+# --- character-distribution entropy --------------------------------------------
+
+
+@register(
+    "llm_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(regexp_replace(text, ' ', '', 'g'), ''))
+               AS ch
+      FROM documents
+    ),
+    freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+    tot AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n FROM freq GROUP BY doc_id)
+    SELECT doc_id,
+           round(-sum((c / n) * ln(c / n)), 4) AS char_entropy,
+           count(*) AS n_distinct_chars
+    FROM freq JOIN tot USING (doc_id)
+    GROUP BY doc_id
+    """,
+)
+def llm_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document (spaces
+    excluded) — the cheap gibberish/boilerplate detector quality
+    filters run before anything tokenizes: near-zero entropy flags
+    repeated-character junk, unusually high flags binary-in-text.
+    One explode into a (doc, char)-keyed partial-aggregable count;
+    the alphabet is bounded, so the per-doc state is tiny at any
+    corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.col("text"), " ", ""), "")
+        ).alias("ch"),
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))), 4
+            ).alias("char_entropy"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+    )
+
+
 # --- temperature-scaled source mixing ------------------------------------------
 
 

@@ -264,6 +264,59 @@ def test_decimal_exact_is_order_independent(spark, queries):
     assert base == again
 
 
+def test_outer_stream_join_nulls_subset_of_batch(spark, queries):
+    """Streaming left-outer nulls must be a SUBSET of batch left-outer
+    nulls (the terminal-watermark window may hold some back, never
+    invent them), and matched rows must be identical."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    sres = queries["stream_stream_join_outer"](spark, SF).collect()
+    s_null = {r.click_id for r in sres if r.purchase_id is None}
+    s_match = {(r.click_id, r.purchase_id) for r in sres if r.purchase_id is not None}
+    e = _t(spark, SF, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    b = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).collect()
+    b_null = {r.click_id for r in b if r.purchase_id is None}
+    b_match = {(r.click_id, r.purchase_id) for r in b if r.purchase_id is not None}
+    assert s_match == b_match
+    assert s_null <= b_null
+    assert len(s_null) > 0
+
+
+def test_containment_dominates_jaccard(spark, queries):
+    """containment(A,B) >= jaccard(A,B) always (min <= union)."""
+    cont = {
+        (r.a, r.b): r.containment
+        for r in queries["llm_ngram_containment"](spark, SF).collect()
+    }
+    jac = {
+        (r.a, r.b): r.jaccard for r in queries["llm_ngram_jaccard"](spark, SF).collect()
+    }
+    assert set(jac) == set(cont)  # same candidate pairs
+    for k, j in jac.items():
+        assert cont[k] >= j - 1e-9
+
+
+def test_char_entropy_bounds(spark, queries):
+    import math
+
+    rows = queries["llm_char_entropy"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.char_entropy <= math.log(r.n_distinct_chars) + 1e-6
+
+
 def test_bpe_merge_step_descending_and_positive(spark, queries):
     rows = queries["llm_bpe_merge_step"](spark, SF).collect()
     assert len(rows) == 20
