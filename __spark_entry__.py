@@ -144,6 +144,8 @@ _PRIORITY = [
     "stream_stream_join_outer",
     "llm_ngram_containment",
     "llm_char_entropy",
+    "ml_fpgrowth_itemsets",
+    "ml_als_recommend",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

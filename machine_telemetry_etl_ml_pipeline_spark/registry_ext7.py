@@ -421,6 +421,120 @@ def llm_knn_label_accuracy(spark, sf_dir):
     )
 
 
+# --- frequent itemsets (FPGrowth vs SQL combinatorics) -------------------------
+
+
+@register(
+    "ml_fpgrowth_itemsets",
+    """
+    WITH baskets AS (
+      SELECT user_id, list(DISTINCT event_type) AS items FROM events
+      GROUP BY user_id
+    ),
+    n AS (SELECT count(*) AS n_baskets FROM baskets),
+    singles AS (
+      SELECT event_type AS itemset, count(DISTINCT user_id) AS freq
+      FROM events GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type || '+' || b.event_type AS itemset,
+             count(*) AS freq
+      FROM (SELECT DISTINCT user_id, event_type FROM events) a
+      JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1
+    ),
+    all_sets AS (
+      SELECT itemset, freq FROM singles UNION ALL SELECT itemset, freq FROM pairs
+    )
+    SELECT itemset, freq FROM all_sets CROSS JOIN n
+    WHERE freq >= 0.3 * n_baskets
+    """,
+)
+def ml_fpgrowth_itemsets(spark, sf_dir):
+    """Frequent-itemset mining (MLlib FPGrowth, minSupport 0.3) over
+    per-user event-type baskets, reported for itemsets of size <= 2 —
+    the co-occurrence catalog behind recommender/market-basket
+    features. FPGrowth's output is EXACT (a deterministic set for a
+    given support threshold), so the oracle recomputes it with SQL
+    combinatorics (distinct-pair joins); itemsets are canonicalized
+    as sorted '+'-joined strings to stay driver-hashable. Baskets are
+    user-keyed partial-aggregable collect_sets; the item domain is
+    bounded (5 event types), so the lattice is tiny at any scale."""
+    from pyspark.ml.fpm import FPGrowth
+
+    e = _t(spark, sf_dir, "events")
+    baskets = e.groupBy("user_id").agg(
+        F.collect_set("event_type").alias("items")
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.3, minConfidence=0.5
+    ).fit(baskets)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(F.array_sort("items"), "+").alias("itemset"),
+            F.col("freq"),
+        )
+    )
+
+
+# --- ALS collaborative filtering (invariant-checked) ---------------------------
+
+
+@register(
+    "ml_als_recommend",
+    """
+    SELECT count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_items,
+           true AS rmse_below_quarter_mean
+    FROM events
+    """,
+)
+def ml_als_recommend(spark, sf_dir):
+    """ALS matrix factorization (MLlib, rank 4, fixed seed) on the
+    user x event-type engagement matrix (mean value as the implicit
+    rating) — the collaborative-filtering surface. Factorization
+    output is seed-stable but float-iterative, so the driver-checkable
+    row is the INVARIANT: reconstruction RMSE on the training matrix
+    must land below a quarter of the global mean rating (the matrix is
+    near-complete at 5 items, so a rank-4 factorization must fit it
+    well), plus the matrix dimensions. The oracle pins the dimensions
+    and the invariant."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import StringIndexer
+    from pyspark.ml.recommendation import ALS
+
+    e = _t(spark, sf_dir, "events")
+    ratings = e.groupBy("user_id", "event_type").agg(
+        F.avg("value").alias("rating")
+    )
+    idx = StringIndexer(inputCol="event_type", outputCol="item_id").fit(ratings)
+    r = idx.transform(ratings).select(
+        F.col("user_id").cast("int").alias("user"),
+        F.col("item_id").cast("int").alias("item"),
+        F.col("rating").cast("float"),
+    )
+    als = ALS(
+        rank=4, maxIter=8, seed=7, regParam=0.05,
+        userCol="user", itemCol="item", ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    pred = als.fit(r).transform(r)
+    rmse = RegressionEvaluator(
+        metricName="rmse", labelCol="rating", predictionCol="prediction"
+    ).evaluate(pred)
+    mean_rating = r.agg(F.avg("rating")).collect()[0][0]
+    dims = r.agg(
+        F.countDistinct("user").alias("n_users"),
+        F.countDistinct("item").alias("n_items"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(dims.n_users, dims.n_items, bool(rmse < 0.25 * mean_rating))],
+        "n_users bigint, n_items bigint, rmse_below_quarter_mean boolean",
+    )
+
+
 # --- watermarked left-outer stream-stream join ---------------------------------
 
 
