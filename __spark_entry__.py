@@ -146,6 +146,8 @@ _PRIORITY = [
     "llm_char_entropy",
     "ml_fpgrowth_itemsets",
     "ml_als_recommend",
+    "llm_winnowing_fingerprints",
+    "ml_chi_square_assoc",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

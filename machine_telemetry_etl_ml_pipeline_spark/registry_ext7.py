@@ -421,6 +421,127 @@ def llm_knn_label_accuracy(spark, sf_dir):
     )
 
 
+# --- winnowing fingerprints (MOSS-style) ---------------------------------------
+
+
+@register(
+    "llm_winnowing_fingerprints",
+    """
+    WITH grams AS (
+      SELECT doc_id, i, md5(substr(text, i, 8)) AS h
+      FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM documents
+      )
+    ),
+    winmin AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams,
+             i
+      FROM grams
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp
+      FROM winmin WHERE i <= n_grams - 3
+    )
+    SELECT doc_id, count(*) AS n_fingerprints, min(fp) AS min_fp
+    FROM fps GROUP BY doc_id
+    """,
+)
+def llm_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprinting (the MOSS algorithm): hash
+    every 8-char gram, slide a window of 4 consecutive gram hashes,
+    keep each window's MINIMUM — guaranteeing any shared substring of
+    length >= 11 yields at least one shared fingerprint while storing
+    only ~2/(w+1) of the hashes. The fingerprint SET per document is
+    order-insensitive, so the entry reports its size and minimum
+    (hashable scalars). One Generate + one doc-keyed window + one
+    distinct — all partial-aggregable or doc-partitioned."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    idx = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+    ).alias("i")
+    grams = d.select("doc_id", idx, F.col("text")).select(
+        "doc_id", "i", F.md5(F.col("text").substr(F.col("i"), F.lit(8))).alias("h")
+    )
+    w_fwd = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    )
+    w_all = Window.partitionBy("doc_id")
+    winmin = grams.select(
+        "doc_id",
+        "i",
+        F.min("h").over(w_fwd).alias("fp"),
+        F.count(F.lit(1)).over(w_all).alias("n_grams"),
+    )
+    fps = (
+        winmin.filter(F.col("i") <= F.col("n_grams") - 3)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"), F.min("fp").alias("min_fp")
+    )
+
+
+# --- chi-square independence test ----------------------------------------------
+
+
+@register(
+    "ml_chi_square_assoc",
+    """
+    WITH obs AS (
+      SELECT event_type,
+             CASE WHEN value >= 100 THEN 1 ELSE 0 END AS hi,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT event_type, sum(o) AS row_n FROM obs GROUP BY event_type
+    ),
+    cols AS (SELECT hi, sum(o) AS col_n FROM obs GROUP BY hi),
+    tot AS (SELECT CAST(sum(o) AS DOUBLE) AS n FROM obs)
+    SELECT round(sum(pow(o - row_n * col_n / n, 2) / (row_n * col_n / n)), 4)
+             AS chi2,
+           CAST(( (SELECT count(*) FROM margins) - 1)
+                * ((SELECT count(*) FROM cols) - 1) AS BIGINT) AS dof
+    FROM obs JOIN margins USING (event_type) JOIN cols USING (hi) CROSS JOIN tot
+    """,
+)
+def ml_chi_square_assoc(spark, sf_dir):
+    """Chi-square test of independence (event type vs high-value flag)
+    — the feature-screening statistic a modeling pipeline computes
+    before one-hot encoding categoricals. Computed as pure SQL moments
+    (observed vs expected from the margins), identically in both
+    engines; the contingency table is category-bounded, so the whole
+    test is one partial-aggregable pass at any scale."""
+    e = _t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.col("value") >= 100).cast("int").alias("hi")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    cols = obs.groupBy("hi").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").cast("double").alias("n"))
+    joined = (
+        obs.join(margins, "event_type")
+        .join(F.broadcast(cols), "hi")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = F.col("row_n") * F.col("col_n") / F.col("n")
+    chi2 = joined.agg(
+        F.round(F.sum(F.pow(F.col("o") - expected, 2) / expected), 4).alias("chi2")
+    )
+    dof = margins.count() - 1, cols.count() - 1
+    return chi2.select(
+        "chi2", F.lit(dof[0] * dof[1]).cast("long").alias("dof")
+    )
+
+
 # --- frequent itemsets (FPGrowth vs SQL combinatorics) -------------------------
 
 
