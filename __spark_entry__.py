@@ -148,6 +148,8 @@ _PRIORITY = [
     "ml_als_recommend",
     "llm_winnowing_fingerprints",
     "ml_chi_square_assoc",
+    "ext_sql_tvf",
+    "ext_parameterized_sql",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

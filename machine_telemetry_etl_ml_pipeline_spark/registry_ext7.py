@@ -421,6 +421,67 @@ def llm_knn_label_accuracy(spark, sf_dir):
     )
 
 
+# --- SQL table-valued functions ------------------------------------------------
+
+
+@register(
+    "ext_sql_tvf",
+    """
+    SELECT i AS n, n2, CAST(i % 7 AS BIGINT) AS bucket
+    FROM (
+      SELECT unnest(generate_series(0, 999)) AS i,
+             unnest(generate_series(0, 999)) * 2 AS n2
+    )
+    """,
+)
+def ext_sql_tvf(spark, sf_dir):
+    """Table-valued functions in the FROM clause (range() as a SQL
+    relation) — the inline data-generation surface used for calendar
+    spines, test scaffolds, and cross products with real tables. The
+    range TVF parallelizes as a partitioned synthetic scan (no driver
+    materialization), unlike createDataFrame."""
+    return spark.sql(
+        """
+        SELECT id AS n, id * 2 AS n2, id % 7 AS bucket
+        FROM range(0, 1000)
+        """
+    )
+
+
+# --- parameterized SQL ---------------------------------------------------------
+
+
+@register(
+    "ext_parameterized_sql",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total
+    FROM events
+    WHERE value > 150 AND event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def ext_parameterized_sql(spark, sf_dir):
+    """Named-parameter SQL binding (spark.sql(..., args=...), Spark
+    3.4+): the injection-safe templating surface applications should
+    use instead of f-strings. Parameters bind as literals in the
+    analyzed plan, so constant folding and pushdown see them exactly
+    like inline constants."""
+    from .registry_ext2 import _views
+
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0D, 4) AS total
+        FROM events
+        WHERE value > :min_value AND event_type <> :excluded
+        GROUP BY event_type
+        """,
+        args={"min_value": 150, "excluded": "error"},
+    )
+
+
 # --- winnowing fingerprints (MOSS-style) ---------------------------------------
 
 
