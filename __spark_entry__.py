@@ -150,6 +150,7 @@ _PRIORITY = [
     "ml_chi_square_assoc",
     "ext_sql_tvf",
     "ext_parameterized_sql",
+    "ml_naive_bayes_sql",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

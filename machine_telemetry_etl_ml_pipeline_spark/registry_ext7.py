@@ -550,6 +550,124 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- SQL-exact multinomial Naive Bayes -----------------------------------------
+
+_NB_SPLIT = 400  # train: doc_id < 400; test: the rest
+
+
+@register(
+    "ml_naive_bayes_sql",
+    f"""
+    WITH words AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    train AS (SELECT * FROM words WHERE doc_id < {_NB_SPLIT}),
+    cls AS (
+      SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_words
+      FROM train GROUP BY lang
+    ),
+    prior AS (
+      SELECT lang, ln(CAST(n_docs AS DOUBLE)
+                      / (SELECT sum(n_docs) FROM cls)) AS lp
+      FROM cls
+    ),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM train),
+    wc AS (SELECT lang, w, count(*) AS c FROM train GROUP BY lang, w),
+    test_words AS (
+      SELECT doc_id, lang AS true_lang, w FROM words WHERE doc_id >= {_NB_SPLIT}
+    ),
+    scored AS (
+      SELECT t.doc_id, t.true_lang, cls.lang AS cand,
+             sum(ln((coalesce(wc.c, 0) + 1.0)
+                    / (cls.n_words + vocab.v))) AS loglik
+      FROM test_words t
+      CROSS JOIN cls CROSS JOIN vocab
+      LEFT JOIN wc ON wc.lang = cls.lang AND wc.w = t.w
+      GROUP BY 1, 2, 3, cls.n_words
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang
+      FROM (
+        SELECT s.doc_id, s.true_lang, s.cand,
+               row_number() OVER (
+                 PARTITION BY s.doc_id
+                 ORDER BY s.loglik + p.lp DESC, s.cand) AS r
+        FROM scored s JOIN prior p ON p.lang = s.cand
+      ) WHERE r = 1
+    )
+    SELECT count(*) AS n_test,
+           CAST(sum(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred
+    """,
+)
+def ml_naive_bayes_sql(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier, trained and scored
+    ENTIRELY in closed-form relational algebra (add-1 smoothing):
+    class priors and word-given-class log-probabilities are grouped
+    counts, scoring is a sum of joined log terms, argmax is a window —
+    byte-identical across engines, so the oracle checks the WHOLE
+    train/score/evaluate loop exactly (the regr_* idiom extended to
+    classification). Scale shape: wc is (class x vocab)-bounded; test
+    words join it on (lang, w) keys; no driver-side model object
+    exists at all."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    train = words.filter(F.col("doc_id") < _NB_SPLIT)
+    cls = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("n_words")
+    )
+    total_docs = cls.agg(F.sum("n_docs").alias("td"))
+    prior = cls.crossJoin(F.broadcast(total_docs)).select(
+        F.col("lang").alias("cand"),
+        F.log(F.col("n_docs").cast("double") / F.col("td")).alias("lp"),
+    )
+    vocab = train.agg(F.countDistinct("w").alias("v"))
+    wc = train.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    test_words = words.filter(F.col("doc_id") >= _NB_SPLIT).select(
+        "doc_id", F.col("lang").alias("true_lang"), "w"
+    )
+    cand = cls.select(F.col("lang").alias("cand"), "n_words")
+    scored = (
+        test_words.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            wc.select(F.col("lang").alias("cand"), "w", "c"),
+            ["cand", "w"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand", "n_words")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.col("n_words") + F.col("v"))
+                )
+            ).alias("loglik")
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        (F.col("loglik") + F.col("lp")).desc(), F.col("cand").asc()
+    )
+    pred = (
+        scored.join(F.broadcast(prior), "cand")
+        .withColumn("r", F.row_number().over(w_rank))
+        .filter(F.col("r") == 1)
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum(F.when(F.col("cand") == F.col("true_lang"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+
+
 # --- chi-square independence test ----------------------------------------------
 
 
