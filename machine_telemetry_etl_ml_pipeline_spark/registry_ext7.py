@@ -1,25 +1,41 @@
-"""Round-4 extension batch: streaming top-k materialization and two
-corpus-curation operators LLM training pipelines run at scale.
+"""Round-4 extension batch.
 
-- stream_topk_update_mode: update-output-mode top-k with per-batch
-  candidate pruning — the CDC sink stores O(k) rows per micro-batch
-  instead of every changed key, and last-write-wins compaction still
-  reconstructs the EXACT global top-k because the ranked metric
-  (count) is monotone non-decreasing (proof in the docstring);
-- llm_segment_dedup: C4-style corpus-wide duplicated-line removal,
-  adapted to the newline-free synthetic corpus as non-overlapping
-  10-word segments — keep the first occurrence (min (doc_id,
-  seg_idx)), report per-document retention;
-- llm_bpe_merge_step: the first merge step of BPE-style tokenizer
-  induction — global adjacent-pair frequencies, top-20 — built from
-  array zips (zero self-joins, zero windows; the pair stream is a
-  single Generate).
+Streaming operational guarantees: stream_topk_update_mode (pruned-CDC
+top-k, lossless for monotone counts — proof in docstring),
+stream_checkpoint_resume (exactly-once restart from a shared
+checkpoint), stream_stream_join_outer (LEFT OUTER interval join with
+the exact watermark-eviction rule encoded in the oracle),
+ext_session_dynamic_gap (per-event-gap session windows via running-max
+interval union).
+
+Corpus curation / tokenizer analytics: llm_segment_dedup (C4-style
+first-occurrence segment dedup), llm_bpe_merge_step (adjacent-pair
+merge counting), llm_bigram_logprob (add-one-smoothed bigram LM),
+llm_vocab_coverage (top-k token coverage curve),
+llm_minhash_band_tuning (LSH S-curve probe), llm_ngram_containment
+(asymmetric near-dup measure), llm_char_entropy (gibberish detector),
+llm_winnowing_fingerprints (MOSS window-min fingerprinting),
+llm_source_temperature_mix (share^tau sampling weights),
+llm_ann_filtered_topk / llm_knn_label_accuracy (metadata-filtered and
+label-vote vector search), llm_tfidf_topk_terms (keyword extraction).
+
+ML and stats: ml_fpgrowth_itemsets (exact SQL-combinatorics oracle),
+ml_als_recommend (invariant-checked factorization),
+ml_chi_square_assoc (contingency moments), ml_naive_bayes_sql (the
+whole NB train/score/evaluate loop in closed-form relational algebra).
+
+Engine/SQL surfaces: ext_source_xml, ext_metadata_columns,
+ext_observation_metrics, ext_hll_sketch_merge (re-aggregable NDV),
+ext_snapshot_time_travel, ext_null_semantics, ext_lateral_view_sql,
+ext_sql_tvf, ext_parameterized_sql, ext_bitwise_agg,
+ext_grouped_median, ext_decimal_exact, ext_asof_join_forward.
 
 Reference anchor: the reference's text/ETL surface stops at
 per-document feature extraction (/root/reference/project/
-data_processing.py); these extend the same documents table the way a
-training-data pipeline does. Float-parity convention (round-1
-memory): ratios rounded to 4dp on both sides; counts stay integer.
+data_processing.py); these extend the same tables the way a
+production analytics + training-data platform does. Float-parity
+convention (round-1 memory): ratios rounded to 4dp on both sides;
+counts and money stay integer/decimal-exact.
 """
 
 from __future__ import annotations

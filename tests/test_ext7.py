@@ -317,6 +317,20 @@ def test_char_entropy_bounds(spark, queries):
         assert 0.0 <= r.char_entropy <= math.log(r.n_distinct_chars) + 1e-6
 
 
+def test_naive_bayes_beats_majority_class(spark, queries):
+    """The NB classifier must beat always-predicting the majority
+    language on the held-out docs (else the whole loop is vacuous)."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    r = queries["ml_naive_bayes_sql"](spark, SF).collect()[0]
+    test = _t(spark, SF, "documents").filter(F.col("doc_id") >= 400)
+    majority = (
+        test.groupBy("lang").count().orderBy(F.desc("count")).collect()[0]["count"]
+    )
+    assert r.n_test == test.count()
+    assert r.n_correct >= majority
+
+
 def test_bpe_merge_step_descending_and_positive(spark, queries):
     rows = queries["llm_bpe_merge_step"](spark, SF).collect()
     assert len(rows) == 20
