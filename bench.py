@@ -65,6 +65,11 @@ HEADLINE = [
     "ext_salted_join",
     "llm_segment_dedup",
     "ext_session_dynamic_gap",
+    # round-4 batch 2: keyword extraction (explode + vocab-keyed join +
+    # group-limit window) and MOSS winnowing (doc-partitioned window-min
+    # over gram hashes) — the two heaviest new text paths.
+    "llm_tfidf_topk_terms",
+    "llm_winnowing_fingerprints",
 ]
 
 

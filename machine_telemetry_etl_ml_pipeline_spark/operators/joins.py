@@ -100,6 +100,7 @@ def asof_join_forward(
     right_ts: str,
     payload: Sequence[str],
     prefix: str = "next_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Forward as-of join: for each left row, the EARLIEST right row
     with the same key and right_ts >= left_ts (inclusive) — the
@@ -108,7 +109,14 @@ def asof_join_forward(
     Same union+window shape as asof_join, reflected: left rows sort
     BEFORE right rows at equal ts and the first non-null payload is
     taken over the FOLLOWING frame, so the inclusive (>=) semantics
-    hold with one shuffle on the key."""
+    hold with one shuffle on the key.
+
+    right_tiebreak: payload column ordering right rows that share an
+    exact (key, ts) — the smallest wins, making the pick deterministic
+    (found at the 10x scale probe, whose replicated copies create
+    exact ts ties; without it the chosen duplicate is
+    partition-order-dependent). NULL (left) rows sort last, so the
+    tiebreak never outranks the ts/side order."""
     lcols = left.columns
     l = left.select(
         F.col(key).alias("__k"),
@@ -124,9 +132,12 @@ def asof_join_forward(
         F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(p).alias(f"__p_{p}") for p in payload],
     )
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        order.append(F.col(f"__p_{right_tiebreak}").asc_nulls_last())
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = l.unionByName(r).select(

@@ -1127,14 +1127,19 @@ def ext_asof_join_forward(spark, sf_dir):
     ext_asof_join's latest-before lookup. Same union+window shape
     (operators/joins.asof_join_forward), one shuffle on user_id,
     first(ignorenulls) over the FOLLOWING frame; oracle is DuckDB's
-    native ASOF LEFT JOIN with the inequality flipped."""
+    native ASOF LEFT JOIN with the inequality flipped. event_id breaks
+    exact (user_id, ts) ties deterministically (smallest wins) — the
+    driver testdata has no such ties, so the oracle (whose ASOF has no
+    tiebreak syntax) agrees; on tied data only the duplicate choice
+    differs, never which left rows match."""
     from .operators.joins import asof_join_forward
 
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase")
     views = e.filter(F.col("event_type") == "view")
     out = asof_join_forward(
-        purchases, views, "user_id", "ts", "ts", ["event_id", "value"]
+        purchases, views, "user_id", "ts", "ts", ["event_id", "value"],
+        right_tiebreak="event_id",
     )
     return out.select(
         "event_id",
