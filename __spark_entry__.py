@@ -151,6 +151,7 @@ _PRIORITY = [
     "ext_sql_tvf",
     "ext_parameterized_sql",
     "ml_naive_bayes_sql",
+    "ext_crosstab",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

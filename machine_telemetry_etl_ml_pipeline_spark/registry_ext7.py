@@ -566,6 +566,35 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- contingency crosstab ------------------------------------------------------
+
+
+@register(
+    "ext_crosstab",
+    """
+    SELECT event_type AS event_type_hi,
+           CAST(sum(CASE WHEN value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS lo,
+           CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def ext_crosstab(spark, sf_dir):
+    """df.stat.crosstab: the pairwise contingency table (event type x
+    value band) — the first table an analyst prints before a chi-square
+    test. crosstab's output column names are the RHS values themselves;
+    they're projected to fixed names so the schema is stable for the
+    driver regardless of value order."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "band", F.when(F.col("value") >= 100, "hi").otherwise("lo")
+    )
+    ct = e.stat.crosstab("event_type", "band")
+    return ct.select(
+        F.col("event_type_band").alias("event_type_hi"),
+        F.col("lo").cast("long").alias("lo"),
+        F.col("hi").cast("long").alias("hi"),
+    )
+
+
 # --- SQL-exact multinomial Naive Bayes -----------------------------------------
 
 _NB_SPLIT = 400  # train: doc_id < 400; test: the rest
