@@ -152,6 +152,7 @@ _PRIORITY = [
     "ext_parameterized_sql",
     "ml_naive_bayes_sql",
     "ext_crosstab",
+    "ext_ewma_smoothing",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

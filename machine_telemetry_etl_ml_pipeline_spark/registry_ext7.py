@@ -566,6 +566,67 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- bounded-window EWMA smoothing ---------------------------------------------
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 8  # truncation window: weights below alpha*(1-alpha)^7 ~ 0.025 dropped
+
+
+def _ewma_terms_sql() -> str:
+    ws = [
+        f"{_EWMA_ALPHA} * pow({1 - _EWMA_ALPHA}, {k})"
+        f" * lag(value, {k}) OVER w"
+        for k in range(_EWMA_K)
+    ]
+    present = [
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL THEN "
+        f"{_EWMA_ALPHA} * pow({1 - _EWMA_ALPHA}, {k}) ELSE 0 END"
+        for k in range(_EWMA_K)
+    ]
+    return (
+        "("
+        + " + ".join(f"coalesce({t}, 0)" for t in ws)
+        + ") / ("
+        + " + ".join(present)
+        + ")"
+    )
+
+
+@register(
+    "ext_ewma_smoothing",
+    f"""
+    SELECT event_id, user_id,
+           round({_ewma_terms_sql()}, 4) AS ewma
+    FROM events WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ext_ewma_smoothing(spark, sf_dir):
+    """Exponentially-weighted moving average over each user's reading
+    series — the telemetry smoothing pass, truncated to the last 8
+    observations so the recursion becomes a FINITE weighted sum of
+    lags: w_k = alpha(1-alpha)^k renormalized over the lags actually
+    present (series heads aren't biased toward 0). Pure lag
+    arithmetic — identical closed form on both engines, no recursion,
+    no UDF; one user-keyed sort window at any scale. The infinite-
+    history recursive form is deliberately NOT used: its
+    (1-alpha)^(-i) rescaling trick overflows on long series."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_EWMA_K):
+        wk = _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k
+        lagv = F.lag("value", k).over(w)
+        num = num + F.coalesce(F.lit(wk) * lagv, F.lit(0.0))
+        den = den + F.when(lagv.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return e.select(
+        "event_id", "user_id", F.round(num / den, 4).alias("ewma")
+    )
+
+
 # --- contingency crosstab ------------------------------------------------------
 
 
