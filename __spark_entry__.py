@@ -153,6 +153,7 @@ _PRIORITY = [
     "ml_naive_bayes_sql",
     "ext_crosstab",
     "ext_ewma_smoothing",
+    "ext_mad_outliers",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -566,6 +566,69 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- robust MAD outlier detection ----------------------------------------------
+
+
+@register(
+    "ext_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, med.med,
+             quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med.med
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN abs(e.value - mad.med)
+                              > 3 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(mad.med, 4) AS median_value,
+           round(mad.mad, 4) AS mad_value
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, mad.med, mad.mad
+    """,
+)
+def ext_mad_outliers(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation (the
+    3-sigma rule with median/MAD instead of mean/stddev, x1.4826
+    normal-consistency factor) — the anomaly flagger that survives the
+    very outliers it hunts, the exactly-checkable complement to the
+    reference's IsolationForest (ml_kmeans_anomaly is the model-based
+    path; this is the closed-form path). Two grouped exact-percentile
+    passes plus a broadcast threshold join; category-bounded state."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"))
+    )
+    flagged = e.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type", "med", "mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n",
+        "n_outliers",
+        F.round("med", 4).alias("median_value"),
+        F.round("mad", 4).alias("mad_value"),
+    )
+
+
 # --- bounded-window EWMA smoothing ---------------------------------------------
 
 _EWMA_ALPHA = 0.3
