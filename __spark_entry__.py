@@ -154,6 +154,7 @@ _PRIORITY = [
     "ext_crosstab",
     "ext_ewma_smoothing",
     "ext_mad_outliers",
+    "llm_boilerplate_prefix",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

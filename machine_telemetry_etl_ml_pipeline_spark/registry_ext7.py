@@ -566,6 +566,50 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- boilerplate prefix detection ----------------------------------------------
+
+
+@register(
+    "llm_boilerplate_prefix",
+    """
+    WITH heads AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(
+               list_filter(string_split(text, ' '), x -> x <> ''), 1, 5), ' ')
+               AS head5
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, head5, count(*) AS n_docs
+      FROM heads GROUP BY source, head5
+    )
+    SELECT h.doc_id, h.source, f.n_docs AS prefix_family_size,
+           CASE WHEN f.n_docs >= 3 THEN 1 ELSE 0 END AS boilerplate_flag
+    FROM heads h JOIN freq f ON h.source = f.source AND h.head5 = f.head5
+    """,
+)
+def llm_boilerplate_prefix(spark, sf_dir):
+    """Boilerplate-header detection: documents from the same source
+    sharing their first 5 words are flagged as template families (the
+    scraped-page header/footer pattern C4-style cleaning strips before
+    dedup). The prefix fingerprint is an array-slice expression, the
+    family count a (source, prefix)-keyed partial-aggregable
+    aggregate joined back on its own key — no pairwise comparison
+    anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    head5 = F.array_join(F.slice(words_col(F.col("text")), 1, 5), " ")
+    heads = d.select("doc_id", "source", head5.alias("head5"))
+    freq = heads.groupBy("source", "head5").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return heads.join(freq, ["source", "head5"]).select(
+        "doc_id",
+        "source",
+        F.col("n_docs").alias("prefix_family_size"),
+        F.when(F.col("n_docs") >= 3, 1).otherwise(0).alias("boilerplate_flag"),
+    )
+
+
 # --- robust MAD outlier detection ----------------------------------------------
 
 

@@ -297,3 +297,22 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         .collect()[0]
     )
     assert (row.n, row.cents) == (want.n, want.cents)
+
+
+def test_cached_relation_plans_in_memory_scan(spark):
+    """Columnar cache surface: a .cache()d relation must plan as
+    InMemoryTableScan (TableCacheQueryStage under AQE), and
+    unpersist() must return downstream queries to the file scan — the
+    interactive-analytics working-set pattern."""
+    df = spark.read.parquet(f"{SF}/nation.parquet").cache()
+    try:
+        out = df.groupBy("n_regionkey").count()
+        out.collect()
+        assert "InMemoryTableScan" in out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        df.unpersist(blocking=True)
+    out2 = (
+        spark.read.parquet(f"{SF}/nation.parquet").groupBy("n_regionkey").count()
+    )
+    out2.collect()
+    assert "InMemoryTableScan" not in out2._jdf.queryExecution().executedPlan().toString()
