@@ -155,6 +155,8 @@ _PRIORITY = [
     "ext_ewma_smoothing",
     "ext_mad_outliers",
     "llm_boilerplate_prefix",
+    "ext_json_nested_roundtrip",
+    "ext_skew_metrics",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -566,6 +566,97 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- nested JSON round-trip ----------------------------------------------------
+
+
+@register(
+    "ext_json_nested_roundtrip",
+    """
+    SELECT l_orderkey,
+           count(*) AS n_lines,
+           CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumbers,
+           round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem WHERE l_orderkey < 100
+    GROUP BY l_orderkey
+    """,
+)
+def ext_json_nested_roundtrip(spark, sf_dir):
+    """Nested-JSON round trip: order lines are packed into a JSON
+    document per order (struct with an array of line structs via
+    to_json), then parsed back with from_json against an explicit
+    nested schema and re-flattened with explode — the
+    document-interchange path (event payloads, API dumps) exercised
+    end to end. The oracle aggregates the flat rows directly, so any
+    loss or type drift in the JSON round trip breaks the match."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    packed = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("line"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            ).alias("lines")
+        )
+        .select(
+            "l_orderkey",
+            F.to_json(F.struct(F.col("l_orderkey").alias("okey"), F.col("lines"))).alias(
+                "doc"
+            ),
+        )
+    )
+    schema = "okey bigint, lines array<struct<line:int, qty:double>>"
+    parsed = packed.select(
+        F.from_json("doc", schema).alias("j")
+    ).select(F.col("j.okey").alias("l_orderkey"), F.explode("j.lines").alias("ln"))
+    return parsed.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("ln.line").cast("long").alias("sum_linenumbers"),
+        F.round(F.sum("ln.qty"), 4).alias("sum_qty"),
+    )
+
+
+# --- join-key skew diagnostics --------------------------------------------------
+
+
+@register(
+    "ext_skew_metrics",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           round(quantile_cont(c::DOUBLE, 0.5), 4) AS p50_rows,
+           round(quantile_cont(c::DOUBLE, 0.99), 4) AS p99_rows,
+           round(max(c) / avg(c), 4) AS skew_factor
+    FROM per_key
+    """,
+)
+def ext_skew_metrics(spark, sf_dir):
+    """Join-key skew diagnostics (the pre-flight check before
+    partitioning a 100 TB join): per-key cardinality distribution and
+    the max/avg skew factor that decides between a plain shuffle, AQE
+    skew handling, and an explicit salt. One partial-aggregable count
+    plus a key-bounded percentile pass."""
+    e = _t(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").cast("long").alias("max_rows"),
+        F.round(F.percentile(F.col("c").cast("double"), F.lit(0.5)), 4).alias(
+            "p50_rows"
+        ),
+        F.round(F.percentile(F.col("c").cast("double"), F.lit(0.99)), 4).alias(
+            "p99_rows"
+        ),
+        F.round(F.max("c") / F.avg("c"), 4).alias("skew_factor"),
+    )
+
+
 # --- boilerplate prefix detection ----------------------------------------------
 
 
