@@ -157,6 +157,8 @@ _PRIORITY = [
     "llm_boilerplate_prefix",
     "ext_json_nested_roundtrip",
     "ext_skew_metrics",
+    "ext_percent_change_wow",
+    "ext_running_distinct_users",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -566,6 +566,106 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- week-over-week percent change ---------------------------------------------
+
+
+@register(
+    "ext_percent_change_wow",
+    """
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS wk, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(floor(epoch(wk)) AS BIGINT) AS week_epoch,
+           n,
+           round(CASE WHEN lag(n) OVER w IS NULL THEN NULL
+                      ELSE 100.0 * (n - lag(n) OVER w) / lag(n) OVER w
+                 END, 4) AS pct_change
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+    """,
+)
+def ext_percent_change_wow(spark, sf_dir):
+    """Week-over-week percent change per event type — the dashboard
+    delta every operational report leads with. Weekly rollup (partial-
+    aggregable) then a lag over the small (type x week) series; NULL
+    for the first week of each series rather than a fake 0."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "event_type",
+        F.unix_timestamp("wk").cast("long").alias("week_epoch"),
+        "n",
+        F.round(
+            F.when(prev.isNull(), F.lit(None)).otherwise(
+                100.0 * (F.col("n") - prev) / prev
+            ),
+            4,
+        ).alias("pct_change"),
+    )
+
+
+# --- cumulative distinct users (running DAU reach) -----------------------------
+
+
+@register(
+    "ext_running_distinct_users",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+      GROUP BY user_id
+    ),
+    daily_new AS (
+      SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(floor(epoch(CAST(d.day AS TIMESTAMP))) AS BIGINT) AS day_epoch,
+           CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(n.new_users, 0))
+                OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumulative_users
+    FROM days d LEFT JOIN daily_new n ON n.day = d.day
+    """,
+)
+def ext_running_distinct_users(spark, sf_dir):
+    """Cumulative distinct-user reach by day — running COUNT(DISTINCT)
+    without the (unsupported, and at scale unshuffleable) distinct
+    window aggregate: each user contributes on their FIRST day only
+    (a user-keyed min), daily new-user counts roll up, and a running
+    sum over the small day series yields the cumulative curve. The
+    heavy relation is touched once; the global window orders only
+    the date spine."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        days.join(daily_new, "day", "left")
+        .select("day", F.coalesce("new_users", F.lit(0)).alias("new_users"))
+        .select(
+            F.unix_timestamp(F.col("day").cast("timestamp")).cast("long").alias(
+                "day_epoch"
+            ),
+            F.col("new_users").cast("long").alias("new_users"),
+            F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+        )
+    )
+
+
 # --- nested JSON round-trip ----------------------------------------------------
 
 
