@@ -159,6 +159,7 @@ _PRIORITY = [
     "ext_skew_metrics",
     "ext_percent_change_wow",
     "ext_running_distinct_users",
+    "llm_dedup_cluster_sizes",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

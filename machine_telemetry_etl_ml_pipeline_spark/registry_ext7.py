@@ -566,6 +566,76 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- dedup cluster-size report -------------------------------------------------
+
+_CLUSTER_SIZES_ORACLE = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+        FROM documents
+      )
+    ),
+    mh AS (
+      SELECT doc_id,
+             min(substr(md5(shingle), 1, 8))  AS mh1, min(substr(md5(shingle), 9, 8))  AS mh2,
+             min(substr(md5(shingle), 17, 8)) AS mh3, min(substr(md5(shingle), 25, 8)) AS mh4
+      FROM sh GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, md5(mh1 || '|' || mh2) AS band_key FROM mh
+      UNION ALL
+      SELECT doc_id, md5(mh3 || '|' || mh4) AS band_key FROM mh
+    ),
+    edges AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+    reach AS (
+      WITH RECURSIVE reach0(src, dst) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, s.v FROM reach0 r JOIN sym s ON r.dst = s.u
+      )
+      SELECT * FROM reach0
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+"""
+
+
+@register("llm_dedup_cluster_sizes", _CLUSTER_SIZES_ORACLE)
+def llm_dedup_cluster_sizes(spark, sf_dir):
+    """Dedup impact report: the cluster-size histogram of the MinHash-
+    LSH near-dup graph — how many singletons, how many k-sized
+    families, and how many documents a keep-one policy would remove
+    (the number a curation run publishes before committing a dedup).
+    Built on the same bucket-star + pointer-jumping components as
+    llm_dedup_components; the rollup adds two tiny component-keyed
+    aggregations."""
+    from .llm.cluster import connected_components
+    from .llm.dedup import lsh_star_edges, minhash_from_docs
+
+    d = _t(spark, sf_dir, "documents")
+    comp = connected_components(
+        d.select("doc_id"), lsh_star_edges(minhash_from_docs(d))
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    )
+
+
 # --- week-over-week percent change ---------------------------------------------
 
 
