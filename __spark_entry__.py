@@ -160,6 +160,8 @@ _PRIORITY = [
     "ext_percent_change_wow",
     "ext_running_distinct_users",
     "llm_dedup_cluster_sizes",
+    "ext_grouping_id",
+    "ext_attribution_first_touch",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

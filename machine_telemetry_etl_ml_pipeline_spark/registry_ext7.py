@@ -566,6 +566,88 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- grouping() NULL disambiguation --------------------------------------------
+
+
+@register(
+    "ext_grouping_id",
+    """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           CAST(grouping(event_type) AS BIGINT) AS is_total,
+           count(*) AS n
+    FROM events GROUP BY ROLLUP(event_type)
+    """,
+)
+def ext_grouping_id(spark, sf_dir):
+    """grouping() disambiguation in ROLLUP output: the aggregate
+    NULL-vs-data NULL problem — a rollup total row and a genuine NULL
+    key both print NULL, and only grouping()/grouping_id() can tell
+    them apart (the correctness trap under every subtotal report).
+    The flag is carried alongside a coalesced label, exactly as a
+    report query would emit it."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.grouping("event_type").alias("g"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.col("g").cast("long").alias("is_total"),
+            "n",
+        )
+    )
+
+
+# --- first-touch attribution ---------------------------------------------------
+
+
+@register(
+    "ext_attribution_first_touch",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    touches AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             min(v.event_id ORDER BY v.ts, v.event_id) AS first_view_id
+      FROM p JOIN v
+        ON v.user_id = p.user_id
+       AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
+      GROUP BY p.event_id, p.user_id
+    )
+    SELECT purchase_id, user_id, first_view_id FROM touches
+    """,
+)
+def ext_attribution_first_touch(spark, sf_dir):
+    """First-touch attribution: for each purchase, the EARLIEST view
+    in the 24 hours before it — the credit-assignment query marketing
+    warehouses run nightly (last-touch is ext_asof_join; this is its
+    windowed-min sibling, and unlike as-of it needs the bounded range
+    join + min, not a carried value). The join is user-keyed with a
+    time-range predicate bounding state; min_by gives the earliest
+    view deterministically (event_id tiebreak via struct ordering)."""
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("v_ts") < F.col("p_ts")),
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(F.min(F.struct("v_ts", "view_id")).alias("first"))
+        .select("purchase_id", "user_id", F.col("first.view_id").alias("first_view_id"))
+    )
+
+
 # --- dedup cluster-size report -------------------------------------------------
 
 _CLUSTER_SIZES_ORACLE = """
