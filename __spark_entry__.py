@@ -162,6 +162,9 @@ _PRIORITY = [
     "llm_dedup_cluster_sizes",
     "ext_grouping_id",
     "ext_attribution_first_touch",
+    "ext_time_weighted_avg",
+    "ext_sessionized_funnel",
+    "ext_benford_screen",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

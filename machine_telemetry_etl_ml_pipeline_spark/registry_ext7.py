@@ -566,6 +566,179 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- time-weighted average (LOCF integral) -------------------------------------
+
+
+@register(
+    "ext_time_weighted_avg",
+    """
+    WITH o AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER w AS prev_t,
+             lag(value) OVER w AS prev_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           round(sum((t - prev_t) * prev_v) / sum(t - prev_t), 4) AS twa,
+           count(*) + 1 AS n_points
+    FROM o WHERE prev_t IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ext_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per user (last-observation-carried-forward
+    integral / elapsed time) — the telemetry mean that is CORRECT for
+    irregular sampling, where the naive row average over-weights burst
+    periods (TimescaleDB's time_weight). Exact epoch-microsecond lag
+    arithmetic; one user-keyed sort window, then a partial-aggregable
+    weighted sum."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    o = e.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lag(t).over(w).alias("prev_t"),
+        F.lag("value").over(w).alias("prev_v"),
+    ).filter(F.col("prev_t").isNotNull())
+    return o.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("t") - F.col("prev_t")) * F.col("prev_v"))
+            / F.sum(F.col("t") - F.col("prev_t")),
+            4,
+        ).alias("twa"),
+        (F.count(F.lit(1)) + 1).alias("n_points"),
+    )
+
+
+# --- funnel conversion WITHIN sessions -----------------------------------------
+
+
+@register(
+    "ext_sessionized_funnel",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    stages AS (
+      SELECT user_id, sid,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS t_purchase
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full_funnel
+    FROM stages
+    """,
+)
+def ext_sessionized_funnel(spark, sf_dir):
+    """Funnel conversion WITHIN 30-minute sessions: view -> click ->
+    purchase must occur in order INSIDE one session, not merely ever
+    (the product-analytics question ext_funnel_conversion's
+    whole-history form can't answer). Sessionization (gaps-and-
+    islands) and the ordered-stage check (min event time per stage,
+    strict ordering) run in one user-keyed sort window + one grouped
+    conditional aggregate."""
+    from pyspark.sql.window import Window
+
+    from .operators.windows import sessionized
+
+    e = _t(spark, sf_dir, "events")
+    s = sessionized(e, "user_id", "ts", 1800, tiebreak="event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    stages = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_view"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_view_click"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
+# --- Benford first-digit screening ---------------------------------------------
+
+
+@register(
+    "ext_benford_screen",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM events WHERE value >= 0.01
+    ),
+    counts AS (SELECT d, count(*) AS n FROM digits GROUP BY d),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM counts)
+    SELECT d AS first_digit, n,
+           round(n / total, 4) AS observed_share,
+           round(log10(1.0 + 1.0 / d), 4) AS benford_share
+    FROM counts CROSS JOIN tot
+    """,
+)
+def ext_benford_screen(spark, sf_dir):
+    """Benford first-digit screening: observed vs theoretical
+    log10(1 + 1/d) first-digit shares of the value column — the audit
+    pass fraud/data-quality teams run over money-like columns.
+    First digit extracted from exact integer cents (no float
+    formatting ambiguity); digit domain is 1-9, so everything after
+    the scan is constant-size."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value") >= 0.01)
+    d = F.substring(
+        F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    counts = e.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.round(F.col("n") / F.col("total"), 4).alias("observed_share"),
+        F.round(F.log10(1.0 + 1.0 / F.col("d")), 4).alias("benford_share"),
+    )
+
+
 # --- grouping() NULL disambiguation --------------------------------------------
 
 
