@@ -165,6 +165,8 @@ _PRIORITY = [
     "ext_time_weighted_avg",
     "ext_sessionized_funnel",
     "ext_benford_screen",
+    "llm_jaccard_histogram",
+    "ext_topn_other",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

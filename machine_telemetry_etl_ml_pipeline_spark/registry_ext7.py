@@ -566,6 +566,132 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- candidate-pair Jaccard histogram (threshold calibration) ------------------
+
+
+@register(
+    "llm_jaccard_histogram",
+    """
+    WITH w3 AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(ws, i, i + 2), ' ') AS shingle
+      FROM (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+        FROM (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents WHERE doc_id < 40
+        )
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM w3 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+      FROM w3 a JOIN w3 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT least(CAST(floor(n_inter / (sa.sz + sb.sz - n_inter) * 10)
+                        AS BIGINT), 9) AS bucket
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a
+      JOIN sizes sb ON sb.doc_id = b
+    )
+    SELECT bucket, round(bucket / 10.0, 1) AS bucket_lo, count(*) AS n_pairs
+    FROM jac GROUP BY bucket
+    """,
+)
+def llm_jaccard_histogram(spark, sf_dir):
+    """Similarity-threshold calibration: the histogram of exact
+    word-3-gram Jaccard over candidate pairs, in 0.1-wide buckets —
+    the distribution a dedup pipeline inspects to place its keep/drop
+    threshold before committing a full-corpus run (is the mass bimodal
+    near 0 and 1, or smeared?). Same shingle-intersection machinery as
+    llm_ngram_jaccard; buckets computed on exact integer-derived
+    floors (top bucket closed at 9 so jaccard=1.0 doesn't overflow
+    the domain)."""
+    from .llm.dedup import word_ngrams
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = word_ngrams(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("l")
+        .join(
+            sh.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            F.least(
+                F.floor(
+                    F.col("n_inter")
+                    / (F.col("sza") + F.col("szb") - F.col("n_inter"))
+                    * 10
+                ).cast("long"),
+                F.lit(9),
+            ).alias("bucket")
+        )
+    )
+    return jac.groupBy("bucket").agg(
+        F.round(F.col("bucket") / 10.0, 1).alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    ).select("bucket", "bucket_lo", "n_pairs")
+
+
+# --- top-N plus Other rollup ---------------------------------------------------
+
+
+@register(
+    "ext_topn_other",
+    """
+    WITH counts AS (
+      SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT event_type, n,
+             row_number() OVER (ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT CASE WHEN rnk <= 3 THEN event_type ELSE 'Other' END AS category,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(min(rnk) AS BIGINT) AS display_order
+    FROM ranked
+    GROUP BY CASE WHEN rnk <= 3 THEN event_type ELSE 'Other' END
+    """,
+)
+def ext_topn_other(spark, sf_dir):
+    """Top-N + 'Other' rollup — the pie-chart/legend query every BI
+    layer generates: the 3 largest categories keep their names, the
+    tail collapses into one bucket, with a deterministic display
+    order. Rank runs over the tiny category domain; the heavy count is
+    partial-aggregable."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("event_type"))),
+    )
+    cat = F.when(F.col("rnk") <= 3, F.col("event_type")).otherwise(F.lit("Other"))
+    return (
+        ranked.groupBy(cat.alias("category"))
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.min("rnk").cast("long").alias("display_order"),
+        )
+    )
+
+
 # --- time-weighted average (LOCF integral) -------------------------------------
 
 
