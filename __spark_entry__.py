@@ -167,6 +167,8 @@ _PRIORITY = [
     "ext_benford_screen",
     "llm_jaccard_histogram",
     "ext_topn_other",
+    "llm_oov_rate_by_source",
+    "ext_dq_rule_report",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

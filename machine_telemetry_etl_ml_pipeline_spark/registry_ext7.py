@@ -566,7 +566,137 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
-# --- candidate-pair Jaccard histogram (threshold calibration) ------------------
+# --- out-of-vocabulary rate by source ------------------------------------------
+
+
+@register(
+    "llm_oov_rate_by_source",
+    """
+    WITH words AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rnk
+        FROM words GROUP BY w
+      ) WHERE rnk <= 20
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS oov_rate
+    FROM words LEFT JOIN vocab v USING (w)
+    GROUP BY source
+    """,
+)
+def llm_oov_rate_by_source(spark, sf_dir):
+    """Out-of-vocabulary rate per source against a top-20 corpus
+    vocabulary — the per-slice tokenizer coverage readout that decides
+    which sources need vocab expansion (the drill-down behind
+    llm_vocab_coverage's global curve). The vocabulary is rank-bounded
+    and BROADCAST into a left join; token counting stays one pass."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(words_col(F.col("text"))).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+        )
+        .filter(F.col("rnk") <= 20)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+# --- one-pass data-quality rule report -----------------------------------------
+
+
+@register(
+    "ext_dq_rule_report",
+    """
+    SELECT 'value_negative' AS rule,
+           CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'value_above_1000',
+           CAST(count(CASE WHEN value > 1000 THEN 1 END) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'event_type_unknown',
+           CAST(count(CASE WHEN event_type NOT IN
+                ('click','view','purchase','signup','error') THEN 1 END) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'duplicate_event_id',
+           CAST((SELECT count(*) - count(DISTINCT event_id) FROM events) AS BIGINT)
+    UNION ALL
+    SELECT 'ts_out_of_2024',
+           CAST(count(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                            OR ts >= TIMESTAMP '2025-01-01' THEN 1 END) AS BIGINT)
+    FROM events
+    """,
+)
+def ext_dq_rule_report(spark, sf_dir):
+    """Data-quality rule report: five contract rules (range bounds,
+    domain membership, key uniqueness, timestamp window) evaluated as
+    conditional aggregates and emitted as a (rule, violations) table
+    — the expectations-suite shape (Great-Expectations-style) run as
+    ONE scan plus a distinct-count, not one job per rule."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.agg(
+        F.count(F.when(F.col("value") < 0, 1)).alias("value_negative"),
+        F.count(F.when(F.col("value") > 1000, 1)).alias("value_above_1000"),
+        F.count(
+            F.when(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                1,
+            )
+        ).alias("event_type_unknown"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+            "duplicate_event_id"
+        ),
+        F.count(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2025-01-01").cast("timestamp")),
+                1,
+            )
+        ).alias("ts_out_of_2024"),
+    )
+    rules = [
+        "value_negative",
+        "value_above_1000",
+        "event_type_unknown",
+        "duplicate_event_id",
+        "ts_out_of_2024",
+    ]
+    stacked = ", ".join(f"'{r}', {r}" for r in rules)
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stacked}) AS (rule, n_violations)"
+    ).select("rule", F.col("n_violations").cast("long").alias("n_violations"))
 
 
 @register(
