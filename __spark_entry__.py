@@ -169,6 +169,8 @@ _PRIORITY = [
     "ext_topn_other",
     "llm_oov_rate_by_source",
     "ext_dq_rule_report",
+    "ext_grouped_zscore",
+    "llm_corpus_dashboard",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

@@ -566,6 +566,102 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- grouped z-score normalization ---------------------------------------------
+
+
+@register(
+    "ext_grouped_zscore",
+    """
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS z
+    FROM events WHERE user_id < 30
+    """,
+)
+def ext_grouped_zscore(spark, sf_dir):
+    """Per-group z-score standardization (the grouped sibling of
+    ref_zscore_standardize's global scaler): each value is centered
+    and scaled by ITS OWN segment's moments via window aggregates —
+    feature engineering that respects per-segment distributions, one
+    type-keyed exchange, no second pass."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("event_type")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w),
+            4,
+        ).alias("z"),
+    )
+
+
+# --- one-row corpus dashboard --------------------------------------------------
+
+
+@register(
+    "llm_corpus_dashboard",
+    """
+    WITH ws AS (
+      SELECT doc_id, text, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    tok AS (SELECT sum(len(words)) AS n_tokens FROM ws),
+    voc AS (
+      SELECT count(DISTINCT w) AS vocab FROM (
+        SELECT unnest(words) AS w FROM ws
+      )
+    ),
+    dup AS (
+      SELECT count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+      FROM documents
+    )
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+           CAST(tok.n_tokens AS BIGINT) AS n_tokens,
+           voc.vocab AS vocab_size,
+           CAST(dup.n_exact_dups AS BIGINT) AS n_exact_dups,
+           round(CAST(tok.n_tokens AS DOUBLE)
+                 / (SELECT count(*) FROM documents), 4) AS mean_doc_tokens
+    FROM tok, voc, dup
+    """,
+)
+def llm_corpus_dashboard(spark, sf_dir):
+    """The one-row corpus dashboard a curation run prints first:
+    document/source counts, total tokens, vocabulary size, exact-dup
+    count, and mean document length — five partial-aggregable scans
+    composed as broadcast-joined singletons (each number is exactly
+    the one its dedicated operator computes; this is the headline
+    view)."""
+    d = _t(spark, sf_dir, "documents")
+    ws = words_col(F.col("text"))
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(ws)).alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_exact_dups"),
+    )
+    vocab = d.select(F.explode(ws).alias("w")).agg(
+        F.countDistinct("w").alias("vocab_size")
+    )
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs",
+            "n_sources",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "vocab_size",
+            F.col("n_exact_dups").cast("long").alias("n_exact_dups"),
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 4
+            ).alias("mean_doc_tokens"),
+        )
+    )
+
+
 # --- out-of-vocabulary rate by source ------------------------------------------
 
 
