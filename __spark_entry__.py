@@ -171,6 +171,7 @@ _PRIORITY = [
     "ext_dq_rule_report",
     "ext_grouped_zscore",
     "llm_corpus_dashboard",
+    "llm_length_bands_by_source",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",

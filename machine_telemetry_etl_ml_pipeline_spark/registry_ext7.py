@@ -566,6 +566,43 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     )
 
 
+# --- per-source document-length bands ------------------------------------------
+
+
+@register(
+    "llm_length_bands_by_source",
+    """
+    WITH lens AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS DOUBLE) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(quantile_cont(n_tokens, 0.1), 4) AS p10_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+    FROM lens GROUP BY source
+    """,
+)
+def llm_length_bands_by_source(spark, sf_dir):
+    """Document-length percentile bands per source (P10/P50/P90 token
+    counts) — the curation readout that exposes truncated or padded
+    slices before they skew packing and loss weighting. Length is an
+    array-size expression (no explode); exact grouped percentiles over
+    the source-bounded groups."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.size(words_col(F.col("text"))).cast("double")
+    lens = d.select("source", n.alias("n_tokens"))
+    return lens.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n_tokens", F.lit(0.1)), 4).alias("p10_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
+    )
+
+
 # --- grouped z-score normalization ---------------------------------------------
 
 
