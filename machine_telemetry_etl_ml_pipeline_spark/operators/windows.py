@@ -68,15 +68,33 @@ def sliding_buckets(df: DataFrame, ts_col: str, duration: str, slide: str) -> Da
     return df.withColumn("__w", F.window(ts_col, duration, slide))
 
 
-def sessionized(df: DataFrame, key: str, ts_col: str, gap_seconds: int, tiebreak: str) -> DataFrame:
+def sessionized(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str,
+    precision: str = "seconds",
+) -> DataFrame:
     """Session windows by gaps-and-islands: a new session starts when
     the gap to the previous event exceeds gap_seconds; session id is the
     running count of starts. One shuffle + one sort, no state store —
-    the batch analog of session_window()."""
+    the batch analog of session_window().
+
+    precision picks the gap comparison: "seconds" floors both
+    timestamps to whole seconds (unix_timestamp) — pair with oracles
+    that floor the same way; "micros" compares exact microsecond
+    deltas — pair with epoch_us-based oracles. Events carry
+    sub-second timestamps, so a gap in the (gap, gap+1s) band
+    classifies differently under the two rules; the query and its
+    oracle must use the SAME one."""
     w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
     prev = F.lag(ts_col).over(w)
-    is_start = (
-        prev.isNull()
-        | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_seconds)
-    ).cast("int")
+    if precision == "micros":
+        cur_t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        prev_t = F.unix_micros(prev.cast("timestamp"))
+        gap_over = (cur_t - prev_t) > (gap_seconds * 1_000_000)
+    else:
+        gap_over = (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_seconds
+    is_start = (prev.isNull() | gap_over).cast("int")
     return df.withColumn("session_id", F.sum(is_start).over(w))

@@ -1056,7 +1056,7 @@ def ext_sessionized_funnel(spark, sf_dir):
     from .operators.windows import sessionized
 
     e = _t(spark, sf_dir, "events")
-    s = sessionized(e, "user_id", "ts", 1800, tiebreak="event_id")
+    s = sessionized(e, "user_id", "ts", 1800, tiebreak="event_id", precision="micros")
     t = F.unix_micros(F.col("ts").cast("timestamp"))
     stages = s.groupBy("user_id", "session_id").agg(
         F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"),
@@ -1169,7 +1169,7 @@ def ext_grouping_id(spark, sf_dir):
     v AS (SELECT * FROM events WHERE event_type = 'view'),
     touches AS (
       SELECT p.event_id AS purchase_id, p.user_id,
-             min(v.event_id ORDER BY v.ts, v.event_id) AS first_view_id
+             first(v.event_id ORDER BY v.ts, v.event_id) AS first_view_id
       FROM p JOIN v
         ON v.user_id = p.user_id
        AND v.ts >= p.ts - INTERVAL 24 HOUR AND v.ts < p.ts
@@ -1711,7 +1711,7 @@ _NB_SPLIT = 400  # train: doc_id < 400; test: the rest
         SELECT s.doc_id, s.true_lang, s.cand,
                row_number() OVER (
                  PARTITION BY s.doc_id
-                 ORDER BY s.loglik + p.lp DESC, s.cand) AS r
+                 ORDER BY round(s.loglik + p.lp, 10) DESC, s.cand) AS r
         FROM scored s JOIN prior p ON p.lang = s.cand
       ) WHERE r = 1
     )
@@ -1770,8 +1770,12 @@ def ml_naive_bayes_sql(spark, sf_dir):
             ).alias("loglik")
         )
     )
+    # Rank on a fixed-precision score: float sum order differs between
+    # Spark's partition-dependent aggregation and DuckDB, so near-tied
+    # classes could argmax differently sub-ulp; rounding to 1e-10 with
+    # the cand tiebreak pins one cross-engine answer.
     w_rank = Window.partitionBy("doc_id").orderBy(
-        (F.col("loglik") + F.col("lp")).desc(), F.col("cand").asc()
+        F.round(F.col("loglik") + F.col("lp"), 10).desc(), F.col("cand").asc()
     )
     pred = (
         scored.join(F.broadcast(prior), "cand")
