@@ -39,139 +39,84 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate verifies a ~50-entry prefix of
 # queries() per round. Rotate the window each round: r1 covered the
-# reference + ext core, r2 covered TPC-H Q1/3/4/6/14 + the LLM suite +
-# subqueries/UDFs/windows, r3 completed TPC-H 22/22 + the round-2/3
-# LLM training-data ops + Spark-4/operational/streaming surfaces. The
-# r4 window below front-loads (a) the one r3 red row
-# (llm_embedding_truncate, output reshaped to scalar rows), (b) the 19
-# round-3 batch-2/3 additions that were queued just past the r3
-# boundary and have never had a driver row, (c) the §2A claims-audit
-# rows whose oracles have never been driver-proven (VERDICT r3 items
-# 2-3: sink defaults/DDL/JSON insert, string indexer, surrogate ids),
-# (d) entries whose implementation or oracle changed this round (BM25
-# corpus definition, IVF self-adjusting oracle, map_in_arrow rounding
-# pin, dedup-components conf fix) so their green rows stay fresh, and
-# (e) the remaining never-driver-checked backlog. The leftover
-# never-checked entries queue immediately after the boundary for r5.
+# reference + ext core, r2 TPC-H Q1/3/4/6/14 + LLM suite + UDFs, r3
+# completed TPC-H 22/22 + round-2/3 LLM ops + streaming surfaces, r4
+# went 50/50 green (red-row fix + claims audit + backlog). The r5
+# window below is the VERIFICATION round the r4 verdict mandated: all
+# 50 slots are never-driver-checked entries, highest engine-specific
+# risk first — (a) the streaming quartet (watermark eviction, state
+# store, checkpoint resume), (b) the exact SQL-ML batch, (c) the Arrow
+# UDF trio, (d) the three queries whose gap/oracle/ranking semantics
+# changed per ADVICE r4 (sessionized funnel micros gap, first-touch
+# oracle argmin, naive-bayes rounded ranking — naive bayes sits in
+# (b)), (e) engine surfaces (XML, _metadata, time travel, TVF,
+# parameterized SQL, HLL merge, null semantics, decimal), (f) float/
+# time-heavy stats, (g) the r4 LLM text/array batch. The remaining 19
+# never-checked entries + the ext_approx_count_distinct rows-only
+# re-proof are pinned right after the boundary as the r6 window.
 _PRIORITY = [
-    # (a) r3's only red row — array column reshaped to scalar rows
-    "llm_embedding_truncate",
-    # (b) round-3 additions queued past the r3 window boundary (never
-    # driver-verified; locally green only)
-    "llm_inverted_index",
-    "graph_pagerank",
-    "ext_incremental_rollup",
-    "ext_data_profile",
-    "ext_sample_stratified_exact",
-    "ext_python_datasource",
-    "ext_gap_fill_ffill",
-    "ext_rolling_median",
-    "ext_histogram",
-    "ml_linear_regression_sql",
-    "ext_fuzzy_levenshtein",
-    "llm_multimodal_framesample",
-    "ext_scd2_point_in_time_join",
-    "ext_try_arithmetic",
-    "llm_novel_ngram_ratio",
-    "ext_window_distinct_count",
-    "ext_group_by_all",
-    "stream_update_mode_upsert",
-    "ext_sql_unpivot_native",
-    # (c) §2A claims audit: oracles exist but no driver row has ever
-    # proven them (VERDICT r3 "What's wrong" #2, traceability rows 5/8/9)
-    "ref_sink_insert_defaults",
-    "ref_ddl_create_table",
-    "ref_sink_insert_json",
-    "ml_string_indexer",
-    "ref_surrogate_ids",
-    # (d) implementation/oracle changed this round — re-prove
-    "llm_bm25_score",
-    "llm_ann_ivf_recall",
-    "udf_map_in_arrow",
-    "llm_dedup_components",
-    # (e) remaining never-driver-checked backlog (21 of 25; the 4
-    # lowest-risk pure-column idioms wait for r5)
-    "llm_simhash_hamming_pairs",
-    "ext_join_right",
-    "ext_join_full_outer",
-    "ext_range_join",
-    "ext_join_hinted",
-    "ext_time_rollup",
-    "ext_not_in_subquery",
-    "ext_lateral_join",
-    "ext_percentile_approx_check",
-    "ext_intersect_all",
-    "ext_except_all",
-    "ext_collect_list_ordered",
-    "ext_approx_top_k",
-    "ext_window_time_range_frame",
-    "stream_foreach_batch_sink",
-    "stream_stream_join",
-    "llm_ann_bucket_counts",
-    "llm_fingerprint",
-    "llm_scrub_text",
-    "llm_repetition_stats",
-    "llm_minhash_jaccard_estimate",
-    # --- 50-entry window boundary ---
-    # r5 rotation queue: the round-4 additions, then the last
-    # never-driver-checked entries
-    "stream_topk_update_mode",
-    "llm_segment_dedup",
-    "llm_bpe_merge_step",
-    "ext_session_dynamic_gap",
-    "llm_bigram_logprob",
-    "llm_vocab_coverage",
-    "ext_source_xml",
-    "ext_metadata_columns",
-    "llm_ann_filtered_topk",
-    "ext_observation_metrics",
     "stream_checkpoint_resume",
-    "llm_minhash_band_tuning",
-    "ext_hll_sketch_merge",
-    "ext_snapshot_time_travel",
-    "udf_arrow_optimized",
-    "udf_pandas_iter",
-    "ext_null_semantics",
-    "ext_lateral_view_sql",
-    "llm_knn_label_accuracy",
-    "udf_map_in_pandas",
-    "ext_bitwise_agg",
-    "ext_asof_join_forward",
-    "llm_tfidf_topk_terms",
-    "ext_grouped_median",
-    "ext_decimal_exact",
-    "llm_source_temperature_mix",
     "stream_stream_join_outer",
-    "llm_ngram_containment",
-    "llm_char_entropy",
+    "stream_topk_update_mode",
+    "stream_stateful_user_stats",
+    "ml_naive_bayes_sql",
     "ml_fpgrowth_itemsets",
     "ml_als_recommend",
-    "llm_winnowing_fingerprints",
     "ml_chi_square_assoc",
+    "udf_arrow_optimized",
+    "udf_pandas_iter",
+    "udf_map_in_pandas",
+    "ext_sessionized_funnel",
+    "ext_attribution_first_touch",
+    "ext_source_xml",
+    "ext_metadata_columns",
+    "ext_snapshot_time_travel",
     "ext_sql_tvf",
     "ext_parameterized_sql",
-    "ml_naive_bayes_sql",
-    "ext_crosstab",
+    "ext_hll_sketch_merge",
+    "ext_null_semantics",
+    "ext_lateral_view_sql",
+    "ext_decimal_exact",
+    "ext_observation_metrics",
     "ext_ewma_smoothing",
     "ext_mad_outliers",
-    "llm_boilerplate_prefix",
-    "ext_json_nested_roundtrip",
-    "ext_skew_metrics",
-    "ext_percent_change_wow",
-    "ext_running_distinct_users",
-    "llm_dedup_cluster_sizes",
-    "ext_grouping_id",
-    "ext_attribution_first_touch",
     "ext_time_weighted_avg",
-    "ext_sessionized_funnel",
-    "ext_benford_screen",
-    "llm_jaccard_histogram",
-    "ext_topn_other",
-    "llm_oov_rate_by_source",
+    "ext_asof_join_forward",
+    "ext_grouped_median",
+    "ext_running_distinct_users",
+    "ext_json_nested_roundtrip",
+    "ext_session_dynamic_gap",
     "ext_dq_rule_report",
-    "ext_grouped_zscore",
-    "llm_corpus_dashboard",
+    "llm_winnowing_fingerprints",
+    "llm_segment_dedup",
+    "llm_bpe_merge_step",
+    "llm_bigram_logprob",
+    "llm_vocab_coverage",
+    "llm_tfidf_topk_terms",
+    "llm_ngram_containment",
+    "llm_char_entropy",
+    "llm_boilerplate_prefix",
+    "llm_minhash_band_tuning",
+    "llm_ann_filtered_topk",
+    "llm_knn_label_accuracy",
+    "llm_source_temperature_mix",
+    "llm_dedup_cluster_sizes",
+    "llm_jaccard_histogram",
+    "llm_oov_rate_by_source",
     "llm_length_bands_by_source",
+    "llm_corpus_dashboard",
+    # --- 50-entry window boundary ---
+    # r6 queue: the last never-driver-checked entries + the
+    # ext_approx_count_distinct rows-only re-proof. After these,
+    # zero registry entries lack a driver row.
+    "ext_crosstab",
+    "ext_grouping_id",
+    "ext_topn_other",
+    "ext_percent_change_wow",
+    "ext_bitwise_agg",
+    "ext_benford_screen",
+    "ext_skew_metrics",
+    "ext_grouped_zscore",
     "ext_distinct_subset",
     "ext_posexplode",
     "ext_month_boundaries",
@@ -182,178 +127,11 @@ _PRIORITY = [
     "llm_vector_quantize",
     "ext_sample",
     "ext_sample_stratified",
-    "stream_stateful_user_stats",
     "llm_multimodal_decode",
-    # then: r1-r3 driver-green entries in family order (their green
-    # rows persist; the local exact-bar sweep re-checks them each round)
-    "ext_salted_agg",
-    "tpch_q2",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    "llm_pack_sequences",
-    "llm_source_mix",
-    "llm_quality_filter_by_lang",
-    "llm_decontaminate",
-    "llm_unigram_logprob",
-    "llm_dedup_keep_first",
-    "llm_dedup_keep_best",
-    "llm_chunk_documents",
-    "llm_train_test_split",
-    "ext_recursive_cte",
-    "ext_variant_json",
-    "ext_sql_udf",
-    "udf_python_udtf",
-    "ext_compact_small_files",
-    "ext_dynamic_partition_overwrite",
-    "ext_source_csv_corrupt",
-    "ext_manifest_pruned_scan",
-    "ext_source_orc",
-    "stream_session_counts",
-    "stream_sliding_counts",
-    "stream_static_join",
-    "stream_dedup_within_watermark",
-    "ext_merge_upsert",
-    "ext_funnel_conversion",
-    "ext_cohort_retention",
-    "ext_gap_islands",
-    "ext_scd2_history",
-    "ext_salted_join",
-    # round-1 driver failures, now fixed — prove the fix
-    "ext_scalar_math",
-    "ext_window_running",
-    # TPC-H shapes (join/agg spine)
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q6",
-    "tpch_q4",
-    "tpch_q14",
-    # LLM-pipeline suite (graded first-class, zero driver rows in r1)
-    "llm_dedup_exact_stats",
-    "llm_minhash_signatures",
-    "llm_lsh_candidate_pairs",
-    "llm_ngram_jaccard",
-    "llm_simhash",
-    "llm_dedup_components",
-    "llm_cosine_topk",
-    "llm_ann_lsh_topk",
-    "llm_ann_multiprobe_topk",
-    "llm_embedding_neardup",
-    "llm_language_id",
-    "llm_token_counts",
-    "llm_quality_score",
-    "llm_pipeline_end_to_end",
-    "llm_multimodal_pack",
-    # subqueries
-    "ext_scalar_subquery",
-    "ext_correlated_subquery",
-    "ext_in_subquery",
-    # UDF surface
-    "udf_pandas_scalar",
-    "udf_apply_in_pandas",
-    "udf_python_row",
-    # window/scalar/agg entries with no r1 driver row
-    "ext_window_distribution",
-    "ext_window_first_last",
-    "ext_window_range_frame",
-    "ext_array_functions",
-    "ext_map_functions",
-    "ext_regexp_functions",
-    "ext_date_format",
-    "ext_pivot",
-    "ext_unpivot",
-    "ext_grouping_sets",
-    "ext_string_agg",
-    "ext_corr_covar",
-    "ext_salted_agg",
-    "ext_union_missing_cols",
-    # joins + streaming: keep one fresh driver row per family even in a
-    # 50-entry window (r1-verified, but the judge wants r2 rows too)
-    "ext_join_revenue_by_nation",
-    "ext_asof_join",
-    "stream_tumbling_counts",
-    # ML + sinks + sources + DDL (oracle-upgraded/added this round)
-    "ml_kmeans_anomaly",
-    "ml_gbt_regression_eval",
-    "ml_gbt_classifier_eval",
-    "ref_sink_batch_insert",
-    "ext_source_jsonl",
-    "ref_ddl_create_table",
-    # (r1/r2-verified core continues below in family order)
-    "llm_dedup_keep_first",
-    "llm_ann_bucket_counts",
-    "llm_simhash_hamming_pairs",
-    "ext_distinct_subset",
-    "ext_posexplode",
-    "ext_month_boundaries",
-    "ref_surrogate_ids",
-    "ext_time_rollup",
-    "ext_source_orc",
-    "ext_join_right",
-    "ext_join_full_outer",
-    "ext_range_join",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q19",
-    "ext_higher_order_funcs",
-    "stream_foreach_batch_sink",
-    "ext_not_in_subquery",
-    "ext_lateral_join",
-    "ext_percentile_approx_check",
-    "tpch_q13",
-    "tpch_q18",
-    "llm_fingerprint",
-    "llm_chunk_documents",
-    "llm_train_test_split",
-    "llm_scrub_text",
-    "llm_ann_ivf_recall",
-    "llm_dedup_keep_best",
-    "ext_join_hinted",
-    "ext_sample_stratified",
-    "stream_stream_join",
-    "ext_compact_small_files",
-    "ext_dynamic_partition_overwrite",
-    "udf_python_udtf",
-    "udf_map_in_arrow",
-    "ext_intersect_all",
-    "ext_except_all",
-    "ext_source_csv_corrupt",
-    "ext_collect_list_ordered",
-    "ext_manifest_pruned_scan",
-    "ext_recursive_cte",
-    "ext_variant_json",
-    "ext_sql_udf",
-    "llm_repetition_stats",
-    "llm_minhash_jaccard_estimate",
-    "ext_approx_top_k",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q21",
-    "llm_chunk_dedup_stats",
-    "llm_embedding_centroids",
-    "llm_nearest_centroid_accuracy",
-    "llm_vector_quantize",
-    "tpch_q22",
-    "ext_window_time_range_frame",
-    "tpch_q2",
-    "tpch_q11",
+    "ext_approx_count_distinct",
+    # r1-r4 driver-green entries follow in registry registration
+    # order (their green rows persist; the local exact-bar sweep
+    # re-checks all of them each round).
 ]
 
 
