@@ -70,6 +70,14 @@ HEADLINE = [
     # over gram hashes) — the two heaviest new text paths.
     "llm_tfidf_topk_terms",
     "llm_winnowing_fingerprints",
+    # round-5 additions (VERDICT r4 item 6): the multi-shuffle r4
+    # heavies — closed-form Naive Bayes (explode + broadcast-scored
+    # cross join + argmax window), running distinct reach (user-keyed
+    # first-seen window + day rollup), and the per-source length-band
+    # percentile report (grouped approx-percentile over documents).
+    "ml_naive_bayes_sql",
+    "ext_running_distinct_users",
+    "llm_length_bands_by_source",
 ]
 
 
