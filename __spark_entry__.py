@@ -129,6 +129,8 @@ _PRIORITY = [
     "ext_sample_stratified",
     "llm_multimodal_decode",
     "ext_approx_count_distinct",
+    # added in r5 (VERDICT r4 item 7): bucketed co-located join
+    "ext_bucketed_join_colocated",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -78,6 +78,10 @@ HEADLINE = [
     "ml_naive_bayes_sql",
     "ext_running_distinct_users",
     "llm_length_bands_by_source",
+    # round-5 (VERDICT r4 item 7): the co-located bucketed join — rep 1
+    # pays the bucketed write, so min-of-reps tracks the shuffle-free
+    # join itself (the recurring cost a nightly pipeline pays).
+    "ext_bucketed_join_colocated",
 ]
 
 

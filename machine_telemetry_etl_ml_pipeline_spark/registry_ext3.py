@@ -5,11 +5,12 @@ window.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
 
-from .operators.bucketing import salted_agg
+from .operators.bucketing import salted_agg, save_bucketed
 from .registry import _t, register
 
 
@@ -190,3 +191,64 @@ def stream_session_counts(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "ext_bucketed_join_colocated",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def ext_bucketed_join_colocated(spark, sf_dir):
+    """Co-located join on pre-bucketed tables — the 100 TB layout move
+    that removes the dominant shuffle of every recurring fact-fact
+    join (SURVEY §1.4: the reference's btree indexes become layout).
+    Both sides are persisted bucketed by the join key with the SAME
+    bucket count, so Catalyst plans a sort-merge join with NO Exchange
+    on either side; the only shuffle left in the plan is the final
+    5-group rollup. The bucketed write happens once per SF dir
+    (exists-check), so a second run — and a bench rep — measures the
+    join itself, which is the recurring cost a nightly pipeline pays.
+    The oracle recomputes the same revenue rollup from the logical
+    inputs, covering the bucketed write + read + join round trip."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
+    t_orders, t_items = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    def ensure(df, name, key):
+        if spark.catalog.tableExists(name):
+            return
+        # the catalog is per-session (in-memory metastore) but the
+        # warehouse dir persists: a table written by a previous session
+        # is an orphaned location here — clear it before recreating
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        save_bucketed(df, name, key, num_buckets=16, sort_col=key)
+
+    ensure(o, t_orders, "o_orderkey")
+    ensure(l, t_items, "l_orderkey")
+    # merge hint: at bench SFs the orders side fits the broadcast
+    # threshold and Catalyst would pick BHJ, never exercising the
+    # co-located path; at 100 TB both sides are fact-sized and SMJ is
+    # what runs, so pin it
+    joined = spark.table(t_orders).hint("merge").join(
+        spark.table(t_items),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -51,3 +51,25 @@ def test_salted_agg_rejects_non_algebraic(spark):
     df = spark.createDataFrame([("a", 1.0)], "k string, v double")
     with pytest.raises(ValueError, match="algebraic"):
         salted_agg(df, "k", [F.avg("v").alias("avg_v")]).collect()
+
+
+def test_registry_bucketed_join_entry_is_colocated(spark):
+    """The registry's ext_bucketed_join_colocated must plan its join
+    with NO shuffle on either side: the only Exchange in the executed
+    plan is the final 5-group rollup. Tested at sf0.001 (bucket specs,
+    not data volume, decide the plan shape)."""
+    from machine_telemetry_etl_ml_pipeline_spark import registry_ext3  # noqa: F401
+    from machine_telemetry_etl_ml_pipeline_spark.registry import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = REGISTRY["ext_bucketed_join_colocated"].fn(spark, sf_dir)
+    assert df.count() == 5
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan[:3000]
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS bkt_lineitem_{tag}")
