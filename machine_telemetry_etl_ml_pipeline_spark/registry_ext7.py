@@ -535,34 +535,52 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     length >= 11 yields at least one shared fingerprint while storing
     only ~2/(w+1) of the hashes. The fingerprint SET per document is
     order-insensitive, so the entry reports its size and minimum
-    (hashable scalars). One Generate + one doc-keyed window + one
-    distinct — all partial-aggregable or doc-partitioned."""
-    from pyspark.sql.window import Window
+    (hashable scalars).
 
+    Plan shape: the window-min never leaves the row — gram hashes are
+    an array column, the width-4 sliding min is a least-zip of the
+    array with its 1/2/3-shifted tails, and the per-doc report is
+    size/array_min of the distinct set. Zero shuffles, zero explode:
+    at 100 TB this is a pure narrow map over documents, versus the
+    exploded-gram plan that shuffled the full gram table three times
+    (window + distinct + rollup).
+
+    Expression-engine trap this encodes: a per-position lambda like
+    transform(sequence(1, n-3), j -> array_min(slice(hs, j, 4)))
+    is O(n^2) — CollapseProject inlines the md5-transform that
+    defines hs into the lambda body, and interpreted HOF eval then
+    rebuilds the whole hash array per window position (measured 90s
+    on 50 docs). zip_with evaluates its array arguments once per ROW,
+    and referencing hs four times in one projection blocks the
+    inlining, so the md5 pass runs exactly once."""
     d = _t(spark, sf_dir, "documents")
-    idx = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
-    ).alias("i")
-    grams = d.select("doc_id", idx, F.col("text")).select(
-        "doc_id", "i", F.md5(F.col("text").substr(F.col("i"), F.lit(8))).alias("h")
+    n_grams = F.greatest(F.length("text") - 7, F.lit(1))
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(8))),
     )
-    w_fwd = (
-        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    hashed = d.select("doc_id", n_grams.alias("n_grams"), gram_hashes.alias("hs"))
+
+    def shifted(k):
+        return F.slice(
+            F.col("hs"), k + 1, F.greatest(F.col("n_grams") - k, F.lit(1))
+        )
+
+    least = lambda a, b: F.least(a, b)  # noqa: E731 — null-safe min
+    m01 = F.zip_with(F.col("hs"), shifted(1), least)
+    m23 = F.zip_with(shifted(2), shifted(3), least)
+    minarr = F.zip_with(m01, m23, least)
+    # windows start at gram j = 1..n_grams-3; docs too short for one
+    # full window emit no fingerprints (absent from output, like the
+    # oracle's i <= n_grams - 3 filter)
+    win = hashed.filter(F.col("n_grams") >= 4).select(
+        "doc_id", "n_grams", minarr.alias("minarr")
     )
-    w_all = Window.partitionBy("doc_id")
-    winmin = grams.select(
+    fps = F.array_distinct(F.slice(F.col("minarr"), 1, F.col("n_grams") - 3))
+    return win.select("doc_id", fps.alias("fps")).select(
         "doc_id",
-        "i",
-        F.min("h").over(w_fwd).alias("fp"),
-        F.count(F.lit(1)).over(w_all).alias("n_grams"),
-    )
-    fps = (
-        winmin.filter(F.col("i") <= F.col("n_grams") - 3)
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    return fps.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"), F.min("fp").alias("min_fp")
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
     )
 
 
