@@ -138,7 +138,15 @@ def sklearn_iforest_scores(df: DataFrame, features: list[str] | None = None) -> 
     from pyspark.sql.types import DoubleType
 
     features = features or FEATURE_ORDER
-    sample = df.select(features).limit(100_000).toPandas()
+    # Fit sample: a seeded distributed sample capped by BYTES, not a
+    # limit() (limit funnels the head of the first partitions through
+    # one task and biases the fit toward early files; sample() scans
+    # evenly and keeps the Arrow transfer bounded regardless of row
+    # width). 8 bytes/double x n_features -> rows for a ~64 MiB draw.
+    target_rows = max(10_000, (64 << 20) // (8 * len(features)))
+    n = df.count()
+    frac = min(1.0, target_rows / max(n, 1))
+    sample = df.select(features).sample(fraction=frac, seed=42).toPandas()
     model = IsolationForest(n_estimators=100, random_state=42).fit(sample)
     spark = df.sparkSession
     b_model = spark.sparkContext.broadcast(model)
