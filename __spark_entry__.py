@@ -86,7 +86,9 @@ _PRIORITY = [
     "ext_running_distinct_users",
     "ext_json_nested_roundtrip",
     "ext_session_dynamic_gap",
-    "ext_dq_rule_report",
+    # backward as-of: implementation+oracle tie-pinned this round (the
+    # 10x differential red on its forward twin) — re-prove the green
+    "ext_asof_join",
     "llm_winnowing_fingerprints",
     "llm_segment_dedup",
     "llm_bpe_merge_step",
@@ -109,6 +111,7 @@ _PRIORITY = [
     # r6 queue: the last never-driver-checked entries + the
     # ext_approx_count_distinct rows-only re-proof. After these,
     # zero registry entries lack a driver row.
+    "ext_dq_rule_report",
     "ext_crosstab",
     "ext_grouping_id",
     "ext_topn_other",

@@ -51,6 +51,7 @@ def asof_join(
     right_ts: str,
     payload: Sequence[str],
     prefix: str = "asof_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with the same
     key and right_ts <= left_ts (inclusive).
@@ -59,6 +60,13 @@ def asof_join(
     last-seen right payload forward with last(..., ignorenulls=True)
     over an in-partition sort. Right rows sort BEFORE left rows at
     equal ts so the inclusive (<=) semantics hold.
+
+    right_tiebreak: payload column ordering right rows that share an
+    exact (key, ts) — the SMALLEST wins (same pick as the forward
+    variant), making the carried duplicate deterministic instead of
+    partition-order-dependent; tied right rows sort descending so the
+    last-seen carry lands on the smallest. Left rows carry NULL in the
+    payload and sort after right rows by side regardless.
     """
     lcols = left.columns
     l = left.select(
@@ -75,9 +83,12 @@ def asof_join(
         F.lit(None).cast(l.schema["__lrow"].dataType).alias("__lrow"),
         *[F.col(p).alias(f"__p_{p}") for p in payload],
     )
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if right_tiebreak is not None:
+        order.append(F.col(f"__p_{right_tiebreak}").desc_nulls_last())
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l.unionByName(r).select(

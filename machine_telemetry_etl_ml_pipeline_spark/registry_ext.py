@@ -136,21 +136,30 @@ def ext_join_theta(spark, sf_dir):
     "ext_asof_join",
     f"""
     SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
-           p.value, v.event_id AS asof_event_id, v.value AS asof_value
+           p.value,
+           first(v.event_id ORDER BY v.ts DESC, v.event_id) AS asof_event_id,
+           first(v.value ORDER BY v.ts DESC, v.event_id) AS asof_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id AND p.ts >= v.ts
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts, p.value
     """,
 )
 def ext_asof_join(spark, sf_dir):
     """As-of join: for each purchase, the user's latest view at-or-before
     it. Union+window formulation (operators/joins.py): ONE shuffle on
     user_id, linear in rows — vs. the naive equi+theta join which is
-    quadratic per key. Oracle is DuckDB's native ASOF LEFT JOIN."""
+    quadratic per key. event_id pins the pick among exact (user_id, ts)
+    ties on both engines (smallest wins): DuckDB's native ASOF reads
+    better as an oracle but has no tiebreak syntax, and the forward
+    variant's 10x differential red proved tied data then diverges."""
     e = _t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase")
     views = e.filter(F.col("event_type") == "view")
-    out = asof_join(purchases, views, "user_id", "ts", "ts", ["event_id", "value"])
+    out = asof_join(
+        purchases, views, "user_id", "ts", "ts", ["event_id", "value"],
+        right_tiebreak="event_id",
+    )
     return out.select(
         "event_id", "user_id", _epoch().alias("ts_epoch"), "value",
         "asof_event_id", "asof_value",

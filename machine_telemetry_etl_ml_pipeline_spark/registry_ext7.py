@@ -2239,10 +2239,13 @@ def llm_source_temperature_mix(spark, sf_dir):
     "ext_asof_join_forward",
     """
     SELECT p.event_id, p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_epoch,
-           p.value, v.event_id AS next_event_id, v.value AS next_value
+           p.value,
+           first(v.event_id ORDER BY v.ts, v.event_id) AS next_event_id,
+           first(v.value ORDER BY v.ts, v.event_id) AS next_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      ON p.user_id = v.user_id AND p.ts <= v.ts
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts, p.value
     """,
 )
 def ext_asof_join_forward(spark, sf_dir):
@@ -2250,12 +2253,13 @@ def ext_asof_join_forward(spark, sf_dir):
     at-or-after it — what-did-they-do-next attribution, the mirror of
     ext_asof_join's latest-before lookup. Same union+window shape
     (operators/joins.asof_join_forward), one shuffle on user_id,
-    first(ignorenulls) over the FOLLOWING frame; oracle is DuckDB's
-    native ASOF LEFT JOIN with the inequality flipped. event_id breaks
-    exact (user_id, ts) ties deterministically (smallest wins) — the
-    driver testdata has no such ties, so the oracle (whose ASOF has no
-    tiebreak syntax) agrees; on tied data only the duplicate choice
-    differs, never which left rows match."""
+    first(ignorenulls) over the FOLLOWING frame. event_id breaks exact
+    (user_id, ts) ties deterministically (smallest wins); the oracle
+    pins the SAME rule via first(x ORDER BY ts, event_id) over a
+    range-predicate left join — DuckDB's native ASOF reads better but
+    has no tiebreak syntax, and the 10x differential replica (which
+    mints exact ties across copies) proved the two engines then pick
+    different tie representatives."""
     from .operators.joins import asof_join_forward
 
     e = _t(spark, sf_dir, "events")
