@@ -554,6 +554,14 @@ def llm_winnowing_fingerprints(spark, sf_dir):
     and referencing hs four times in one projection blocks the
     inlining, so the md5 pass runs exactly once."""
     d = _t(spark, sf_dir, "documents")
+    # the narrow plan's parallelism equals the scan's split count; a
+    # small input (fewer splits than cores) gets one round-robin
+    # repartition of the RAW text — far cheaper than the exploded gram
+    # table the window formulation shuffled three times — while a
+    # 100 TB input already has >> cores splits and skips the branch
+    cores = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < cores:
+        d = d.repartition(cores)
     n_grams = F.greatest(F.length("text") - 7, F.lit(1))
     gram_hashes = F.transform(
         F.sequence(F.lit(1), n_grams),
