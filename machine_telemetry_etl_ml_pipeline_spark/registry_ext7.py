@@ -1764,25 +1764,41 @@ def ml_naive_bayes_sql(spark, sf_dir):
         "doc_id", "lang", F.explode(words_col(F.col("text"))).alias("w")
     )
     train = words.filter(F.col("doc_id") < _NB_SPLIT)
-    cls = train.groupBy("lang").agg(
-        F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("n_words")
+    # ONE shuffle over the exploded train corpus: the (lang, word)
+    # count table. Everything class-level re-derives from wc's
+    # (class x vocab)-bounded output instead of re-exploding the
+    # corpus (n_words = sum of c; vocabulary = distinct w); per-class
+    # doc counts come from the unexploded documents scan filtered the
+    # same way the oracle's train_words CTE is (docs with >= 1 token,
+    # via size(words_col) — an empty doc must not count toward the
+    # prior on only one engine).
+    wc = train.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    cls_words = wc.groupBy("lang").agg(F.sum("c").alias("n_words"))
+    vocab = wc.agg(F.countDistinct("w").alias("v"))
+    cls_docs = (
+        d.filter(
+            (F.col("doc_id") < _NB_SPLIT) & (F.size(words_col(F.col("text"))) > 0)
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    total_docs = cls.agg(F.sum("n_docs").alias("td"))
-    prior = cls.crossJoin(F.broadcast(total_docs)).select(
+    total_docs = cls_docs.agg(F.sum("n_docs").alias("td"))
+    prior = cls_docs.crossJoin(F.broadcast(total_docs)).select(
         F.col("lang").alias("cand"),
         F.log(F.col("n_docs").cast("double") / F.col("td")).alias("lp"),
     )
-    vocab = train.agg(F.countDistinct("w").alias("v"))
-    wc = train.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
     test_words = words.filter(F.col("doc_id") >= _NB_SPLIT).select(
         "doc_id", F.col("lang").alias("true_lang"), "w"
     )
-    cand = cls.select(F.col("lang").alias("cand"), "n_words")
+    cand = cls_words.select(F.col("lang").alias("cand"), "n_words")
+    # wc is (class x vocabulary)-bounded — broadcast it so the test
+    # corpus is never shuffled for the score join (the corpus-never-
+    # shuffles rule every retrieval entry in this engine follows)
     scored = (
         test_words.crossJoin(F.broadcast(cand))
         .crossJoin(F.broadcast(vocab))
         .join(
-            wc.select(F.col("lang").alias("cand"), "w", "c"),
+            F.broadcast(wc.select(F.col("lang").alias("cand"), "w", "c")),
             ["cand", "w"],
             "left",
         )
