@@ -23,6 +23,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext4  # noqa: E402,
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext5  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext6  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext7  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext8  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -134,6 +135,11 @@ _PRIORITY = [
     "ext_approx_count_distinct",
     # added in r5 (VERDICT r4 item 7): bucketed co-located join
     "ext_bucketed_join_colocated",
+    # added in r5: corpus-curation batch (registry_ext8)
+    "llm_quota_sample_by_source",
+    "ext_shard_balance_report",
+    "llm_embedding_norm_stats",
+    "llm_zipf_topk_terms",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
