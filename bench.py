@@ -106,12 +106,21 @@ def main() -> None:
     # JVM/codegen warm-up on a cheap query; not counted.
     run_once("ref_filter_range")
 
-    # best-of-N per query: single runs swing ±20% with ambient machine
-    # load; the min is the least-noise estimate of the plan's cost
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # best-of-N per query: single runs swing ±20-100% with JIT warmup
+    # and ambient machine load (measured r5: first rep of a query can
+    # be 2-4x its steady state). Reps are INTERLEAVED — the whole
+    # suite runs N times round-robin and each query keeps its min — so
+    # a multi-second ambient stall lands on one pass of many queries
+    # instead of consuming every rep of one query, and by the later
+    # passes the JVM is fully warm for everything.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        per_query[name] = round(min(run_once(name) for _ in range(reps)), 3)
+    for _ in range(reps):
+        for name in HEADLINE:
+            t = run_once(name)
+            if name not in per_query or t < per_query[name]:
+                per_query[name] = t
+    per_query = {n: round(t, 3) for n, t in per_query.items()}
 
     total = round(sum(per_query.values()), 3)
     # The headline set grew round-over-round (14 -> 19 queries), so the
