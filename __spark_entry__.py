@@ -24,6 +24,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext5  # noqa: E402,
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext6  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext7  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext8  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext9  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -140,6 +141,13 @@ _PRIORITY = [
     "ext_shard_balance_report",
     "llm_embedding_norm_stats",
     "llm_zipf_topk_terms",
+    # added in r5 batch 2 (registry_ext9): Spark-4 SQL surfaces +
+    # graph/time-series/iterative-ML analytics
+    "ext_sql_pipe_syntax",
+    "ext_collation_ci",
+    "ext_autocorrelation",
+    "graph_triangle_count",
+    "ml_logistic_regression_gd",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

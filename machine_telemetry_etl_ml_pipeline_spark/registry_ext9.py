@@ -1,0 +1,366 @@
+"""Ninth extension batch (round 5, batch 2): Spark-4 SQL surfaces the
+engine had not yet exercised (pipe syntax, string collations), plus
+three analytics capabilities a telemetry/corpus warehouse needs —
+lag-k autocorrelation, distributed triangle counting on a sparse
+co-occurrence graph, and a fixed-iteration logistic-regression
+gradient descent whose float trajectory is pinned cross-engine.
+
+The reference has no analog for any of these (its whole query surface
+is the psycopg2 strings in /root/reference/project/db.py:77-475);
+they extend §2B per the build mandate. Every entry is exact-oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+from .registry_ext2 import _views
+
+
+@register(
+    "ext_sql_pipe_syntax",
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+             round(sum(l_quantity), 4) AS sum_qty,
+             round(avg(l_extendedprice), 4) AS avg_price
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT * FROM g WHERE n_rows > 100
+    ORDER BY n_rows DESC, l_returnflag, l_linestatus LIMIT 4
+    """,
+)
+def ext_sql_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0+): the linear `|>` form of
+    scan -> filter -> aggregate -> having -> order/limit. Each pipe
+    stage lowers to the same Catalyst operators as the nested ANSI
+    form (the oracle), so the physical plan is the identical partial
+    hash aggregate + TakeOrderedAndProject — this entry proves the
+    surface, not a new engine path."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |> AGGREGATE count(*) AS n_rows,
+                     round(sum(l_quantity), 4) AS sum_qty,
+                     round(avg(l_extendedprice), 4) AS avg_price
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_rows > 100
+        |> SELECT l_returnflag, l_linestatus, n_rows, sum_qty, avg_price
+        |> ORDER BY n_rows DESC, l_returnflag, l_linestatus
+        |> LIMIT 4
+        """
+    )
+
+
+@register(
+    "ext_collation_ci",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS et_mixed,
+             value
+      FROM events
+    )
+    SELECT lower(et_mixed) AS event_type_ci,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           CAST(count(DISTINCT et_mixed) AS BIGINT) AS n_case_variants
+    FROM mixed GROUP BY lower(et_mixed)
+    """,
+)
+def ext_collation_ci(spark, sf_dir):
+    """String collations (Spark 4.0+): group under UTF8_LCASE so 'VIEW'
+    and 'view' land in one hash bucket with NO per-row lower() rewrite
+    of the data — the collation travels in the type, and comparisons/
+    hashing are collation-aware inside codegen. Case variants are
+    minted deterministically (even event_id -> upper). The output key
+    is lowered + cast back to a plain binary-collation string so the
+    driver's schema/hash compare sees a vanilla column; the DuckDB
+    oracle is the classic lower()-rewrite formulation of the same
+    query. countDistinct of the untouched column stays binary-collated
+    and counts both case forms."""
+    e = _t(spark, sf_dir, "events")
+    mixed = e.select(
+        F.when(F.col("event_id") % 2 == 0, F.upper("event_type"))
+        .otherwise(F.col("event_type"))
+        .alias("et_mixed"),
+        "value",
+    )
+    return (
+        mixed.select(F.collate(F.col("et_mixed"), "UTF8_LCASE").alias("k"), "et_mixed", "value")
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("et_mixed").alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("event_type_ci"),
+            "n",
+            "sum_value",
+            "n_case_variants",
+        )
+    )
+
+
+@register(
+    "ext_autocorrelation",
+    """
+    WITH lagged AS (
+      SELECT event_type, value,
+             lag(value)    OVER w AS prev1,
+             lag(value, 2) OVER w AS prev2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(count(prev1) AS BIGINT) AS n_pairs,
+           round(corr(value, prev1), 4) + 0 AS acf_lag1,
+           round(corr(value, prev2), 4) + 0 AS acf_lag2
+    FROM lagged GROUP BY event_type
+    """,
+)
+def ext_autocorrelation(spark, sf_dir):
+    """Serial autocorrelation (lag-1 / lag-2 ACF) per event_type: the
+    standard seasonality/IID screen on a telemetry series. One shuffle
+    on event_type serves both the lag window and the aggregate (the
+    agg reuses the window's partitioning), and corr is a single-pass
+    partial-aggregable moment sketch. Tie order inside the window is
+    pinned by (ts, event_id). `+ 0` normalizes IEEE -0.0 after
+    rounding, per the registry convention."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    zero = F.lit(0.0)
+    lagged = e.select(
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev1"),
+        F.lag("value", 2).over(w).alias("prev2"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("prev1").alias("n_pairs"),
+        (F.round(F.corr("value", "prev1"), 4) + zero).alias("acf_lag1"),
+        (F.round(F.corr("value", "prev2"), 4) + zero).alias("acf_lag2"),
+    )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH base AS (
+      SELECT o.o_custkey AS cust, l.l_partkey AS part,
+             date_trunc('week', l.l_shipdate) AS wk
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    grp AS (SELECT DISTINCT cust, part, wk FROM base),
+    edges AS (
+      SELECT DISTINCT a.cust AS u, b.cust AS v
+      FROM grp a JOIN grp b
+        ON a.part = b.part AND a.wk = b.wk AND a.cust < b.cust
+    ),
+    wedge AS (
+      SELECT e1.u AS u, e2.v AS w
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM wedge t JOIN edges e3 ON t.u = e3.u AND t.w = e3.v
+    )
+    SELECT (SELECT CAST(count(DISTINCT x) AS BIGINT)
+            FROM (SELECT u AS x FROM edges UNION SELECT v FROM edges)) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Distributed triangle counting on the customer co-purchase graph
+    (edge = two customers bought the same part the same week). The
+    graph is sparse BY CONSTRUCTION: pair generation is keyed on
+    (part, week), whose group sizes are bounded by per-part weekly
+    buyer counts (~1-2 in this data and roughly constant as SF grows,
+    since parts scale with lineitems) — so edges grow linearly with
+    input, never quadratically. Counting uses the ordered-triple
+    method (u < v < w): an equi-join builds wedges keyed on the middle
+    vertex, a second equi-join closes them, so each triangle is
+    counted exactly once and the intermediate is Sum(deg_in*deg_out),
+    bounded by the sparse degree distribution — the same shape
+    GraphX/Pregel triangle counting shuffles. The three 1-row count
+    aggregates combine via broadcast cross joins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("wk")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    grp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            "wk",
+        )
+        .distinct()
+    )
+    a, b = grp.alias("a"), grp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .select(F.col("a.cust").alias("u"), F.col("b.cust").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedge = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("u"), F.col("e2.v").alias("w"))
+        .alias("t")
+    )
+    tri = wedge.join(
+        e3, (F.col("t.u") == F.col("e3.u")) & (F.col("t.w") == F.col("e3.v"))
+    ).agg(F.count("*").alias("n_triangles"))
+    nodes = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select(F.col("v").alias("x")))
+        .agg(F.countDistinct("x").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return nodes.crossJoin(n_edges).crossJoin(tri).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+    )
+
+
+@register(
+    "ml_logistic_regression_gd",
+    """
+    WITH stats AS (
+      SELECT round(avg(l_quantity), 9) AS m1, round(stddev_pop(l_quantity), 9) AS s1,
+             round(avg(l_discount), 9) AS m2, round(stddev_pop(l_discount), 9) AS s2,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM lineitem
+    ),
+    d AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+             (l_quantity - m1) / s1 AS x1,
+             (l_discount - m2) / s2 AS x2,
+             n
+      FROM lineitem CROSS JOIN stats
+    ),
+    g1 AS (
+      SELECT round(sum(0.5 - y) / max(n), 9) AS g0,
+             round(sum((0.5 - y) * x1) / max(n), 9) AS ga,
+             round(sum((0.5 - y) * x2) / max(n), 9) AS gb
+      FROM d
+    ),
+    w1 AS (SELECT -0.5 * g0 AS w0, -0.5 * ga AS wa, -0.5 * gb AS wb FROM g1),
+    g2 AS (
+      SELECT round(sum(1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) / max(n), 9) AS g0,
+             round(sum((1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) * x1) / max(n), 9) AS ga,
+             round(sum((1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) * x2) / max(n), 9) AS gb
+      FROM d CROSS JOIN w1
+    ),
+    w2 AS (SELECT w0 - 0.5 * g0 AS w0, wa - 0.5 * ga AS wa, wb - 0.5 * gb AS wb
+           FROM w1 CROSS JOIN g2),
+    g3 AS (
+      SELECT round(sum(1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) / max(n), 9) AS g0,
+             round(sum((1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) * x1) / max(n), 9) AS ga,
+             round(sum((1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) * x2) / max(n), 9) AS gb
+      FROM d CROSS JOIN w2
+    ),
+    w3 AS (SELECT w0 - 0.5 * g0 AS w0, wa - 0.5 * ga AS wa, wb - 0.5 * gb AS wb
+           FROM w2 CROSS JOIN g3),
+    pred AS (
+      SELECT CAST(sum(CASE WHEN (CASE WHEN round(w0 + wa*x1 + wb*x2, 9) > 0
+                                 THEN 1.0 ELSE 0.0 END) = y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+             CAST(max(n) AS BIGINT) AS n_rows
+      FROM d CROSS JOIN w3
+    )
+    SELECT round(w0, 6) + 0 AS w_intercept, round(wa, 6) + 0 AS w_qty,
+           round(wb, 6) + 0 AS w_disc, n_correct, n_rows
+    FROM w3 CROSS JOIN pred
+    """,
+)
+def ml_logistic_regression_gd(spark, sf_dir):
+    """Logistic regression by 3 fixed full-batch gradient-descent steps
+    (lr=0.5), SQL-native — the iterative-optimizer pattern on an
+    engine with no mutable state: each step is one partial-aggregable
+    scan producing a 1-row gradient, combined with the weights via a
+    broadcast cross join (MLlib's LBFGS does the same
+    treeAggregate-per-iteration shape). Cross-engine float parity is
+    pinned the way the r4 Naive Bayes fix mandated: standardization
+    stats and every gradient component are rounded to 1e-9 so the
+    weight trajectory is identical on both engines despite
+    partition-order float-sum and libm-exp ulp differences, and the
+    prediction threshold tests round(z,9) > 0 — the sign of the
+    logit — so accuracy never touches exp() at all. First-step
+    gradient uses sigmoid(0) = 0.5 exactly. At 100 TB you'd cache the
+    standardized projection between iterations; semantics are
+    identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.round(F.avg("l_quantity"), 9).alias("m1"),
+        F.round(F.stddev_pop("l_quantity"), 9).alias("s1"),
+        F.round(F.avg("l_discount"), 9).alias("m2"),
+        F.round(F.stddev_pop("l_discount"), 9).alias("s2"),
+        F.count("*").cast("double").alias("n"),
+    )
+    d = li.crossJoin(F.broadcast(stats)).select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+        ((F.col("l_quantity") - F.col("m1")) / F.col("s1")).alias("x1"),
+        ((F.col("l_discount") - F.col("m2")) / F.col("s2")).alias("x2"),
+        "n",
+    )
+    # step 1: sigmoid(0) = 0.5 exactly
+    g = d.agg(
+        F.round(F.sum(F.lit(0.5) - F.col("y")) / F.max("n"), 9).alias("g0"),
+        F.round(F.sum((F.lit(0.5) - F.col("y")) * F.col("x1")) / F.max("n"), 9).alias("ga"),
+        F.round(F.sum((F.lit(0.5) - F.col("y")) * F.col("x2")) / F.max("n"), 9).alias("gb"),
+    )
+    w = g.select(
+        (F.lit(-0.5) * F.col("g0")).alias("w0"),
+        (F.lit(-0.5) * F.col("ga")).alias("wa"),
+        (F.lit(-0.5) * F.col("gb")).alias("wb"),
+    )
+    for _ in range(2):
+        dd = d.crossJoin(F.broadcast(w))
+        z = F.col("w0") + F.col("wa") * F.col("x1") + F.col("wb") * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = dd.agg(
+            F.round(F.sum(p - F.col("y")) / F.max("n"), 9).alias("g0"),
+            F.round(F.sum((p - F.col("y")) * F.col("x1")) / F.max("n"), 9).alias("ga"),
+            F.round(F.sum((p - F.col("y")) * F.col("x2")) / F.max("n"), 9).alias("gb"),
+            F.first("w0").alias("pw0"),
+            F.first("wa").alias("pwa"),
+            F.first("wb").alias("pwb"),
+        )
+        w = g.select(
+            (F.col("pw0") - F.lit(0.5) * F.col("g0")).alias("w0"),
+            (F.col("pwa") - F.lit(0.5) * F.col("ga")).alias("wa"),
+            (F.col("pwb") - F.lit(0.5) * F.col("gb")).alias("wb"),
+        )
+    dd = d.crossJoin(F.broadcast(w))
+    z = F.col("w0") + F.col("wa") * F.col("x1") + F.col("wb") * F.col("x2")
+    pred_y = F.when(F.round(z, 9) > 0, 1.0).otherwise(0.0)
+    pred = dd.agg(
+        F.sum(F.when(pred_y == F.col("y"), 1).otherwise(0)).cast("long").alias("n_correct"),
+        F.max("n").cast("long").alias("n_rows"),
+    )
+    zero = F.lit(0.0)
+    return w.crossJoin(pred).select(
+        (F.round(F.col("w0"), 6) + zero).alias("w_intercept"),
+        (F.round(F.col("wa"), 6) + zero).alias("w_qty"),
+        (F.round(F.col("wb"), 6) + zero).alias("w_disc"),
+        "n_correct",
+        "n_rows",
+    )

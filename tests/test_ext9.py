@@ -1,0 +1,124 @@
+"""Invariant tests for the round-5 batch-2 entries (registry_ext9):
+properties the DuckDB oracle gate can't express — pipe/ANSI plan
+equivalence, collation-aware grouping without data rewrite, ACF
+bounds, a brute-force triangle-count cross-check, and GD determinism
+under re-partitioning."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext9  # noqa: F401
+from machine_telemetry_etl_ml_pipeline_spark.registry import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_pipe_syntax_matches_ansi_form(spark):
+    """The |> pipeline must produce exactly the rows of its nested ANSI
+    equivalent — pipe stages are syntax, not new semantics."""
+    pipe = {tuple(r) for r in _run(spark, "ext_sql_pipe_syntax").collect()}
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext2 import _views
+
+    _views(spark, SF, "lineitem")
+    ansi = {
+        tuple(r)
+        for r in spark.sql(
+            """
+            WITH g AS (
+              SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                     round(sum(l_quantity), 4) AS sum_qty,
+                     round(avg(l_extendedprice), 4) AS avg_price
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT * FROM g WHERE n_rows > 100
+            ORDER BY n_rows DESC, l_returnflag, l_linestatus LIMIT 4
+            """
+        ).collect()
+    }
+    assert pipe == ansi and len(pipe) == 4
+
+
+def test_collation_groups_fold_case_without_rewrite(spark):
+    rows = _run(spark, "ext_collation_ci").collect()
+    keys = {r.event_type_ci for r in rows}
+    assert keys == {k.lower() for k in keys}, "output keys must be lowercase"
+    # every group saw both minted case forms and the fold lost no rows
+    assert all(r.n_case_variants == 2 for r in rows), rows
+    total = (
+        REGISTRY["ref_scan_count"].fn(spark, SF).collect()[0][0]
+    )
+    assert sum(r.n for r in rows) == total
+
+
+def test_autocorrelation_bounds_and_pair_counts(spark):
+    rows = _run(spark, "ext_autocorrelation").collect()
+    from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
+
+    e = load_table(spark, SF, "events")
+    sizes = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert len(rows) == len(sizes)
+    for r in rows:
+        assert r.n_pairs == sizes[r.event_type] - 1
+        assert -1.0 <= r.acf_lag1 <= 1.0 and -1.0 <= r.acf_lag2 <= 1.0
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Recount triangles with adjacency sets on the collected edge
+    list — the distributed ordered-triple join must agree exactly."""
+    out = _run(spark, "graph_triangle_count").collect()[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", F.date_trunc("week", "l_shipdate").alias("wk")
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    grp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"), "wk")
+        .distinct()
+    )
+    by_key: dict = {}
+    for r in grp.collect():
+        by_key.setdefault((r.part, r.wk), []).append(r.cust)
+    edges = set()
+    for custs in by_key.values():
+        cs = sorted(set(custs))
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                edges.add((cs[i], cs[j]))
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    nbrs: dict = {}
+    for u, v in edges:
+        nbrs.setdefault(u, set()).add(v)  # forward (ordered) adjacency
+    n_tri = sum(
+        1
+        for u, vs in nbrs.items()
+        for v in vs
+        for w in nbrs.get(v, ())
+        if w in vs
+    )
+    assert (out.n_nodes, out.n_edges, out.n_triangles) == (len(nodes), len(edges), n_tri)
+
+
+def test_logreg_gd_deterministic_under_repartition(spark):
+    """The rounded-gradient trajectory must make the fitted weights
+    identical however the input is partitioned — the determinism the
+    1e-9 rounding buys over raw float sums."""
+    a = _run(spark, "ml_logistic_regression_gd").collect()[0]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = _run(spark, "ml_logistic_regression_gd").collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert tuple(a) == tuple(b)
+    assert 0 <= a.n_correct <= a.n_rows
+    for wv in (a.w_intercept, a.w_qty, a.w_disc):
+        assert math.isfinite(wv)
