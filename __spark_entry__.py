@@ -148,6 +148,10 @@ _PRIORITY = [
     "ext_autocorrelation",
     "graph_triangle_count",
     "ml_logistic_regression_gd",
+    "graph_bfs_distances",
+    "llm_url_domain_stats",
+    "ext_equiheight_histogram",
+    "ml_kmeans_lloyd",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

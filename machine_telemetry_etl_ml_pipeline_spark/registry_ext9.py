@@ -1,9 +1,11 @@
-"""Ninth extension batch (round 5, batch 2): Spark-4 SQL surfaces the
-engine had not yet exercised (pipe syntax, string collations), plus
-three analytics capabilities a telemetry/corpus warehouse needs —
-lag-k autocorrelation, distributed triangle counting on a sparse
-co-occurrence graph, and a fixed-iteration logistic-regression
-gradient descent whose float trajectory is pinned cross-engine.
+"""Ninth extension batch (round 5, batches 2-3): Spark-4 SQL surfaces
+the engine had not yet exercised (pipe syntax, string collations),
+plus analytics capabilities a telemetry/corpus warehouse needs —
+lag-k autocorrelation, triangle counting and BFS distances on a
+sparse co-occurrence graph, URL parsing for web-corpus domain
+rollups, an equi-height histogram, and two fixed-iteration ML loops
+(logistic-regression GD, KMeans Lloyd) whose float trajectories are
+pinned cross-engine by per-step rounding.
 
 The reference has no analog for any of these (its whole query surface
 is the psycopg2 strings in /root/reference/project/db.py:77-475);
@@ -151,10 +153,40 @@ def ext_autocorrelation(spark, sf_dir):
     )
 
 
-@register(
-    "graph_triangle_count",
-    """
-    WITH base AS (
+def _copurchase_edges(spark, sf_dir):
+    """Sparse undirected customer co-purchase graph: edge (u < v) iff
+    two customers bought the same part the same week. Pair generation
+    is keyed on (part, week), whose group sizes stay ~constant as SF
+    grows (parts scale with lineitems), so edges grow LINEARLY with
+    input — the property that keeps the triangle/BFS joins bounded."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("wk")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    grp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("l_partkey").alias("part"),
+            "wk",
+        )
+        .distinct()
+    )
+    a, b = grp.alias("a"), grp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .select(F.col("a.cust").alias("u"), F.col("b.cust").alias("v"))
+        .distinct()
+    )
+
+
+_COPURCHASE_EDGES_SQL = """
+    base AS (
       SELECT o.o_custkey AS cust, l.l_partkey AS part,
              date_trunc('week', l.l_shipdate) AS wk
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -164,7 +196,14 @@ def ext_autocorrelation(spark, sf_dir):
       SELECT DISTINCT a.cust AS u, b.cust AS v
       FROM grp a JOIN grp b
         ON a.part = b.part AND a.wk = b.wk AND a.cust < b.cust
-    ),
+    )
+"""
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH {_COPURCHASE_EDGES_SQL},
     wedge AS (
       SELECT e1.u AS u, e2.v AS w
       FROM edges e1 JOIN edges e2 ON e1.v = e2.u
@@ -194,30 +233,7 @@ def graph_triangle_count(spark, sf_dir):
     bounded by the sparse degree distribution — the same shape
     GraphX/Pregel triangle counting shuffles. The three 1-row count
     aggregates combine via broadcast cross joins."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("wk")
-    )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    grp = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            F.col("l_partkey").alias("part"),
-            "wk",
-        )
-        .distinct()
-    )
-    a, b = grp.alias("a"), grp.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.part") == F.col("b.part"))
-            & (F.col("a.wk") == F.col("b.wk"))
-            & (F.col("a.cust") < F.col("b.cust")),
-        )
-        .select(F.col("a.cust").alias("u"), F.col("b.cust").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedge = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -363,4 +379,284 @@ def ml_logistic_regression_gd(spark, sf_dir):
         (F.round(F.col("wb"), 6) + zero).alias("w_disc"),
         "n_correct",
         "n_rows",
+    )
+
+
+@register(
+    "graph_bfs_distances",
+    f"""
+    WITH RECURSIVE {_COPURCHASE_EDGES_SQL},
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    src AS (SELECT min(u) AS s FROM edges),
+    walk(node, d) AS (
+      SELECT s, 0 FROM src
+      UNION
+      SELECT e.v, w.d + 1
+      FROM walk w JOIN sym e ON e.u = w.node
+      WHERE w.d < 8
+    ),
+    dist AS (SELECT node, min(d) AS d FROM walk GROUP BY node),
+    endpoints AS (SELECT DISTINCT u AS node FROM sym)
+    SELECT CAST(coalesce(d.d, -1) AS BIGINT) AS distance,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM endpoints e LEFT JOIN dist d USING (node)
+    GROUP BY coalesce(d.d, -1)
+    """,
+)
+def graph_bfs_distances(spark, sf_dir):
+    """Single-source BFS hop distances (capped at 8) over the sparse
+    co-purchase graph, from the smallest edge endpoint; output is the
+    distance histogram with -1 for endpoints unreached within the cap.
+    Distributed frontier expansion: each round joins ONLY the frontier
+    against the symmetrized edge list (shuffle bounded by frontier x
+    avg-degree), anti-joins already-settled nodes, and localCheckpoints
+    both sides — the lineage-capping discipline of connected components
+    (llm/cluster.py) and PageRank (operators/graph.py). 8 fixed rounds,
+    no driver-side convergence checks: empty frontiers make later
+    rounds no-ops. The oracle is the capped recursive-CTE walk whose
+    UNION dedups (node, depth) pairs, so it explores levels, not
+    paths."""
+    edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    dist = (
+        edges.agg(F.min("u").alias("node"))
+        .select("node", F.lit(0).alias("distance"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for i in range(1, 9):
+        cand = (
+            frontier.alias("f")
+            .join(sym.alias("e"), F.col("f.node") == F.col("e.u"))
+            .select(F.col("e.v").alias("node"))
+            .distinct()
+        )
+        new = (
+            cand.join(dist, "node", "left_anti")
+            .select("node", F.lit(i).alias("distance"))
+            .localCheckpoint()
+        )
+        dist = dist.union(new).localCheckpoint()
+        frontier = new.select("node")
+    endpoints = sym.select(F.col("u").alias("node")).distinct()
+    return (
+        endpoints.join(dist, "node", "left")
+        .select(F.coalesce(F.col("distance"), F.lit(-1)).cast("long").alias("distance"))
+        .groupBy("distance")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+
+
+@register(
+    "llm_url_domain_stats",
+    """
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             concat('https://', source, '.example-', lang, '.org/docs/',
+                    CAST(doc_id % 50 AS VARCHAR), '/page?ref=', lang,
+                    '&sec=', CAST(doc_id % 7 AS VARCHAR)) AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id, n_chars,
+             regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+             regexp_extract(url, '[?&]sec=([^&#]*)', 1) AS sec
+      FROM urls
+    )
+    SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT sec) AS BIGINT) AS n_secs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM parsed GROUP BY host
+    """,
+)
+def llm_url_domain_stats(spark, sf_dir):
+    """Per-domain corpus rollup via URL parsing — the web-crawl
+    curation primitive (domain allow/deny lists, per-site quotas,
+    host-level dedup keys). URLs are minted deterministically from
+    document attributes (the testdata has no URL column), then parsed
+    with Spark's parse_url(HOST/PATH/QUERY-param) — JVM-side, codegen-
+    friendly, no UDF; the oracle parses the same URLs with the
+    equivalent anchored regexes (DuckDB has no parse_url). The rollup
+    is one partial-aggregable groupBy on host."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example-"),
+        F.col("lang"),
+        F.lit(".org/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/page?ref="),
+        F.col("lang"),
+        F.lit("&sec="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    parsed = d.select(
+        "n_chars",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("sec")).alias("sec"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("path").alias("n_paths"),
+        F.countDistinct("sec").alias("n_secs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "ext_equiheight_histogram",
+    """
+    WITH base AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT [round(quantile_cont(cents, 0.1), 4), round(quantile_cont(cents, 0.2), 4),
+              round(quantile_cont(cents, 0.3), 4), round(quantile_cont(cents, 0.4), 4),
+              round(quantile_cont(cents, 0.5), 4), round(quantile_cont(cents, 0.6), 4),
+              round(quantile_cont(cents, 0.7), 4), round(quantile_cont(cents, 0.8), 4),
+              round(quantile_cont(cents, 0.9), 4)] AS bs
+      FROM base
+    )
+    SELECT CAST(len(list_filter(bs, b -> cents > b)) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(cents) AS min_cents, max(cents) AS max_cents
+    FROM base CROSS JOIN bounds
+    GROUP BY 1
+    """,
+)
+def ext_equiheight_histogram(spark, sf_dir):
+    """Equi-HEIGHT (equi-depth) decile histogram — the optimizer-stats
+    companion to the equi-width ext_histogram: exact decile boundaries
+    (Spark percentile == DuckDB quantile_cont, the interpolation pair
+    llm_length_bands_by_source proved), then bucket = how many rounded
+    boundaries the value exceeds, computed against the 1-row broadcast
+    boundary array — no second sort, no global window. Values are
+    integer cents so bucket edges can't sit on a float ulp. At 100 TB
+    the exact percentile aggregate becomes approx_percentile; the
+    assignment side is unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    qs = [F.round(F.percentile("cents", F.lit(p / 10)), 4) for p in range(1, 10)]
+    bounds = base.agg(F.array(*qs).alias("bs"))
+    assigned = base.crossJoin(F.broadcast(bounds)).select(
+        F.size(F.filter(F.col("bs"), lambda b: F.col("cents") > b))
+        .cast("long")
+        .alias("bucket"),
+        "cents",
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
+
+
+_KMEANS_ITER_SQL = """
+a{n} AS (
+  SELECT b.vec_id, c.cluster,
+         round(list_dot_product(b.v, b.v) - 2 * list_dot_product(b.v, c.cv)
+               + list_dot_product(c.cv, c.cv), 6) AS d2
+  FROM base b CROSS JOIN {cent} c
+),
+as{n} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+    FROM a{n}
+  ) WHERE rn = 1
+),
+ex{n} AS (
+  SELECT s.cluster, gs.i AS pos, b.v[gs.i] AS x
+  FROM as{n} s JOIN base b USING (vec_id) CROSS JOIN generate_series(1, 64) gs(i)
+),
+cagg{n} AS (SELECT cluster, pos, round(avg(x), 9) AS c FROM ex{n} GROUP BY cluster, pos),
+cent{n} AS (SELECT cluster, list(c ORDER BY pos) AS cv FROM cagg{n} GROUP BY cluster)
+"""
+
+
+@register(
+    "ml_kmeans_lloyd",
+    f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    init AS (SELECT vec_id AS cluster, v AS cv FROM base WHERE vec_id < 4),
+    {_KMEANS_ITER_SQL.format(n=1, cent="init")},
+    {_KMEANS_ITER_SQL.format(n=2, cent="cent1")},
+    members AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(vec_id) AS BIGINT) AS sum_vec_ids
+      FROM as2 GROUP BY cluster
+    )
+    SELECT m.cluster, m.n_members, m.sum_vec_ids,
+           round(sqrt(list_dot_product(c.cv, c.cv)), 6) AS centroid_norm
+    FROM members m JOIN cent2 c USING (cluster)
+    """,
+)
+def ml_kmeans_lloyd(spark, sf_dir):
+    """KMeans by 2 fixed Lloyd iterations (k=4, init = vectors 0-3),
+    exactly oracle-checked — the iterative-clustering loop in pure
+    relational algebra, MLlib's distributed shape: assignment is a
+    broadcast-k cross join scoring dist^2 = <v,v> - 2<v,c> + <c,c>
+    (each dot product an IN-ORDER array fold, identical on both
+    engines), argmin pinned by (d2 rounded 1e-6, cluster) ranking;
+    the update is a posexplode + partial-aggregable (cluster, dim)
+    mean rounded 1e-9 — the same trajectory-pinning discipline as
+    ml_logistic_regression_gd, so centroids match bitwise across
+    engines and partitionings. Output digests membership exactly
+    (count + id-sum per cluster) plus the centroid norms."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = base.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    assign = None
+    for _ in range(2):
+        d = base.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "cluster",
+            F.round(
+                dot(F.col("v"), F.col("v"))
+                - 2 * dot(F.col("v"), F.col("cv"))
+                + dot(F.col("cv"), F.col("cv")),
+                6,
+            ).alias("d2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+        ex = assign.join(base, "vec_id").select(
+            "cluster", F.posexplode("v").alias("pos", "x")
+        )
+        cagg = ex.groupBy("cluster", "pos").agg(F.round(F.avg("x"), 9).alias("c"))
+        cent = cagg.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+    members = assign.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.sum("vec_id").cast("long").alias("sum_vec_ids"),
+    )
+    return members.join(cent, "cluster").select(
+        "cluster",
+        "n_members",
+        "sum_vec_ids",
+        F.round(F.sqrt(dot(F.col("cv"), F.col("cv"))), 6).alias("centroid_norm"),
     )

@@ -1,8 +1,8 @@
-"""Invariant tests for the round-5 batch-2 entries (registry_ext9):
+"""Invariant tests for the round-5 batch-2/3 entries (registry_ext9):
 properties the DuckDB oracle gate can't express — pipe/ANSI plan
 equivalence, collation-aware grouping without data rewrite, ACF
-bounds, a brute-force triangle-count cross-check, and GD determinism
-under re-partitioning."""
+bounds, brute-force triangle/BFS cross-checks, equi-depth balance,
+and GD/KMeans determinism under re-partitioning."""
 
 from __future__ import annotations
 
@@ -122,3 +122,66 @@ def test_logreg_gd_deterministic_under_repartition(spark):
     assert 0 <= a.n_correct <= a.n_rows
     for wv in (a.w_intercept, a.w_qty, a.w_disc):
         assert math.isfinite(wv)
+
+
+def test_bfs_distances_match_bruteforce(spark):
+    """Re-run BFS with a Python adjacency walk on the collected edge
+    list — the 8-round distributed frontier expansion must agree."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext9 import _copurchase_edges
+
+    out = {r.distance: r.n_nodes for r in _run(spark, "graph_bfs_distances").collect()}
+    edges = [(r.u, r.v) for r in _copurchase_edges(spark, SF).collect()]
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    src = min(u for u, _ in edges)
+    dist = {src: 0}
+    frontier = [src]
+    for depth in range(1, 9):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = depth
+                    nxt.append(v)
+        frontier = nxt
+    hist: dict = {}
+    for node in adj:
+        hist[dist.get(node, -1)] = hist.get(dist.get(node, -1), 0) + 1
+    assert out == hist
+
+
+def test_url_domain_stats_cover_all_docs(spark):
+    rows = _run(spark, "llm_url_domain_stats").collect()
+    assert sum(r.n_docs for r in rows) == 500  # sf0.001 documents
+    for r in rows:
+        assert r.host.startswith(tuple("abcdefghijklmnopqrstuvwxyz")) and ".example-" in r.host
+        assert 1 <= r.n_secs <= 7
+
+
+def test_equiheight_histogram_buckets_are_balanced(spark):
+    rows = _run(spark, "ext_equiheight_histogram").collect()
+    total = sum(r.n_rows for r in rows)
+    assert {r.bucket for r in rows} == set(range(10))
+    for r in rows:
+        # equi-depth: each decile bucket within 2x of the ideal share
+        assert total / 20 <= r.n_rows <= total / 5, rows
+    # buckets tile the value range in order
+    ordered = sorted(rows, key=lambda r: r.bucket)
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo.max_cents <= hi.min_cents
+
+
+def test_kmeans_lloyd_deterministic_and_complete(spark):
+    a = sorted(tuple(r) for r in _run(spark, "ml_kmeans_lloyd").collect())
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = sorted(tuple(r) for r in _run(spark, "ml_kmeans_lloyd").collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+    assert [r[0] for r in a] == [0, 1, 2, 3]
+    assert sum(r[1] for r in a) == 500  # every vector assigned exactly once
+    assert sum(r[2] for r in a) == 500 * 499 // 2  # id-sum partition of 0..499
