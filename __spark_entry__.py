@@ -25,6 +25,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext6  # noqa: E402,
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext7  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext8  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext9  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext10  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -152,6 +153,10 @@ _PRIORITY = [
     "llm_url_domain_stats",
     "ext_equiheight_histogram",
     "ml_kmeans_lloyd",
+    # added in r5 batch 4 (registry_ext10): window composition + SQL-ML
+    "ext_conditional_reset_cumsum",
+    "ml_decision_stump",
+    "ext_lateral_column_alias",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

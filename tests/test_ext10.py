@@ -1,0 +1,98 @@
+"""Invariant tests for the round-5 batch-4 entries (registry_ext10):
+reset semantics recomputed in Python, a brute-force Gini sweep, and
+lateral-alias expression-substitution semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext10  # noqa: F401
+from machine_telemetry_etl_ml_pipeline_spark.registry import REGISTRY
+from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_reset_cumsum_matches_python_replay(spark):
+    out = {
+        r.event_id: (r.seg_id, r.run_since_reset)
+        for r in _run(spark, "ext_conditional_reset_cumsum").collect()
+    }
+    ev = sorted(
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id") < 50)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    seg: dict = {}
+    acc: dict = {}
+    for r in ev:
+        s = seg.get(r.user_id, 0)
+        if r.event_type == "signup":
+            s += 1
+            seg[r.user_id] = s
+            acc[(r.user_id, s)] = 0.0
+        acc[(r.user_id, s)] = acc.get((r.user_id, s), 0.0) + r.value
+        got_seg, got_run = out[r.event_id]
+        assert got_seg == s
+        assert abs(got_run - round(acc[(r.user_id, s)], 4)) < 1e-6, r
+
+
+def test_decision_stump_is_true_argmin(spark):
+    row = _run(spark, "ml_decision_stump").collect()[0]
+    data = (
+        load_table(spark, SF, "lineitem")
+        .select(
+            F.col("l_quantity").alias("q"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+        )
+        .collect()
+    )
+    qs = sorted({r.q for r in data})
+    nt = float(len(data))
+    post = float(sum(r.y for r in data))
+    best = None
+    for t in qs:
+        nl = float(sum(1 for r in data if r.q <= t))
+        posl = float(sum(r.y for r in data if r.q <= t))
+        nr, posr = nt - nl, post - posl
+        gl = 1 - (posl / nl) ** 2 - ((nl - posl) / nl) ** 2
+        gr = 0.0 if nr == 0 else 1 - (posr / nr) ** 2 - ((nr - posr) / nr) ** 2
+        g = round((nl / nt) * gl + (nr / nt) * gr, 9)
+        if best is None or (g, t) < best:
+            best = (g, t)
+    assert row.n_candidates == len(qs)
+    assert row.threshold == round(best[1], 4)
+    assert abs(row.gini_weighted - round(best[0], 6)) < 1e-9
+
+
+def test_lateral_alias_substitutes_expressions(spark):
+    rows = _run(spark, "ext_lateral_column_alias").collect()
+    assert rows, "expected rows for l_orderkey < 100"
+    for r in rows:
+        assert r.gross_cents == r.net_cents + r.tax_cents
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext2 import _views
+
+    _views(spark, SF, "lineitem")
+    nested = spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, net_cents,
+               tax_cents, net_cents + tax_cents AS gross_cents
+        FROM (
+          SELECT l_orderkey, l_linenumber, net_cents,
+                 CAST(round(net_cents * l_tax) AS BIGINT) AS tax_cents
+          FROM (
+            SELECT *,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                     AS net_cents
+            FROM lineitem WHERE l_orderkey < 100
+          )
+        )
+        """
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, nested))
