@@ -157,6 +157,8 @@ _PRIORITY = [
     "ext_conditional_reset_cumsum",
     "ml_decision_stump",
     "ext_lateral_column_alias",
+    "llm_semdedup_prune",
+    "llm_multimodal_audio_energy",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -196,3 +196,169 @@ def ext_lateral_column_alias(spark, sf_dir):
         FROM lineitem WHERE l_orderkey < 100
         """
     )
+
+
+@register(
+    "llm_semdedup_prune",
+    """
+    WITH bb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST((CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN embedding[9] > 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN embedding[17] > 0 THEN 4 ELSE 0 END)
+                + (CASE WHEN embedding[25] > 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+      FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    thresholds AS (SELECT CAST(thr AS DOUBLE) AS thr
+                   FROM (VALUES (0.30), (0.35), (0.40)) t(thr)),
+    dropped AS (
+      SELECT t.thr, p.idb AS vec
+      FROM pairs p CROSS JOIN thresholds t
+      WHERE p.s > t.thr
+      GROUP BY t.thr, p.idb
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(vec_id) AS BIGINT) AS sum_ids
+      FROM embeddings
+    )
+    SELECT t.thr AS threshold,
+           tot.n_total,
+           CAST(coalesce(count(d.vec), 0) AS BIGINT) AS n_dropped,
+           tot.n_total - CAST(coalesce(count(d.vec), 0) AS BIGINT) AS n_kept,
+           tot.sum_ids - CAST(coalesce(sum(d.vec), 0) AS BIGINT) AS sum_kept_ids
+    FROM thresholds t CROSS JOIN tot LEFT JOIN dropped d ON d.thr = t.thr
+    GROUP BY t.thr, tot.n_total, tot.sum_ids
+    """,
+)
+def llm_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic pruning: within each sign-LSH candidate
+    bucket, drop every vector that has a LOWER-id neighbor above the
+    cosine threshold (keep-first representative selection — the
+    deterministic analog of the paper's keep-one-per-group), swept at
+    three thresholds off ONE scored pair table. Candidates come from
+    the same bucketing as llm_embedding_neardup (1/16th of the pair
+    space); the sweep is a threshold cross join against the bounded
+    pair set, never against the corpus, and retention is digested
+    exactly (count + id-sum of keepers). Similarities are rounded 1e-6
+    BEFORE thresholding so the keep/drop cut is engine-invariant."""
+    from .llm.similarity import _as_double, cosine, sign_bucket
+
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding"), [1, 9, 17, 25]).alias("bucket"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("b.vec_id").alias("idb"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("s"),
+    )
+    thresholds = spark.range(1).select(
+        F.explode(F.array(F.lit(0.30), F.lit(0.35), F.lit(0.40))).alias("thr")
+    )
+    dropped = (
+        pairs.crossJoin(F.broadcast(thresholds))
+        .filter(F.col("s") > F.col("thr"))
+        .select("thr", "idb")
+        .distinct()
+    )
+    tot = e.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("vec_id").cast("long").alias("sum_ids"),
+    )
+    agg = dropped.groupBy("thr").agg(
+        F.count("*").cast("long").alias("n_dropped_raw"),
+        F.sum("idb").cast("long").alias("sum_dropped_raw"),
+    )
+    return (
+        thresholds.join(agg, "thr", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("thr").alias("threshold"),
+            "n_total",
+            F.coalesce(F.col("n_dropped_raw"), F.lit(0)).cast("long").alias("n_dropped"),
+            (F.col("n_total") - F.coalesce(F.col("n_dropped_raw"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            (F.col("sum_ids") - F.coalesce(F.col("sum_dropped_raw"), F.lit(0)))
+            .cast("long")
+            .alias("sum_kept_ids"),
+        )
+    )
+
+
+@register(
+    "llm_multimodal_audio_energy",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    samples AS (
+      SELECT doc_id, gs.i AS i,
+             CAST(((doc_id * 7919 + gs.i * 104729) % 4096) - 2048 AS DOUBLE) AS s
+      FROM ids CROSS JOIN generate_series(0, 255) gs(i)
+    )
+    SELECT doc_id, CAST(i // 16 AS BIGINT) AS win,
+           round(sqrt(avg(s * s)), 6) AS rms
+    FROM samples GROUP BY doc_id, i // 16
+    """,
+)
+def llm_multimodal_audio_energy(spark, sf_dir):
+    """Audio-style multimodal processing with an EXACT oracle and no
+    codec gate: 256 int16 PCM samples per asset are minted
+    deterministically, packed to little-endian bytes in one Arrow
+    mapInPandas batch (numpy int16 tobytes), then a second mapInPandas
+    reinterprets the raw bytes (np.frombuffer) and computes per-16-
+    sample-window RMS energy — the VAD/silence-trim feature shape of
+    an audio curation pipeline. Both stages are narrow (no shuffle),
+    batch-vectorized, and schema-typed (BinaryType in, flat frame
+    out); the oracle recomputes the identical windows from the minting
+    formula. Complements llm_multimodal_framesample (video) and the
+    gated decode stub: here the BYTE PATH itself is proven
+    end-to-end."""
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def pack(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            out = []
+            for did in ids:
+                i = np.arange(256, dtype=np.int64)
+                s = ((did * 7919 + i * 104729) % 4096 - 2048).astype("<i2")
+                out.append(s.tobytes())
+            yield pd.DataFrame({"doc_id": ids, "pcm": out})
+
+    assets = d.mapInPandas(pack, "doc_id long, pcm binary")
+
+    def rms(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows_id, rows_win, rows_rms = [], [], []
+            for did, blob in zip(pdf["doc_id"], pdf["pcm"]):
+                s = np.frombuffer(blob, dtype="<i2").astype(np.float64)
+                w = s.reshape(-1, 16)
+                e = np.sqrt((w * w).mean(axis=1))
+                rows_id.extend([did] * w.shape[0])
+                rows_win.extend(range(w.shape[0]))
+                rows_rms.extend(np.round(e, 6))
+            yield pd.DataFrame({"doc_id": rows_id, "win": rows_win, "rms": rows_rms})
+
+    return assets.mapInPandas(rms, "doc_id long, win long, rms double")

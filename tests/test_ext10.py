@@ -96,3 +96,30 @@ def test_lateral_alias_substitutes_expressions(spark):
         """
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, nested))
+
+
+def test_semdedup_prune_monotone_and_complete(spark):
+    rows = sorted(_run(spark, "llm_semdedup_prune").collect(), key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == [0.30, 0.35, 0.40]
+    dropped = [r.n_dropped for r in rows]
+    assert dropped == sorted(dropped, reverse=True), "higher threshold must drop fewer"
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_total == 500
+        assert 0 <= r.sum_kept_ids <= 500 * 499 // 2
+
+
+def test_audio_energy_matches_numpy_replay(spark):
+    import numpy as np
+
+    out = {
+        (r.doc_id, r.win): r.rms
+        for r in _run(spark, "llm_multimodal_audio_energy").collect()
+    }
+    assert len(out) == 200 * 16
+    for did in (0, 7, 199):
+        i = np.arange(256, dtype=np.int64)
+        s = ((did * 7919 + i * 104729) % 4096 - 2048).astype(np.float64)
+        w = s.reshape(-1, 16)
+        exp = np.round(np.sqrt((w * w).mean(axis=1)), 6)
+        for win in range(16):
+            assert out[(did, win)] == exp[win]
