@@ -316,3 +316,33 @@ def test_cached_relation_plans_in_memory_scan(spark):
     )
     out2.collect()
     assert "InMemoryTableScan" not in out2._jdf.queryExecution().executedPlan().toString()
+
+
+def test_analyze_table_stats_feed_cbo(spark, tmp_path):
+    """ANALYZE TABLE ... FOR ALL COLUMNS: catalog stats (exact
+    rowCount, per-column min/max/NDV) reach the optimizer's Statistics
+    when CBO is on — the input the join-reorder and broadcast-choice
+    costing reads. At 100 TB, stats-fed planning is the difference
+    between a reordered 5-way join and a cartesian blowup."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS t_stats_cbo")
+    (
+        spark.range(1000)
+        .select(F.col("id"), F.md5(F.col("id").cast("string")).alias("h"))
+        .write.option("path", str(tmp_path / "t_stats_cbo"))
+        .saveAsTable("t_stats_cbo")
+    )
+    old = spark.conf.get("spark.sql.cbo.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.sql("ANALYZE TABLE t_stats_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+        st = spark.table("t_stats_cbo")._jdf.queryExecution().optimizedPlan().stats()
+        assert st.rowCount().isDefined()
+        assert int(str(st.rowCount().get())) == 1000
+        desc = {r.info_name: r.info_value for r in spark.sql("DESCRIBE EXTENDED t_stats_cbo id").collect()}
+        assert desc.get("min") == "0" and desc.get("max") == "999"
+        assert desc.get("distinct_count") == "1000"
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS t_stats_cbo")
