@@ -159,6 +159,7 @@ _PRIORITY = [
     "ext_lateral_column_alias",
     "llm_semdedup_prune",
     "llm_multimodal_audio_energy",
+    "ext_incremental_join_view",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

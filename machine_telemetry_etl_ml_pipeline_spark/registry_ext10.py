@@ -362,3 +362,60 @@ def llm_multimodal_audio_energy(spark, sf_dir):
             yield pd.DataFrame({"doc_id": rows_id, "win": rows_win, "rms": rows_rms})
 
     return assets.mapInPandas(rms, "doc_id long, win long, rms double")
+
+
+@register(
+    "ext_incremental_join_view",
+    """
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def ext_incremental_join_view(spark, sf_dir):
+    """Incremental maintenance of a JOIN view (revenue by nation over
+    the 4-way lineitem-orders-customer-nation join): the maintained
+    result is base partials (l_orderkey % 7 <> 0) union-MERGED with
+    delta partials (% 7 = 0), each slice joined to the dims
+    independently — and must equal the oracle's single-pass join-
+    aggregate. This is the join-IVM sibling of ext_incremental_rollup:
+    because the view's measures are re-aggregable (count, integer-cent
+    sum) and the join is against slowly-changing dims, appending a
+    delta costs one delta-sized join + a tiny partials merge, never a
+    100 TB re-join. Dims ride broadcast joins in both slice plans;
+    revenue is integer cents so the merge is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+
+    def partial(facts):
+        return (
+            facts.select("l_orderkey", cents.alias("cents"))
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_items"), F.sum("cents").alias("revenue_cents"))
+        )
+
+    base = partial(li.filter(F.col("l_orderkey") % 7 != 0))
+    delta = partial(li.filter(F.col("l_orderkey") % 7 == 0))
+    return (
+        base.unionByName(delta)
+        .groupBy("n_name")
+        .agg(
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+        .select(F.col("n_name").alias("nation"), "n_items", "revenue_cents")
+    )

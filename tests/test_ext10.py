@@ -123,3 +123,31 @@ def test_audio_energy_matches_numpy_replay(spark):
         exp = np.round(np.sqrt((w * w).mean(axis=1)), 6)
         for win in range(16):
             assert out[(did, win)] == exp[win]
+
+
+def test_incremental_join_view_merge_equals_full(spark):
+    """The base+delta merged view must equal a single-pass join-agg
+    computed directly (the IVM correctness property, asserted in-
+    engine on top of the cross-engine oracle)."""
+    merged = {
+        r.nation: (r.n_items, r.revenue_cents)
+        for r in _run(spark, "ext_incremental_join_view").collect()
+    }
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, SF, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    full = {
+        r.n_name: (r.n_items, r.revenue_cents)
+        for r in (
+            li.select("l_orderkey", cents.alias("cents"))
+            .join(o, F.col("l_orderkey") == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(n, c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_items"), F.sum("cents").alias("revenue_cents"))
+            .collect()
+        )
+    }
+    assert merged == full
