@@ -160,6 +160,7 @@ _PRIORITY = [
     "llm_semdedup_prune",
     "llm_multimodal_audio_energy",
     "ext_incremental_join_view",
+    "ml_pca_power_iteration",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

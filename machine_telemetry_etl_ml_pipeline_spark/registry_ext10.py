@@ -419,3 +419,109 @@ def ext_incremental_join_view(spark, sf_dir):
         )
         .select(F.col("n_name").alias("nation"), "n_items", "revenue_cents")
     )
+
+
+_PCA_ITER_SQL = """
+w{n} AS (
+  SELECT c.i, round(sum(c.cv * v.val), 9) AS wv
+  FROM cmat c JOIN {v} v ON c.j = v.i GROUP BY c.i
+),
+n{n} AS (SELECT round(sqrt(sum(wv * wv)), 9) AS nrm FROM w{n}),
+v{n} AS (SELECT i, wv / nrm AS val FROM w{n} CROSS JOIN n{n})
+"""
+
+
+@register(
+    "ml_pca_power_iteration",
+    f"""
+    WITH long AS (
+      SELECT vec_id, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN generate_series(1, 16) gs(i)
+    ),
+    mu AS (SELECT i, round(avg(x), 9) AS m FROM long GROUP BY i),
+    cen AS (SELECT l.vec_id, l.i, l.x - m.m AS xc FROM long l JOIN mu m ON l.i = m.i),
+    cmat AS (
+      SELECT a.i AS i, b.i AS j, round(avg(a.xc * b.xc), 9) AS cv
+      FROM cen a JOIN cen b ON a.vec_id = b.vec_id
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (SELECT gs.i AS i, 0.25 AS val FROM generate_series(1, 16) gs(i)),
+    {_PCA_ITER_SQL.format(n=1, v="v0")},
+    {_PCA_ITER_SQL.format(n=2, v="v1")},
+    {_PCA_ITER_SQL.format(n=3, v="v2")},
+    ray AS (
+      SELECT round(sum(v3a.val * c.cv * v3b.val), 6) AS eig
+      FROM cmat c JOIN v3 v3a ON c.i = v3a.i JOIN v3 v3b ON c.j = v3b.i
+    )
+    SELECT CAST(16 AS BIGINT) AS n_dims, ray.eig AS top_eigenvalue,
+           round(abs((SELECT val FROM v3 WHERE i = 1)), 6) AS c1,
+           round(abs((SELECT val FROM v3 WHERE i = 2)), 6) AS c2,
+           round(abs((SELECT val FROM v3 WHERE i = 3)), 6) AS c3
+    FROM ray
+    """,
+)
+def ml_pca_power_iteration(spark, sf_dir):
+    """PCA top component by 3 fixed power iterations over the first 16
+    embedding dims — distributed iterative linear algebra in
+    relational form: ONE data-sized shuffle builds the d x d
+    covariance (pair-exploded, partial-aggregable avg; d^2 = 256
+    groups), after which every iterate (matvec, norm, Rayleigh
+    quotient) runs on the TINY C/v tables — exactly how a cluster PCA
+    separates the O(n d^2) sufficient-statistics pass from the O(d^2)
+    eigensolve (MLlib computeSVD does the same Gramian collapse).
+    Matvec sums and norms are rounded 1e-9 per step (the pinned-
+    trajectory discipline), so both engines walk identical iterates.
+    Fixed iterations, not convergence: random embeddings have a flat
+    spectrum, so the 3-step estimate undershoots the true eigenvalue
+    — the semantics pinned here are the STEP, as with
+    ml_logistic_regression_gd."""
+    emb = _t(spark, sf_dir, "embeddings")
+    long = emb.select(
+        "vec_id",
+        F.posexplode(F.slice(F.col("embedding").cast("array<double>"), 1, 16)).alias(
+            "pos", "x"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).alias("i"), "x")
+    mu = long.groupBy("i").agg(F.round(F.avg("x"), 9).alias("m"))
+    cen = long.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("xc")
+    )
+    a, b = cen.alias("a"), cen.alias("b")
+    cmat = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.round(F.avg(F.col("a.xc") * F.col("b.xc")), 9).alias("cv"))
+    )
+    v = spark.range(1, 17).select(F.col("id").alias("i"), F.lit(0.25).alias("val"))
+    for _ in range(3):
+        w = (
+            cmat.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("cv") * F.col("val")), 9).alias("wv"))
+        )
+        nrm = w.agg(F.round(F.sqrt(F.sum(F.col("wv") * F.col("wv"))), 9).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("wv") / F.col("nrm")).alias("val")
+        )
+    va = v.select(F.col("i").alias("ri"), F.col("val").alias("va"))
+    vb = v.select(F.col("i").alias("rj"), F.col("val").alias("vb"))
+    ray = (
+        cmat.join(F.broadcast(va), cmat.i == va.ri)
+        .join(F.broadcast(vb), cmat.j == vb.rj)
+        .agg(F.round(F.sum(F.col("va") * F.col("cv") * F.col("vb")), 6).alias("eig"))
+    )
+    comps = v.agg(
+        F.round(F.abs(F.max(F.when(F.col("i") == 1, F.col("val")))), 6).alias("c1"),
+        F.round(F.abs(F.max(F.when(F.col("i") == 2, F.col("val")))), 6).alias("c2"),
+        F.round(F.abs(F.max(F.when(F.col("i") == 3, F.col("val")))), 6).alias("c3"),
+    )
+    return (
+        ray.crossJoin(comps)
+        .select(
+            F.lit(16).cast("long").alias("n_dims"),
+            F.col("eig").alias("top_eigenvalue"),
+            "c1",
+            "c2",
+            "c3",
+        )
+    )

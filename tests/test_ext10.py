@@ -151,3 +151,27 @@ def test_incremental_join_view_merge_equals_full(spark):
         )
     }
     assert merged == full
+
+
+def test_pca_power_iteration_properties(spark):
+    """The 3-step estimate must be a valid Rayleigh quotient: positive,
+    at most the true top eigenvalue (numpy recompute), unit-norm
+    iterate, and identical under re-partitioning."""
+    import numpy as np
+
+    row = _run(spark, "ml_pca_power_iteration").collect()[0]
+    emb = load_table(spark, SF, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding[:16] for r in emb], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    top = float(np.linalg.eigvalsh(C)[-1])
+    assert 0 < row.top_eigenvalue <= top + 1e-6
+    assert row.n_dims == 16
+    for c in (row.c1, row.c2, row.c3):
+        assert 0 <= c <= 1
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        again = _run(spark, "ml_pca_power_iteration").collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert tuple(row) == tuple(again)
