@@ -120,6 +120,19 @@ def ml_decision_stump(spark, sf_dir):
         F.col("l_quantity").alias("q"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
+    best = _gini_best_split(labeled)
+    return best.select(
+        F.round("threshold", 4).alias("threshold"),
+        F.round("gini", 6).alias("gini_weighted"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+    )
+
+
+def _gini_best_split(labeled):
+    """Shared Gini split search over a (q, y) frame: returns the 1-row
+    argmin (threshold, gini rounded 1e-9, n_candidates). One partial-
+    aggregable groupBy collapses facts to per-value counts; the cumsum
+    window runs on the candidate table only."""
     per_value = labeled.groupBy("q").agg(
         F.count("*").cast("double").alias("n"),
         F.sum("y").cast("double").alias("pos"),
@@ -147,15 +160,7 @@ def ml_decision_stump(spark, sf_dir):
         "n_candidates",
     )
     wbest = Window.orderBy("gini", "threshold")
-    return (
-        scored.withColumn("rn", F.row_number().over(wbest))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.round("threshold", 4).alias("threshold"),
-            F.round("gini", 6).alias("gini_weighted"),
-            F.col("n_candidates").cast("long").alias("n_candidates"),
-        )
-    )
+    return scored.withColumn("rn", F.row_number().over(wbest)).filter(F.col("rn") == 1)
 
 
 @register(
@@ -524,4 +529,98 @@ def ml_pca_power_iteration(spark, sf_dir):
             "c2",
             "c3",
         )
+    )
+
+
+_GINI_SQL_CTES = """
+per_value AS (
+  SELECT q, CAST(count(*) AS DOUBLE) AS n, CAST(sum(y) AS DOUBLE) AS pos
+  FROM labeled GROUP BY q
+),
+tot AS (SELECT sum(n) AS nt, sum(pos) AS post FROM per_value),
+cum AS (
+  SELECT q, sum(n) OVER (ORDER BY q) AS nl, sum(pos) OVER (ORDER BY q) AS posl
+  FROM per_value
+),
+scored AS (
+  SELECT q AS threshold,
+         round(
+           (nl / nt) * (1 - pow(posl / nl, 2) - pow((nl - posl) / nl, 2))
+           + ((nt - nl) / nt) * (CASE WHEN nt - nl = 0 THEN 0
+               ELSE 1 - pow((post - posl) / (nt - nl), 2)
+                    - pow(((nt - nl) - (post - posl)) / (nt - nl), 2) END),
+           9) AS gini
+  FROM cum CROSS JOIN tot
+),
+best AS (
+  SELECT threshold FROM (
+    SELECT threshold, row_number() OVER (ORDER BY gini, threshold) AS rn FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "ml_confusion_matrix",
+    f"""
+    WITH labeled AS (
+      SELECT l_quantity AS q,
+             CASE WHEN l_quantity + (l_orderkey % 11) - 5 > 25 THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    {_GINI_SQL_CTES},
+    conf AS (
+      SELECT CAST(sum(CASE WHEN l.q > b.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN l.q > b.threshold AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN l.q <= b.threshold AND l.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN l.q <= b.threshold AND l.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM labeled l CROSS JOIN best b
+    )
+    SELECT round(b.threshold, 4) AS threshold, c.tp, c.fp, c.tn, c.fn,
+           round(CAST(c.tp AS DOUBLE) / (c.tp + c.fp), 6) AS precision_pos,
+           round(CAST(c.tp AS DOUBLE) / (c.tp + c.fn), 6) AS recall_pos,
+           round(2.0 * c.tp / (2.0 * c.tp + c.fp + c.fn), 6) AS f1_pos
+    FROM best b CROSS JOIN conf c
+    """,
+)
+def ml_confusion_matrix(spark, sf_dir):
+    """Classification evaluation metrics — confusion matrix +
+    precision/recall/F1 for the learned stump rule `predict positive
+    iff q > t*` — the eval half of a train/evaluate loop, fully in
+    relational algebra: t* comes from the shared Gini search
+    (_gini_best_split), then ONE labeled-table scan against the
+    broadcast 1-row threshold produces all four confusion cells as
+    conditional sums; ratios are derived at the end (never stored
+    unrounded intermediates). The label is a deterministic noisy
+    threshold on the feature (testdata columns are mutually
+    independent, so no natural pair separates) — the pipeline under
+    test is the metric computation, and the ~0.94 F1 keeps every cell
+    and ratio non-degenerate."""
+    li = _t(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_quantity") + (F.col("l_orderkey") % 11) - 5 > 25, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    best = _gini_best_split(labeled).select("threshold")
+    d = labeled.crossJoin(F.broadcast(best))
+    q, y, t = F.col("q"), F.col("y"), F.col("threshold")
+    conf = d.agg(
+        F.first("threshold").alias("t"),
+        F.sum(F.when((q > t) & (y == 1), 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((q > t) & (y == 0), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((q <= t) & (y == 0), 1).otherwise(0)).cast("long").alias("tn"),
+        F.sum(F.when((q <= t) & (y == 1), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    tp, fp, tn, fn = F.col("tp"), F.col("fp"), F.col("tn"), F.col("fn")
+    return conf.select(
+        F.round("t", 4).alias("threshold"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_pos"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_pos"),
+        F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1_pos"),
     )

@@ -175,3 +175,14 @@ def test_pca_power_iteration_properties(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert tuple(row) == tuple(again)
+
+
+def test_confusion_matrix_cells_tile_and_match_sklearn_formulas(spark):
+    row = _run(spark, "ml_confusion_matrix").collect()[0]
+    n = load_table(spark, SF, "lineitem").count()
+    assert row.tp + row.fp + row.tn + row.fn == n
+    assert all(v > 0 for v in (row.tp, row.fp, row.tn, row.fn)), "non-degenerate cells"
+    assert row.precision_pos == round(row.tp / (row.tp + row.fp), 6)
+    assert row.recall_pos == round(row.tp / (row.tp + row.fn), 6)
+    assert row.f1_pos == round(2 * row.tp / (2 * row.tp + row.fp + row.fn), 6)
+    assert row.f1_pos > 0.85, "noisy-threshold label should be well separated"
