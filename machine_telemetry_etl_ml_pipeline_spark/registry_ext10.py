@@ -1,7 +1,9 @@
-"""Tenth extension batch (round 5, batch 4): window-composition and
-SQL-ML surfaces — running sums with event-triggered resets, the
-decision-tree split search in pure relational algebra, and lateral
-column aliases (the SELECT-list self-reference surface).
+"""Tenth extension batch (round 5, batches 4-5): window-composition,
+SQL-ML, and curation surfaces — running sums with event-triggered
+resets, the decision-tree split search + its confusion-matrix
+evaluation, lateral column aliases, SemDeDup-style semantic pruning,
+codec-free audio window energy, incremental JOIN-view maintenance,
+and PCA by power iteration.
 
 No reference analog (/root/reference/project/db.py:77-475 has no
 window functions at all); §2B extensions per the build mandate.
