@@ -162,6 +162,7 @@ _PRIORITY = [
     "ext_incremental_join_view",
     "ml_pca_power_iteration",
     "ml_confusion_matrix",
+    "ext_source_binaryfile",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -626,3 +626,48 @@ def ml_confusion_matrix(spark, sf_dir):
         F.round(tp.cast("double") / (tp + fn), 6).alias("recall_pos"),
         F.round(2.0 * tp / (2.0 * tp + fp + fn), 6).alias("f1_pos"),
     )
+
+
+@register(
+    "ext_source_binaryfile",
+    """
+    SELECT CAST(gs.i AS BIGINT) AS doc_id,
+           CAST(32 AS BIGINT) AS n_bytes,
+           md5(md5(CAST(gs.i AS VARCHAR))) AS content_md5
+    FROM generate_series(0, 19) gs(i)
+    """,
+)
+def ext_source_binaryfile(spark, sf_dir):
+    """`binaryFile` source — the object-store ingestion path for
+    multimodal corpora (images/audio land as opaque files; Spark lists
+    them distributed and yields (path, modificationTime, length,
+    content) with the CONTENT column lazily read per file). Fixture:
+    20 files minted driver-side, each holding the 32-byte ascii md5 of
+    its id; the entry reads them back through the format (with a
+    pathGlobFilter, the listing-side predicate) and digests content —
+    the oracle recomputes both digest layers from the minting formula,
+    so a corrupted read changes the hash. At 100 TB this scan
+    parallelizes per file and prunes on path; pair with
+    llm_multimodal_* for the decode stages."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="binsrc_")
+    import hashlib
+
+    for i in range(20):
+        with open(os.path.join(d, f"{i}.bin"), "wb") as f:
+            f.write(hashlib.md5(str(i).encode()).hexdigest().encode())
+    # decoy that the glob filter must exclude
+    with open(os.path.join(d, "ignore.txt"), "wb") as f:
+        f.write(b"not a bin")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -186,3 +186,14 @@ def test_confusion_matrix_cells_tile_and_match_sklearn_formulas(spark):
     assert row.recall_pos == round(row.tp / (row.tp + row.fn), 6)
     assert row.f1_pos == round(2 * row.tp / (2 * row.tp + row.fp + row.fn), 6)
     assert row.f1_pos > 0.85, "noisy-threshold label should be well separated"
+
+
+def test_binaryfile_source_reads_content_and_filters(spark):
+    rows = _run(spark, "ext_source_binaryfile").collect()
+    assert len(rows) == 20, "pathGlobFilter must exclude the decoy"
+    import hashlib
+
+    for r in rows:
+        assert r.n_bytes == 32
+        payload = hashlib.md5(str(r.doc_id).encode()).hexdigest().encode()
+        assert r.content_md5 == hashlib.md5(payload).hexdigest()
