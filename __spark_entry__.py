@@ -163,6 +163,7 @@ _PRIORITY = [
     "ml_pca_power_iteration",
     "ml_confusion_matrix",
     "ext_source_binaryfile",
+    "ext_merge_schema_evolution",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -671,3 +671,62 @@ def ext_source_binaryfile(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@register(
+    "ext_merge_schema_evolution",
+    """
+    WITH old_batch AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(NULL AS VARCHAR) AS etype
+      FROM events WHERE event_id % 2 = 0
+    ),
+    new_batch AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             event_type AS etype
+      FROM events WHERE event_id % 2 = 1
+    ),
+    unioned AS (SELECT * FROM old_batch UNION ALL SELECT * FROM new_batch)
+    SELECT coalesce(etype, '<pre-evolution>') AS etype,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(CASE WHEN etype IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing
+    FROM unioned GROUP BY 1
+    """,
+)
+def ext_merge_schema_evolution(spark, sf_dir):
+    """Parquet schema evolution on read: an old batch written WITHOUT
+    the `etype` column and a new batch written WITH it live in one
+    table directory; `mergeSchema=true` unions the footers so old
+    files surface NULL for the added column — the append-only
+    evolution path a long-lived 100 TB table actually takes (no
+    rewrite of historical files; the merge cost is per-FOOTER, not
+    per-row, and schema-stable tables should pin the schema instead).
+    The read-back rollup groups by the evolved column with a sentinel
+    for pre-evolution rows; the oracle recomputes it from the logical
+    source, so a wrong null-fill or dropped file changes the hash."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="evolve_") + "/t"
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+    )
+    e.filter(F.col("event_id") % 2 == 0).select("event_id", "cents").write.mode(
+        "append"
+    ).parquet(path)
+    e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "cents", F.col("event_type").alias("etype")
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy(
+        F.coalesce(F.col("etype"), F.lit("<pre-evolution>")).alias("etype")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.when(F.col("etype").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+    )

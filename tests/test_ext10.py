@@ -197,3 +197,14 @@ def test_binaryfile_source_reads_content_and_filters(spark):
         assert r.n_bytes == 32
         payload = hashlib.md5(str(r.doc_id).encode()).hexdigest().encode()
         assert r.content_md5 == hashlib.md5(payload).hexdigest()
+
+
+def test_merge_schema_evolution_nullfills_old_files(spark):
+    rows = {r.etype: (r.n, r.n_missing) for r in _run(spark, "ext_merge_schema_evolution").collect()}
+    total = load_table(spark, SF, "events").count()
+    assert sum(n for n, _ in rows.values()) == total
+    pre_n, pre_missing = rows["<pre-evolution>"]
+    assert pre_n == pre_missing > 0, "old-batch rows must all null-fill"
+    for k, (n, miss) in rows.items():
+        if k != "<pre-evolution>":
+            assert miss == 0
