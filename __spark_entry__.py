@@ -164,6 +164,7 @@ _PRIORITY = [
     "ml_confusion_matrix",
     "ext_source_binaryfile",
     "ext_merge_schema_evolution",
+    "ext_identifier_clause",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -730,3 +730,34 @@ def ext_merge_schema_evolution(spark, sf_dir):
         .cast("long")
         .alias("n_missing"),
     )
+
+
+@register(
+    "ext_identifier_clause",
+    """
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    WHERE user_id < 100
+    GROUP BY event_type
+    """,
+)
+def ext_identifier_clause(spark, sf_dir):
+    """IDENTIFIER(:param) clause (Spark 3.4+): table AND column names
+    templated through bind parameters — the injection-safe form of the
+    f-string table/metric dispatch a multi-tenant query service does
+    (the reference's method-per-query class dispatches on exactly such
+    strings, project/db.py:187-250). Names resolve during analysis, so
+    the plan is byte-identical to the hardcoded oracle form: same
+    pushdown, same partial aggregate."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n,
+               round(sum(IDENTIFIER(:metric)), 4) AS total
+        FROM IDENTIFIER(:tbl)
+        WHERE IDENTIFIER(:keycol) < :lo
+        GROUP BY event_type
+        """,
+        args={"tbl": "events", "metric": "value", "keycol": "user_id", "lo": 100},
+    )
