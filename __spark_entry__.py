@@ -111,9 +111,11 @@ _PRIORITY = [
     "llm_length_bands_by_source",
     "llm_corpus_dashboard",
     # --- 50-entry window boundary ---
-    # r6 queue: the last never-driver-checked entries + the
-    # ext_approx_count_distinct rows-only re-proof. After these,
-    # zero registry entries lack a driver row.
+    # r6 queue: the last r1-r4 never-driver-checked entries + the
+    # ext_approx_count_distinct rows-only re-proof + the 24 r5
+    # additions (corpus curation, Spark-4 SQL surfaces, graph,
+    # iterative ML, sources) queued below. After these, zero registry
+    # entries lack a driver row.
     "ext_dq_rule_report",
     "ext_crosstab",
     "ext_grouping_id",
