@@ -222,3 +222,35 @@ def test_transform_with_state_gated_or_works(spark, events_dir):
     got = spark.table(name).groupBy("user_id").agg(F.max("n").alias("n"))
     joined = got.join(batch, "user_id")
     assert joined.filter("n != count").count() == 0
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, events_dir):
+    """Run the same watermarked tumbling aggregation under the RocksDB
+    state-store provider and the default HDFS-backed one: identical
+    results. RocksDB is the state backend that holds at 100 TB —
+    state lives off-heap/on-disk with incremental checkpoint uploads,
+    where the default provider's executor-heap maps OOM once keyed
+    state outgrows memory."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    old = spark.conf.get(key, None)
+
+    def agg_counts(tag):
+        stream = file_stream(spark, events_dir)
+        return {
+            (r.window_start, r.n)
+            for r in run_to_memory(
+                tumbling_counts(stream, "1 hour"), f"t_rocks_{tag}"
+            ).collect()
+        }
+
+    try:
+        spark.conf.set(key, rocks)
+        with_rocks = agg_counts("rdb")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    default = agg_counts("dflt")
+    assert with_rocks == default and len(with_rocks) > 0
