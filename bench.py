@@ -82,6 +82,13 @@ HEADLINE = [
     # pays the bucketed write, so min-of-reps tracks the shuffle-free
     # join itself (the recurring cost a nightly pipeline pays).
     "ext_bucketed_join_colocated",
+    # round-5 batch 2+: the new iterative/graph/similarity heavies —
+    # 3-step logistic GD (4 scans + broadcast weight joins), triangle
+    # counting on the sparse co-purchase graph (wedge join), and
+    # SemDeDup pruning (bucketed pair scoring with precomputed norms).
+    "ml_logistic_regression_gd",
+    "graph_triangle_count",
+    "llm_semdedup_prune",
 ]
 
 

@@ -255,15 +255,20 @@ def llm_semdedup_prune(spark, sf_dir):
     space); the sweep is a threshold cross join against the bounded
     pair set, never against the corpus, and retention is digested
     exactly (count + id-sum of keepers). Similarities are rounded 1e-6
-    BEFORE thresholding so the keep/drop cut is engine-invariant."""
-    from .llm.similarity import _as_double, cosine, sign_bucket
+    BEFORE thresholding so the keep/drop cut is engine-invariant.
+    Per-vector norms are precomputed ONCE in the base projection and
+    ride the join — recomputing norm(a)/norm(b) inside the pair
+    expression re-folds 2 of the 3 64-element aggregates per pair and
+    measured 2.4x slower at sf0.1; same floats either way (sqrt of the
+    identical in-order dot), so the oracle is unchanged."""
+    from .llm.similarity import _as_double, dot, norm, sign_bucket
 
     e = _t(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
         sign_bucket(F.col("embedding"), [1, 9, 17, 25]).alias("bucket"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -271,7 +276,9 @@ def llm_semdedup_prune(spark, sf_dir):
         & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("b.vec_id").alias("idb"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("s"),
+        F.round(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        ).alias("s"),
     )
     thresholds = spark.range(1).select(
         F.explode(F.array(F.lit(0.30), F.lit(0.35), F.lit(0.40))).alias("thr")

@@ -112,26 +112,29 @@ def llm_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs: candidates from sign-LSH
     buckets (1/16th of the pair space scored), exact cosine filter
     above threshold — the embedding analog of MinHash-LSH + Jaccard
-    verification."""
-    from .llm.similarity import _as_double, cosine, sign_bucket
+    verification. Norms are precomputed once per vector (r5: the
+    inlined cosine() re-folded both norms per pair, twice — filter and
+    projection; same floats, ~3x less fold work)."""
+    from .llm.similarity import _as_double, dot, norm, sign_bucket
 
     e = _t(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
         sign_bucket(F.col("embedding"), [1, 9, 17, 25]).alias("bucket"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     a = base.alias("a")
     b = base.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
+    sim = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter(sim > 0.35)
         .select(
             F.col("a.vec_id").alias("a"),
             F.col("b.vec_id").alias("b"),
-            F.round(sim, 4).alias("cosine_sim"),
+            sim.alias("sim_raw"),
         )
+        .filter(F.col("sim_raw") > 0.35)
+        .select("a", "b", F.round(F.col("sim_raw"), 4).alias("cosine_sim"))
     )
 
 
