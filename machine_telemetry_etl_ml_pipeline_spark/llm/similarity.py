@@ -52,15 +52,26 @@ def brute_force_topk(
     per-query top-k (TakeOrdered per partition + merge)."""
     from pyspark.sql import Window
 
-    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    # norms hoisted out of the pair expression (r5): cosine() inline
+    # would re-fold the corpus norm once per QUERY and the query norm
+    # once per corpus row; precomputed they ride the projection/
+    # broadcast, leaving one dot fold per scored pair. Same floats
+    # (sqrt of the identical in-order self-dot).
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
     q = base.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col("__v").alias("__q")
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col("__n").alias("__qn"),
     )
     scored = base.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
     scored = scored.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cosine_sim"),
+        F.round(
+            dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 4
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -155,21 +166,29 @@ def multiprobe_lsh_topk(
 
     if planes is None:
         planes = random_hyperplanes(dim, n_planes, n_tables, seed)
-    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))  # hoisted: one norm fold per vector
     tagged = base.select(
         id_col,
         "__v",
+        "__n",
         F.posexplode(
             F.array(*[hyperplane_bucket(F.col("__v"), t) for t in planes])
         ).alias("tbl", "bucket"),
     )
     q = tagged.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col("__v").alias("__q"), "tbl", "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col("__n").alias("__qn"),
+        "tbl",
+        "bucket",
     )
     offsets = [0] + [1 << j for j in range(probe_bits)]
     q_probed = q.select(
         "query_id",
         "__q",
+        "__qn",
         "tbl",
         F.explode(
             F.array(*[F.col("bucket").bitwiseXOR(F.lit(off)) for off in offsets])
@@ -181,7 +200,9 @@ def multiprobe_lsh_topk(
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cosine_sim"),
+        F.round(
+            dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 4
+        ).alias("cosine_sim"),
     )
     dedup = scored.groupBy("query_id", "neighbor_id").agg(
         F.max("cosine_sim").alias("cosine_sim")
@@ -211,15 +232,20 @@ def lsh_topk(
         F.col(id_col),
         _as_double(F.col(vec_col)).alias("__v"),
         sign_bucket(F.col(vec_col), list(dims)).alias("bucket"),
-    )
+    ).withColumn("__n", norm(F.col("__v")))
     q = base.filter(F.col(id_col).isin(list(query_ids))).select(
-        F.col(id_col).alias("query_id"), F.col("__v").alias("__q"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col("__n").alias("__qn"),
+        "bucket",
     )
     cand = base.join(F.broadcast(q), "bucket").filter(F.col(id_col) != F.col("query_id"))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cosine_sim"),
+        F.round(
+            dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 4
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
@@ -256,7 +282,9 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = embeddings.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    base = embeddings.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
     train = base.withColumn("__feat", array_to_vector("__v"))
     km = KMeans(k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell").fit(train)
     centers = [c.tolist() for c in km.clusterCenters()]
@@ -275,7 +303,10 @@ def ivf_topk(
     dists = F.array(*[dist2(c) for c in centers])
     # corpus: nearest cell only (1-based array_position -> 0-based)
     tagged = base.select(
-        id_col, "__v", (F.array_position(dists, F.array_min(dists)) - 1).alias("cell")
+        id_col,
+        "__v",
+        "__n",
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
     )
     # queries: n_probe closest cells via sort on (dist, idx) structs
     idxd = F.arrays_zip(dists, F.sequence(F.lit(0), F.lit(len(centers) - 1)))
@@ -284,15 +315,18 @@ def ivf_topk(
         .select(
             F.col(id_col).alias("query_id"),
             F.col("__v").alias("__q"),
+            F.col("__n").alias("__qn"),
             F.explode(F.slice(F.sort_array(idxd), 1, n_probe)).alias("p"),
         )
-        .select("query_id", "__q", F.col("p.1").cast("long").alias("cell"))
+        .select("query_id", "__q", "__qn", F.col("p.1").cast("long").alias("cell"))
     )
     cand = tagged.join(F.broadcast(probes), "cell").filter(F.col(id_col) != F.col("query_id"))
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("__q"), F.col("__v")), 4).alias("cosine_sim"),
+        F.round(
+            dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__n")), 4
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
