@@ -438,6 +438,12 @@ def graph_bfs_distances(spark, sf_dir):
             .select("node", F.lit(i).alias("distance"))
             .localCheckpoint()
         )
+        # early exit on a settled frontier: isEmpty on the just-
+        # materialized checkpoint is a metadata-cheap probe, and the
+        # remaining rounds would be join/checkpoint no-ops — identical
+        # result, fewer jobs (the graph's diameter is usually < cap)
+        if new.isEmpty():
+            break
         dist = dist.union(new).localCheckpoint()
         frontier = new.select("node")
     endpoints = sym.select(F.col("u").alias("node")).distinct()
