@@ -233,7 +233,14 @@ def graph_triangle_count(spark, sf_dir):
     bounded by the sparse degree distribution — the same shape
     GraphX/Pregel triangle counting shuffles. The three 1-row count
     aggregates combine via broadcast cross joins."""
-    edges = _copurchase_edges(spark, sf_dir)
+    return count_triangles(_copurchase_edges(spark, sf_dir))
+
+
+def count_triangles(edges):
+    """Ordered-triple triangle count over an (u, v) edge frame with
+    u < v, assumed distinct. Returns 1 row (n_nodes, n_edges,
+    n_triangles). Property-fuzzed against brute force on random graphs
+    in tests/test_properties.py."""
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedge = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))

@@ -204,3 +204,75 @@ def test_pruned_cdc_topk_lemma(counts, n_batches, k):
     got = sorted(compacted.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     want = sorted(running.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert got == want
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(raw=EDGES)
+@settings(**_SETTINGS)
+def test_triangle_count_matches_bruteforce_on_random_graphs(spark, raw):
+    """count_triangles vs adjacency-set brute force over arbitrary
+    small graphs — self-loops dropped, edges canonicalized u < v."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext9 import count_triangles
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    out = count_triangles(df).collect()[0]
+    nodes = {u for u, _ in edges} | {v for _, v in edges}
+    fwd: dict = {}
+    for u, v in edges:
+        fwd.setdefault(u, set()).add(v)
+    n_tri = sum(
+        1 for u, vs in fwd.items() for v in vs for w in fwd.get(v, ()) if w in vs
+    )
+    assert (out.n_nodes, out.n_edges, out.n_triangles) == (
+        len(nodes),
+        len(edges),
+        n_tri,
+    )
+
+
+LABELED = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # feature value q
+        st.integers(min_value=0, max_value=1),  # label y
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=LABELED)
+@settings(**_SETTINGS)
+def test_gini_best_split_matches_bruteforce(spark, rows):
+    """_gini_best_split vs an exhaustive threshold sweep in Python —
+    same 1e-9 rounding, same (gini, threshold) argmin tiebreak."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext10 import _gini_best_split
+
+    df = spark.createDataFrame(rows, "q long, y long")
+    got = _gini_best_split(df).collect()[0]
+    qs = sorted({q for q, _ in rows})
+    nt = float(len(rows))
+    post = float(sum(y for _, y in rows))
+    best = None
+    for t in qs:
+        nl = float(sum(1 for q, _ in rows if q <= t))
+        posl = float(sum(y for q, y in rows if q <= t))
+        nr, posr = nt - nl, post - posl
+        gl = 1 - (posl / nl) ** 2 - ((nl - posl) / nl) ** 2
+        gr = 0.0 if nr == 0 else 1 - (posr / nr) ** 2 - ((nr - posr) / nr) ** 2
+        g = round((nl / nt) * gl + (nr / nt) * gr, 9)
+        if best is None or (g, t) < best:
+            best = (g, t)
+    assert got.n_candidates == len(qs)
+    assert (got.gini, got.threshold) == best
