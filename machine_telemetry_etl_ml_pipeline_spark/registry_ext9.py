@@ -423,7 +423,14 @@ def graph_bfs_distances(spark, sf_dir):
     rounds no-ops. The oracle is the capped recursive-CTE walk whose
     UNION dedups (node, depth) pairs, so it explores levels, not
     paths."""
-    edges = _copurchase_edges(spark, sf_dir)
+    return bfs_distance_histogram(_copurchase_edges(spark, sf_dir), cap=8)
+
+
+def bfs_distance_histogram(edges, cap: int = 8):
+    """Distributed BFS over an undirected (u, v) edge frame from its
+    smallest endpoint: returns the hop-distance histogram with -1 for
+    endpoints unreached within `cap`. Property-fuzzed against a Python
+    walk on random graphs in tests/test_properties.py."""
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -433,7 +440,7 @@ def graph_bfs_distances(spark, sf_dir):
         .localCheckpoint()
     )
     frontier = dist.select("node")
-    for i in range(1, 9):
+    for i in range(1, cap + 1):
         cand = (
             frontier.alias("f")
             .join(sym.alias("e"), F.col("f.node") == F.col("e.u"))

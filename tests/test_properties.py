@@ -276,3 +276,39 @@ def test_gini_best_split_matches_bruteforce(spark, rows):
             best = (g, t)
     assert got.n_candidates == len(qs)
     assert (got.gini, got.threshold) == best
+
+
+@given(raw=EDGES, cap=st.integers(min_value=1, max_value=4))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bfs_histogram_matches_python_walk(spark, raw, cap):
+    """bfs_distance_histogram vs a Python BFS from the smallest
+    endpoint, including the -1 bucket for nodes beyond the cap."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext9 import (
+        bfs_distance_histogram,
+    )
+
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    df = spark.createDataFrame(sorted(edges), "u long, v long")
+    got = {r.distance: r.n_nodes for r in bfs_distance_histogram(df, cap=cap).collect()}
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    src = min(u for u, _ in edges)
+    dist = {src: 0}
+    frontier = [src]
+    for depth in range(1, cap + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = depth
+                    nxt.append(v)
+        frontier = nxt
+    hist: dict = {}
+    for node in adj:
+        d = dist.get(node, -1)
+        hist[d] = hist.get(d, 0) + 1
+    assert got == hist
