@@ -167,6 +167,7 @@ _PRIORITY = [
     "ext_source_binaryfile",
     "ext_merge_schema_evolution",
     "ext_identifier_clause",
+    "ml_decision_tree_depth2",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -768,3 +768,101 @@ def ext_identifier_clause(spark, sf_dir):
         """,
         args={"tbl": "events", "metric": "value", "keycol": "user_id", "lo": 100},
     )
+
+
+_GINI_TPL = """
+per_value{p} AS (
+  SELECT q, CAST(count(*) AS DOUBLE) AS n, CAST(sum(y) AS DOUBLE) AS pos
+  FROM {src} GROUP BY q
+),
+tot{p} AS (SELECT sum(n) AS nt, sum(pos) AS post FROM per_value{p}),
+cum{p} AS (
+  SELECT q, sum(n) OVER (ORDER BY q) AS nl, sum(pos) OVER (ORDER BY q) AS posl
+  FROM per_value{p}
+),
+scored{p} AS (
+  SELECT q AS threshold,
+         round(
+           (nl / nt) * (1 - pow(posl / nl, 2) - pow((nl - posl) / nl, 2))
+           + ((nt - nl) / nt) * (CASE WHEN nt - nl = 0 THEN 0
+               ELSE 1 - pow((post - posl) / (nt - nl), 2)
+                    - pow(((nt - nl) - (post - posl)) / (nt - nl), 2) END),
+           9) AS gini
+  FROM cum{p} CROSS JOIN tot{p}
+),
+best{p} AS (
+  SELECT threshold, gini FROM (
+    SELECT threshold, gini, row_number() OVER (ORDER BY gini, threshold) AS rn
+    FROM scored{p}
+  ) WHERE rn = 1
+)
+"""
+
+
+@register(
+    "ml_decision_tree_depth2",
+    f"""
+    WITH labeled AS (
+      SELECT l_quantity AS q,
+             CASE WHEN l_quantity + (l_orderkey % 11) - 5 > 25 THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    {_GINI_TPL.format(p="0", src="labeled")},
+    left_rows AS (
+      SELECT l.q, l.y FROM labeled l CROSS JOIN best0 b WHERE l.q <= b.threshold
+    ),
+    right_rows AS (
+      SELECT l.q, l.y FROM labeled l CROSS JOIN best0 b WHERE l.q > b.threshold
+    ),
+    {_GINI_TPL.format(p="1", src="left_rows")},
+    {_GINI_TPL.format(p="2", src="right_rows")}
+    SELECT 'root' AS node, round(threshold, 4) AS threshold,
+           round(gini, 6) AS gini_weighted,
+           (SELECT CAST(count(*) AS BIGINT) FROM labeled) AS n_rows
+    FROM best0
+    UNION ALL
+    SELECT 'left', round(threshold, 4), round(gini, 6),
+           (SELECT CAST(count(*) AS BIGINT) FROM left_rows)
+    FROM best1
+    UNION ALL
+    SELECT 'right', round(threshold, 4), round(gini, 6),
+           (SELECT CAST(count(*) AS BIGINT) FROM right_rows)
+    FROM best2
+    """,
+)
+def ml_decision_tree_depth2(spark, sf_dir):
+    """Depth-2 decision-tree induction: the root split (shared Gini
+    search) partitions the data, then each CHILD runs the identical
+    search on its subset — the recursive step that turns the stump
+    into tree learning, still pure relational algebra. Per level this
+    is how distributed GBDT grows trees: one pass builds per-(node,
+    value) sufficient statistics, the candidate-bounded argmin runs
+    per node; here the two child searches share the root threshold via
+    a broadcast 1-row join, and nothing driver-side ever sees data —
+    only the 3 winning (node, threshold, gini) rows come back."""
+    li = _t(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_quantity") + (F.col("l_orderkey") % 11) - 5 > 25, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    root = _gini_best_split(labeled)
+    t0 = F.broadcast(root.select(F.col("threshold").alias("t0")))
+    left = labeled.crossJoin(t0).filter(F.col("q") <= F.col("t0")).select("q", "y")
+    right = labeled.crossJoin(t0).filter(F.col("q") > F.col("t0")).select("q", "y")
+
+    def node_row(name, subset):
+        best = _gini_best_split(subset).select(
+            F.lit(name).alias("node"),
+            F.round("threshold", 4).alias("threshold"),
+            F.round("gini", 6).alias("gini_weighted"),
+        )
+        n = subset.agg(F.count("*").cast("long").alias("n_rows"))
+        return best.crossJoin(F.broadcast(n))
+
+    return (
+        node_row("root", labeled)
+        .unionByName(node_row("left", left))
+        .unionByName(node_row("right", right))
+    )

@@ -208,3 +208,14 @@ def test_merge_schema_evolution_nullfills_old_files(spark):
     for k, (n, miss) in rows.items():
         if k != "<pre-evolution>":
             assert miss == 0
+
+
+def test_tree_depth2_children_partition_and_improve(spark):
+    rows = {r.node: r for r in _run(spark, "ml_decision_tree_depth2").collect()}
+    assert set(rows) == {"root", "left", "right"}
+    assert rows["left"].n_rows + rows["right"].n_rows == rows["root"].n_rows
+    # the noisy-threshold label is separable at the root, so each
+    # child's best split can't be worse than a coin-flip impurity
+    for node in ("left", "right"):
+        assert 0 <= rows[node].gini_weighted <= 0.5
+    assert rows["left"].threshold <= rows["root"].threshold
