@@ -403,7 +403,8 @@ def tpch_q12(spark, sf_dir):
 @register(
     "tpch_q19",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1  AND l_quantity <= 21)
        OR (p_brand = 'Brand#16' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 30)
@@ -415,7 +416,11 @@ def tpch_q19(spark, sf_dir):
     over join + scan columns (p_container/l_shipmode absent -> brand/
     size/quantity branches). The disjunction references both sides, so
     Catalyst evaluates it post-join while still pushing the common
-    p_partkey equi-key — the classic Q19 plan."""
+    p_partkey equi-key — the classic Q19 plan. Revenue is an exact
+    integer-cent sum: round(sum(float), 4) diverged between engines at
+    the 10x replica (sum ~8e9 -> partial-sum order error > the 4dp
+    grid), while per-row cents then a BIGINT sum is scale-invariant —
+    found by the r5 10x differential."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
     )
@@ -432,9 +437,13 @@ def tpch_q19(spark, sf_dir):
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(branch)
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
             )
+            .cast("long")
+            .alias("revenue_cents")
         )
     )
 
@@ -1579,7 +1588,7 @@ def ext_window_time_range_frame(spark, sf_dir):
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey)
-    SELECT p_partkey, s_suppkey, s_name, round(c.unit_cost, 4) AS unit_cost
+    SELECT p_partkey, s_suppkey, s_name, c.unit_cost AS unit_cost
     FROM part
       JOIN cost c ON c.l_partkey = p_partkey
       JOIN best b ON b.l_partkey = p_partkey AND c.unit_cost = b.min_cost
@@ -1610,8 +1619,14 @@ def tpch_q2(spark, sf_dir):
         .join(best, (F.col("b_partkey") == F.col("p_partkey")) & (F.col("unit_cost") == F.col("min_cost")))
         .join(s, s.s_suppkey == cost.l_suppkey)
     )
+    # unit_cost is returned UNROUNDED: each per-row division of the
+    # same stored doubles is bit-identical on both engines and MIN is
+    # order-independent, so the raw double hash-matches at any SF —
+    # while round(x, 4) sat exactly on a .5 grid point at the 10x
+    # replica and flipped between the engines' rounding algorithms
+    # (found by the r5 10x differential).
     return out.select(
-        "p_partkey", "s_suppkey", "s_name", F.round("unit_cost", 4).alias("unit_cost")
+        "p_partkey", "s_suppkey", "s_name", "unit_cost"
     ).orderBy("p_partkey", "s_suppkey")
 
 
