@@ -111,7 +111,8 @@ def ext_join_anti(spark, sf_dir):
     "ext_join_theta",
     """
     SELECT p_brand, count(*) AS n,
-           round(sum(l_extendedprice), 4) AS sum_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
     FROM lineitem JOIN part ON l_partkey = p_partkey
                   AND l_extendedprice > p_retailprice
     GROUP BY p_brand
@@ -120,7 +121,10 @@ def ext_join_anti(spark, sf_dir):
 def ext_join_theta(spark, sf_dir):
     """Equi + theta composite condition: the equi key drives the hash
     join, the inequality is a post-join residual filter (no nested-loop
-    explosion)."""
+    explosion). The price rollup is an exact per-row-cents BIGINT sum:
+    round(sum(float), 4) diverged at the 10x replica once the group
+    sums reached ~1e10 (partial-sum order error above the 4dp grid) —
+    the same class the r5 differential caught in tpch_q19."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     joined = li.join(
@@ -128,7 +132,9 @@ def ext_join_theta(spark, sf_dir):
     )
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_price_cents"),
     )
 
 

@@ -339,26 +339,31 @@ def ext_window_range_frame(spark, sf_dir):
     """
     SELECT vec_id,
            len(embedding) AS dim,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_dim,
-           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_dim,
-           round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_dim,
-           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_dims,
+           round(CAST(embedding[1] AS DOUBLE), 4) + 0 AS first_dim,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) + 0 AS max_dim,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) + 0 AS min_dim,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) + 0 AS sum_dims,
            len(list_filter(embedding, x -> x > 0)) AS n_positive
     FROM embeddings
     """,
 )
 def ext_array_functions(spark, sf_dir):
     """Array surface: size/element_at/max/min + lambda transform,
-    aggregate, filter (all JVM-side higher-order functions)."""
+    aggregate, filter (all JVM-side higher-order functions). Every
+    rounded float carries the registry's `+ 0` IEEE -0.0 normalizer:
+    a first dim in (-5e-5, 0) rounded to -0.0 on one engine and 0.0
+    on the other — found by the r5 10x differential, whose larger
+    sample hit the band sf0.01 happened to miss."""
     e = _t(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
+    zero = F.lit(0.0)
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_dim"),
-        F.round(F.array_max("embedding").cast("double"), 4).alias("max_dim"),
-        F.round(F.array_min("embedding").cast("double"), 4).alias("min_dim"),
-        F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4).alias("sum_dims"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + zero).alias("first_dim"),
+        (F.round(F.array_max("embedding").cast("double"), 4) + zero).alias("max_dim"),
+        (F.round(F.array_min("embedding").cast("double"), 4) + zero).alias("min_dim"),
+        (F.round(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4) + zero).alias("sum_dims"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
 
