@@ -26,6 +26,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext7  # noqa: E402,
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext8  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext9  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext10  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext11  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -168,6 +169,13 @@ _PRIORITY = [
     "ext_merge_schema_evolution",
     "ext_identifier_clause",
     "ml_decision_tree_depth2",
+    # added in r5 batch 6 (registry_ext11): ML evaluation + scale toolkit
+    "ml_roc_auc",
+    "ml_calibration_bins",
+    "ml_ridge_regression_normal_eq",
+    "ext_bloom_prefilter_join",
+    "llm_weighted_sample",
+    "llm_hashed_features",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
