@@ -27,6 +27,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext8  # noqa: E402,
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext9  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext10  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext11  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext12  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -176,6 +177,10 @@ _PRIORITY = [
     "ext_bloom_prefilter_join",
     "llm_weighted_sample",
     "llm_hashed_features",
+    # added in r5 batch 7 (registry_ext12): drift monitoring + ranking eval
+    "ml_ks_drift",
+    "ml_psi_drift_bins",
+    "ml_ndcg_at_k",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
