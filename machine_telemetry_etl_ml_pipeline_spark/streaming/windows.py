@@ -160,8 +160,17 @@ def events_testdata_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("props", StringType()),
         ]
     )
-    d = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        # directory layout (e.g. the 10x scale replica): part files live
+        # inside — stream the directory itself; a symlinked SUBdirectory
+        # would be silently skipped by the file-source listing (plain
+        # nested dirs are not recursed without recursiveFileLookup),
+        # which read as 0 rows in the r5 replica probe
+        d = src
+    else:
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(src, f"{d}/events.parquet")
     return (
         spark.readStream.schema(schema)
         .parquet(d)
