@@ -28,6 +28,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext9  # noqa: E402,
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext10  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext11  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext12  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext13  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -181,6 +182,12 @@ _PRIORITY = [
     "ml_ks_drift",
     "ml_psi_drift_bins",
     "ml_ndcg_at_k",
+    # added in r5 batch 8 (registry_ext13): CMS sketch + interval merge
+    # + rank correlation + lift table
+    "ext_count_min_sketch",
+    "ext_interval_merge",
+    "ml_spearman_corr",
+    "ml_lift_gains",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

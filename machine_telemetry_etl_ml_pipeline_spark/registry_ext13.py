@@ -1,0 +1,368 @@
+"""Thirteenth extension batch (round 5): streaming-sketch and
+classical-analytics surface — a portable Count-Min sketch with exact
+cross-engine parity, overlapping-interval merge (the islands variant
+the gap/island family was missing), Spearman rank correlation on
+integer-exact rank sums, and a cumulative lift/gains table (the
+decile-ranked companion to ml_roc_auc / ml_calibration_bins).
+
+The reference has none of these (its analytics stop at GROUP BY
+comparisons, project/db.py:329-358); they are the monitoring and
+approximate-counting operators a 100 TB deployment runs beside the
+exact aggregates this engine already ships.
+
+Determinism contract (same rules as registry_ext12): hashing is
+md5-hex (portable across engines), every cross-row reduction is an
+integer sum (rank sums are pre-scaled to BIGINTs; CMS cells are
+counts), and the only float arithmetic is a final scalar formula over
+those exact integers, rounded onto a fixed grid on both sides."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+
+# Count-Min sketch geometry: d=4 rows (seeds), w=64 columns. Portable
+# row hash: first 8 hex chars of md5(seed || ':' || key) as an integer,
+# mod w — byte-identical on Spark and DuckDB, so the sketch itself is
+# cross-engine exact, not just the estimates.
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_b(seed: int, key_col):
+    """Portable CMS row hash (Spark side): first 8 hex chars of
+    md5(seed:key) as an integer, mod w — mirrors _cms_bucket_sql."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), key_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def _cms_bucket_sql(seed: int, key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{seed}:' || CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {_CMS_W})"
+    )
+
+
+@register(
+    "ext_count_min_sketch",
+    f"""
+    WITH cells AS (
+      SELECT seed, bucket, count(*) AS c FROM (
+        SELECT u.seed,
+               CASE u.seed
+                 {' '.join(f"WHEN {s} THEN {_cms_bucket_sql(s, 'user_id')}" for s in range(_CMS_D))}
+               END AS bucket
+        FROM events CROSS JOIN (SELECT unnest(range({_CMS_D})) AS seed) u
+      ) GROUP BY seed, bucket
+    ),
+    probes AS (
+      SELECT user_id AS probe, count(*) AS exact_n
+      FROM events GROUP BY user_id ORDER BY exact_n DESC, probe ASC LIMIT 20
+    ),
+    est AS (
+      SELECT p.probe, p.exact_n, min(c.c) AS cms_estimate
+      FROM probes p JOIN cells c
+        ON c.bucket = CASE c.seed
+             {' '.join(f"WHEN {s} THEN {_cms_bucket_sql(s, 'p.probe')}" for s in range(_CMS_D))}
+           END
+      GROUP BY p.probe, p.exact_n
+    )
+    SELECT probe, exact_n, cms_estimate,
+           CAST(cms_estimate >= exact_n AS BOOLEAN) AS never_undercounts
+    FROM est
+    """,
+)
+def ext_count_min_sketch(spark, sf_dir):
+    """Count-Min sketch frequency estimation with a portable md5 row
+    hash: build a d=4 x w=64 sketch over events.user_id with one
+    partial-aggregable groupBy (the seed fan-out is a 4x row explode
+    that collapses to 256 cells map-side), then answer the top-20
+    heavy-hitter probes as min-over-rows of their cells. The output
+    carries the exact count next to the estimate plus the CMS
+    one-sided-error invariant (estimate >= truth, always true by
+    construction — checked per row, not assumed). Scale shape: the
+    sketch is 256 cells regardless of input rows — THE mergeable
+    pre-aggregate for per-key counts at 100 TB (cells add across
+    shards/days); probes ride a broadcast join against those cells.
+    Reference analog: none — the approximate companion to
+    project/db.py:343's exact count-distinct family."""
+    e = _t(spark, sf_dir, "events")
+    seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
+    fanned = e.select("user_id").crossJoin(F.broadcast(seeds))
+    # CASE keyed on seed so Spark and the SQL enumerate identically
+    cases = F.when(F.col("seed") == 0, _cms_b(0, F.col("user_id")))
+    for s in range(1, _CMS_D):
+        cases = cases.when(F.col("seed") == s, _cms_b(s, F.col("user_id")))
+    cells = (
+        fanned.select("seed", cases.alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        e.groupBy(F.col("user_id").alias("probe"))
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("probe").asc())
+        .limit(20)
+    )
+    pcases = F.when(F.col("seed") == 0, _cms_b(0, F.col("probe")))
+    for s in range(1, _CMS_D):
+        pcases = pcases.when(F.col("seed") == s, _cms_b(s, F.col("probe")))
+    est = (
+        cells.join(
+            F.broadcast(probes),
+            cells.bucket == pcases,
+        )
+        .groupBy("probe", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "probe",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("never_undercounts"),
+    )
+
+
+@register(
+    "ext_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS start_s, max(e) AS end_s,
+           count(*) AS n_events, max(e) - min(s) AS span_s
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def ext_interval_merge(spark, sf_dir):
+    """Merge overlapping per-user activity intervals (each event claims
+    [ts, ts+300s]) into maximal islands — the interval-union variant
+    the gap/island family (ext_gap_islands, ext_session_windows) was
+    missing: an island boundary opens only where an interval STARTS
+    after the running max of all previous ENDS, which differs from
+    gap-sessionization whenever an early long interval swallows later
+    short ones. Epoch-second integers end to end, so the window max and
+    cumulative flag sum are exact on both engines. Scale shape: one
+    hash shuffle on user_id, then two sorted window passes inside each
+    partition — no self-join, no explode; at 100 TB this is the
+    standard plan for machine-uptime / coverage merging."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("s"),
+        (F.unix_timestamp("ts").cast("long") + 300).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = e.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(run).cast("long")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_s"),
+        F.max("e").alias("end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("e") - F.min("s")).alias("span_s"),
+    )
+
+
+@register(
+    "ml_spearman_corr",
+    """
+    WITH r AS (
+      SELECT l_returnflag AS flag,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rx2,
+             2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ry2
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag, count(*) AS n,
+             sum(rx2) AS sx, sum(ry2) AS sy,
+             sum(rx2 * ry2) AS sxy, sum(rx2 * rx2) AS sxx, sum(ry2 * ry2) AS syy
+      FROM r GROUP BY flag
+    )
+    SELECT flag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) + 0 AS spearman
+    FROM s
+    """,
+)
+def ml_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (with ties) between quantity and
+    price per returnflag: fractional average ranks are pre-scaled to
+    exact integers (2*avg_rank = 2*rank + tie_count - 1 is always a
+    BIGINT — the doubling removes the .5s), so every cross-row sum in
+    the Pearson-on-ranks formula is an exact integer sum; the single
+    float expression at the end consumes those exact integers and is
+    therefore the identical double on both engines at any partition
+    order, rounded onto a 1e-6 grid. The scale-factor-invariant
+    constant 2 cancels in the correlation. Scale shape: two sorted
+    windows per group key (rank assignment) + one partial-aggregable
+    groupBy; rank() over a hash-partitioned window is the standard
+    distributed ranking plan — no driver collection, no sampling.
+    Reference analog: none (its stats stop at avg/min/max,
+    project/db.py:315-341); this is the monotonic-association screen a
+    telemetry fleet runs between sensor channels."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"), "l_quantity", "l_extendedprice"
+    )
+    wq = Window.partitionBy("flag").orderBy("l_quantity")
+    wqt = Window.partitionBy("flag", "l_quantity")
+    wp = Window.partitionBy("flag").orderBy("l_extendedprice")
+    wpt = Window.partitionBy("flag", "l_extendedprice")
+    r = li.select(
+        "flag",
+        (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1).alias("rx2"),
+        (2 * F.rank().over(wp) + F.count(F.lit(1)).over(wpt) - 1).alias("ry2"),
+    )
+    s = r.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return s.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        (
+            F.round(
+                (n * F.col("sxy") - sx * sy)
+                / (
+                    F.sqrt(n * F.col("sxx") - sx * sx)
+                    * F.sqrt(n * F.col("syy") - sy * sy)
+                ),
+                6,
+            )
+            + 0
+        ).alias("spearman"),
+    )
+
+
+@register(
+    "ml_lift_gains",
+    """
+    WITH scored AS (
+      SELECT n_chars AS score, doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    deciled AS (
+      SELECT pos, ntile(10) OVER (ORDER BY score DESC, doc_id ASC) AS decile
+      FROM scored
+    ),
+    per AS (
+      SELECT decile, count(*) AS n, sum(pos) AS n_pos
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp FROM per)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+           round(CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                 / CAST(tp AS DOUBLE), 6) + 0 AS cum_gain,
+           round((CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                  / CAST(sum(n) OVER (ORDER BY decile) AS DOUBLE))
+                 / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) + 0 AS cum_lift
+    FROM per CROSS JOIN tot
+    """,
+)
+def ml_lift_gains(spark, sf_dir):
+    """Cumulative gains / lift table at score deciles — the
+    decile-ranked companion to ml_roc_auc and ml_calibration_bins
+    (score = n_chars as the stand-in classifier for lang='en'):
+    rows sorted by score into ntile(10) buckets with a deterministic
+    (score DESC, doc_id ASC) tiebreak, then per-decile positives,
+    cumulative gain (share of all positives captured) and cumulative
+    lift (precision so far / base rate). Every reduction is an integer
+    count; the gains/lift divisions consume exact BIGINTs, so both
+    engines emit identical doubles on the 1e-6 grid. Scale shape: the
+    global ntile is one sorted range-partitioned pass (Spark plans a
+    single rangepartitioning exchange — the same machinery as a global
+    sort, viable because ranking reads each row once); everything
+    after runs on 10 rows. At 100 TB the swap-in is the documented
+    approx_percentile cut-point variant; this entry keeps the exact
+    semantics the oracle can pin."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("score"),
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    deciled = d.select(
+        "pos",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("decile"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("n_pos").alias("tp"))
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.sum("n_pos").over(cum).cast("long").alias("cum_pos"),
+            (
+                F.round(
+                    F.sum("n_pos").over(cum).cast("double") / F.col("tp").cast("double"),
+                    6,
+                )
+                + 0
+            ).alias("cum_gain"),
+            (
+                F.round(
+                    (
+                        F.sum("n_pos").over(cum).cast("double")
+                        / F.sum("n").over(cum).cast("double")
+                    )
+                    / (F.col("tp").cast("double") / F.col("tn").cast("double")),
+                    6,
+                )
+                + 0
+            ).alias("cum_lift"),
+        )
+    )
