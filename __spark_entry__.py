@@ -188,6 +188,8 @@ _PRIORITY = [
     "ext_interval_merge",
     "ml_spearman_corr",
     "ml_lift_gains",
+    "stream_chained_window_agg",
+    "ext_holt_linear",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

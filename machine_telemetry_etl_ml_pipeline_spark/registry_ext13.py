@@ -366,3 +366,149 @@ def ml_lift_gains(spark, sf_dir):
             ).alias("cum_lift"),
         )
     )
+
+
+@register(
+    "stream_chained_window_agg",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 day', h))) AS BIGINT)
+             AS day_start,
+           count(*) AS n_hours,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           max(n) AS max_hourly
+    FROM hourly CROSS JOIN wm
+    WHERE time_bucket(INTERVAL '1 day', h) + INTERVAL 1 DAY <= wm
+    GROUP BY 1
+    """,
+)
+def stream_chained_window_agg(spark, sf_dir):
+    """CHAINED stateful streaming aggregations (Spark 3.5+ multiple
+    stateful operators): hourly tumbling counts re-aggregated into
+    daily (n_hours, n_events, max_hourly) via window(window_time(w)),
+    drained append-mode through an availableNow memory sink. The
+    oracle pins the exact eviction contract: a daily window emits iff
+    its END clears the terminal watermark (max event time - 2h,
+    advanced by the final no-data micro-batches, which flush level 1
+    and then level 2 in sequence); every hourly window inside such a
+    day has already emitted, so the daily row aggregates the complete
+    day. Scale shape: two cascaded partial-aggregable stateful ops —
+    state is |open hours| + |open days| per key-range, not raw rows;
+    this is the standard rollup cascade that replaces a re-read of the
+    raw stream at 100 TB/day."""
+    import uuid
+
+    from .session import tune_session
+    from .streaming.windows import events_testdata_stream
+
+    tune_session(spark)
+    stream = events_testdata_stream(spark, sf_dir)
+    hourly = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n").alias("n_events"),
+            F.max("n").alias("max_hourly"),
+        )
+        .select(
+            F.unix_timestamp(F.col("d.start")).cast("long").alias("day_start"),
+            "n_hours",
+            "n_events",
+            "max_hourly",
+        )
+    )
+    name = f"stream_chain_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "ext_holt_linear",
+    """
+    WITH RECURSIVE d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+    ),
+    s AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM d),
+    h AS (
+      SELECT rn, day, x, CAST(x AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.day, s.x,
+             CAST(0.5 AS DOUBLE) * s.x + CAST(0.5 AS DOUBLE) * (h.l + h.b),
+             CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * s.x
+                                     + CAST(0.5 AS DOUBLE) * (h.l + h.b)) - h.l)
+               + CAST(0.7 AS DOUBLE) * h.b
+      FROM h JOIN s ON s.rn = h.rn + 1
+    )
+    SELECT day, x, round(l, 6) + 0 AS level,
+           round(b, 6) + 0 AS trend,
+           round(l + b, 6) + 0 AS forecast_next
+    FROM h
+    """,
+)
+def ext_holt_linear(spark, sf_dir):
+    """Holt's linear-trend double exponential smoothing (alpha=0.5,
+    beta=0.3) over the daily event-count series — the trend-aware
+    upgrade of ext_ewma_smoothing. The series values are integer day
+    counts (one partial-aggregable groupBy), so the sequential fold —
+    Spark: a single-row array aggregate() appending (level, trend)
+    states; DuckDB: a recursive CTE walking rn+1 — performs the
+    IDENTICAL double arithmetic in the identical order on both
+    engines; outputs are rounded onto a 1e-6 grid. Scale shape: the
+    recursion runs on the collapsed per-day table (|days| rows, bounded
+    by calendar time, not data volume — 36.5k rows after a century);
+    the 100 TB cost is entirely in the first groupBy, which is
+    map-side combinable. Reference analog: none (its time features
+    stop at calendar extraction, project/db.py:373)."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    folded = d.agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("s")
+    ).select(
+        F.expr(
+            """
+            aggregate(
+              slice(s, 2, greatest(size(s) - 1, 0)),
+              array(named_struct(
+                'day', element_at(s, 1).day, 'x', element_at(s, 1).x,
+                'l', CAST(element_at(s, 1).x AS DOUBLE),
+                'b', CAST(0.0 AS DOUBLE))),
+              (acc, e) -> array_append(acc, named_struct(
+                'day', e.day, 'x', e.x,
+                'l', 0.5D * e.x + 0.5D * (element_at(acc, -1).l
+                                          + element_at(acc, -1).b),
+                'b', 0.3D * ((0.5D * e.x + 0.5D * (element_at(acc, -1).l
+                                                   + element_at(acc, -1).b))
+                             - element_at(acc, -1).l)
+                     + 0.7D * element_at(acc, -1).b))
+            ) AS states
+            """
+        )
+    )
+    st = folded.select(F.explode("states").alias("st"))
+    return st.select(
+        F.col("st.day").alias("day"),
+        F.col("st.x").alias("x"),
+        (F.round(F.col("st.l"), 6) + 0).alias("level"),
+        (F.round(F.col("st.b"), 6) + 0).alias("trend"),
+        (F.round(F.col("st.l") + F.col("st.b"), 6) + 0).alias("forecast_next"),
+    )

@@ -130,3 +130,55 @@ def test_lift_gains_mass_identities(spark):
     # informative at the top (not asserted — data-dependent), but lift
     # must stay positive
     assert all(r.cum_lift > 0 for r in rows)
+
+
+def test_chained_window_agg_matches_batch_closed_days(spark):
+    """The chained streaming rollup must emit exactly the daily windows
+    whose end clears the terminal watermark (max ts - 2h), each
+    aggregating the complete day's hourly counts."""
+    from collections import Counter
+
+    rows = {r.day_start: r for r in _run(spark, "stream_chained_window_agg").collect()}
+    events = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    import datetime
+
+    tss = [r.ts for r in events]
+    wm = max(tss) - datetime.timedelta(hours=2)
+    hours = Counter(t.replace(minute=0, second=0, microsecond=0) for t in tss)
+    days = Counter()
+    for h, n in hours.items():
+        days[h.replace(hour=0)] += 1
+    expected_days = {
+        d for d in days if d + datetime.timedelta(days=1) <= wm
+    }
+    assert set(rows) == {int(d.timestamp()) for d in expected_days}
+    for d in expected_days:
+        r = rows[int(d.timestamp())]
+        day_hours = {h: n for h, n in hours.items() if h.replace(hour=0) == d}
+        assert r.n_hours == len(day_hours)
+        assert r.n_events == sum(day_hours.values())
+        assert r.max_hourly == max(day_hours.values())
+
+
+def test_holt_linear_matches_sequential_fold(spark):
+    """Level/trend states must equal an independent sequential Python
+    fold over the per-day counts."""
+    rows = sorted(_run(spark, "ext_holt_linear").collect(), key=lambda r: r.day)
+    events = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    from collections import Counter
+
+    days = Counter(r.ts.date() for r in events)
+    series = sorted(days.items())
+    assert [r.day for r in rows] == [d for d, _ in series]
+    assert [r.x for r in rows] == [x for _, x in series]
+    l, b = float(series[0][1]), 0.0
+    states = [(l, b)]
+    for _, x in series[1:]:
+        nl = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (nl - l) + 0.7 * b
+        l = nl
+        states.append((l, b))
+    for r, (el, eb) in zip(rows, states):
+        assert abs(r.level - round(el, 6)) < 1e-9
+        assert abs(r.trend - round(eb, 6)) < 1e-9
+        assert abs(r.forecast_next - round(el + eb, 6)) < 1e-9
