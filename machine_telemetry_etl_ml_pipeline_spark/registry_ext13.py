@@ -69,13 +69,17 @@ def _cms_bucket_sql(seed: int, key_expr: str) -> str:
       SELECT user_id AS probe, count(*) AS exact_n
       FROM events GROUP BY user_id ORDER BY exact_n DESC, probe ASC LIMIT 20
     ),
+    fanned_probes AS (
+      SELECT p.probe, p.exact_n, u.seed,
+             CASE u.seed
+               {' '.join(f"WHEN {s} THEN {_cms_bucket_sql(s, 'p.probe')}" for s in range(_CMS_D))}
+             END AS bucket
+      FROM probes p CROSS JOIN (SELECT unnest(range({_CMS_D})) AS seed) u
+    ),
     est AS (
-      SELECT p.probe, p.exact_n, min(c.c) AS cms_estimate
-      FROM probes p JOIN cells c
-        ON c.bucket = CASE c.seed
-             {' '.join(f"WHEN {s} THEN {_cms_bucket_sql(s, 'p.probe')}" for s in range(_CMS_D))}
-           END
-      GROUP BY p.probe, p.exact_n
+      SELECT fp.probe, fp.exact_n, min(c.c) AS cms_estimate
+      FROM fanned_probes fp JOIN cells c USING (seed, bucket)
+      GROUP BY fp.probe, fp.exact_n
     )
     SELECT probe, exact_n, cms_estimate,
            CAST(cms_estimate >= exact_n AS BOOLEAN) AS never_undercounts
@@ -117,11 +121,13 @@ def ext_count_min_sketch(spark, sf_dir):
     pcases = F.when(F.col("seed") == 0, _cms_b(0, F.col("probe")))
     for s in range(1, _CMS_D):
         pcases = pcases.when(F.col("seed") == s, _cms_b(s, F.col("probe")))
+    # fan the 20 probes over the 4 seeds so the lookup is a plain
+    # (seed, bucket) equi-join — broadcast hash join, not a nested loop
+    fanned_probes = probes.crossJoin(F.broadcast(seeds)).select(
+        "probe", "exact_n", "seed", pcases.alias("bucket")
+    )
     est = (
-        cells.join(
-            F.broadcast(probes),
-            cells.bucket == pcases,
-        )
+        cells.join(F.broadcast(fanned_probes), ["seed", "bucket"])
         .groupBy("probe", "exact_n")
         .agg(F.min("c").alias("cms_estimate"))
     )
@@ -137,15 +143,15 @@ def ext_count_min_sketch(spark, sf_dir):
     "ext_interval_merge",
     """
     WITH iv AS (
-      SELECT user_id,
+      SELECT user_id, event_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS s,
              CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN s > max(e) OVER (
-                    PARTITION BY user_id ORDER BY s, e
+                    PARTITION BY user_id ORDER BY s, e, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   THEN 1 ELSE 0 END AS new_island
       FROM iv
@@ -153,7 +159,7 @@ def ext_count_min_sketch(spark, sf_dir):
     islands AS (
       SELECT user_id, s, e,
              sum(new_island) OVER (
-               PARTITION BY user_id ORDER BY s, e
+               PARTITION BY user_id ORDER BY s, e, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged
     )
@@ -177,10 +183,15 @@ def ext_interval_merge(spark, sf_dir):
     standard plan for machine-uptime / coverage merging."""
     e = _t(spark, sf_dir, "events").select(
         "user_id",
+        "event_id",
         F.unix_timestamp("ts").cast("long").alias("s"),
         (F.unix_timestamp("ts").cast("long") + 300).alias("e"),
     )
-    order = Window.partitionBy("user_id").orderBy("s", "e")
+    # event_id tiebreak makes the ordering TOTAL: with exact (s, e)
+    # ties, an engine may re-sort ties between the two window passes
+    # (DuckDB did at the tie-dense 10x replica), detaching the
+    # island-open flag from the row the cumulative sum visits first
+    order = Window.partitionBy("user_id").orderBy("s", "e", "event_id")
     prev = order.rowsBetween(Window.unboundedPreceding, -1)
     run = order.rowsBetween(Window.unboundedPreceding, 0)
     flagged = e.withColumn(
@@ -228,7 +239,10 @@ def ml_spearman_corr(spark, sf_dir):
     price per returnflag: fractional average ranks are pre-scaled to
     exact integers (2*avg_rank = 2*rank + tie_count - 1 is always a
     BIGINT — the doubling removes the .5s), so every cross-row sum in
-    the Pearson-on-ranks formula is an exact integer sum; the single
+    the Pearson-on-ranks formula is an exact integer sum — accumulated
+    as DECIMAL(38,0) on the Spark side / HUGEINT on DuckDB, because
+    sums of rank squares (~4n^3) blow past BIGINT near 1M rows per
+    group (the 10x replica proved it with an ANSI overflow); the single
     float expression at the end consumes those exact integers and is
     therefore the identical double on both engines at any partition
     order, rounded onto a 1e-6 grid. The scale-factor-invariant
@@ -251,13 +265,17 @@ def ml_spearman_corr(spark, sf_dir):
         (2 * F.rank().over(wq) + F.count(F.lit(1)).over(wqt) - 1).alias("rx2"),
         (2 * F.rank().over(wp) + F.count(F.lit(1)).over(wpt) - 1).alias("ry2"),
     )
+    # sums of rank squares exceed BIGINT beyond ~1M rows/group (rank^2
+    # ~ 4n^2); accumulate in DECIMAL(38,0) — exact like DuckDB's
+    # HUGEINT sum — and only convert to double in the final formula
+    dec = "decimal(38,0)"
     s = r.groupBy("flag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("rx2").alias("sx"),
-        F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
-        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
-        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(F.col("rx2").cast(dec)).alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).alias("sy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(dec)).alias("sxy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(dec)).alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(dec)).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")
@@ -267,10 +285,10 @@ def ml_spearman_corr(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         (
             F.round(
-                (n * F.col("sxy") - sx * sy)
+                (n * F.col("sxy").cast("double") - sx * sy)
                 / (
-                    F.sqrt(n * F.col("sxx") - sx * sx)
-                    * F.sqrt(n * F.col("syy") - sy * sy)
+                    F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
+                    * F.sqrt(n * F.col("syy").cast("double") - sy * sy)
                 ),
                 6,
             )
@@ -456,9 +474,8 @@ def stream_chained_window_agg(spark, sf_dir):
                + CAST(0.7 AS DOUBLE) * h.b
       FROM h JOIN s ON s.rn = h.rn + 1
     )
-    SELECT day, x, round(l, 6) + 0 AS level,
-           round(b, 6) + 0 AS trend,
-           round(l + b, 6) + 0 AS forecast_next
+    SELECT day, x, l + 0 AS level, b + 0 AS trend,
+           (l + b) + 0 AS forecast_next
     FROM h
     """,
 )
@@ -470,7 +487,9 @@ def ext_holt_linear(spark, sf_dir):
     Spark: a single-row array aggregate() appending (level, trend)
     states; DuckDB: a recursive CTE walking rn+1 — performs the
     IDENTICAL double arithmetic in the identical order on both
-    engines; outputs are rounded onto a 1e-6 grid. Scale shape: the
+    engines, so the raw doubles match bitwise and ship unrounded
+    (rounding onto a fixed grid can land exactly ON a .5 boundary,
+    where the engines' rounding algorithms disagree). Scale shape: the
     recursion runs on the collapsed per-day table (|days| rows, bounded
     by calendar time, not data volume — 36.5k rows after a century);
     the 100 TB cost is entirely in the first groupBy, which is
@@ -504,11 +523,16 @@ def ext_holt_linear(spark, sf_dir):
             """
         )
     )
+    # outputs stay UNROUNDED: the fold's operation tree is identical on
+    # both engines (sequential over the same exact integers), so the raw
+    # doubles hash-match — while round(x, 6) of a value landing exactly
+    # ON a .5 grid point diverges between engines (the tpch_q2 lesson;
+    # the 10x replica hit this on forecast_next)
     st = folded.select(F.explode("states").alias("st"))
     return st.select(
         F.col("st.day").alias("day"),
         F.col("st.x").alias("x"),
-        (F.round(F.col("st.l"), 6) + 0).alias("level"),
-        (F.round(F.col("st.b"), 6) + 0).alias("trend"),
-        (F.round(F.col("st.l") + F.col("st.b"), 6) + 0).alias("forecast_next"),
+        (F.col("st.l") + 0).alias("level"),
+        (F.col("st.b") + 0).alias("trend"),
+        (F.col("st.l") + F.col("st.b") + 0).alias("forecast_next"),
     )

@@ -178,7 +178,9 @@ def test_holt_linear_matches_sequential_fold(spark):
         b = 0.3 * (nl - l) + 0.7 * b
         l = nl
         states.append((l, b))
+    # outputs are unrounded and the fold's operation tree matches this
+    # Python loop exactly — IEEE doubles must agree BITWISE
     for r, (el, eb) in zip(rows, states):
-        assert abs(r.level - round(el, 6)) < 1e-9
-        assert abs(r.trend - round(eb, 6)) < 1e-9
-        assert abs(r.forecast_next - round(el + eb, 6)) < 1e-9
+        assert r.level == el, (r.day, r.level, el)
+        assert r.trend == eb, (r.day, r.trend, eb)
+        assert r.forecast_next == el + eb
