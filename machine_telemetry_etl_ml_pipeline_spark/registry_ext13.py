@@ -101,8 +101,10 @@ def ext_count_min_sketch(spark, sf_dir):
     Reference analog: none — the approximate companion to
     project/db.py:343's exact count-distinct family."""
     e = _t(spark, sf_dir, "events")
-    seeds = spark.range(_CMS_D).select(F.col("id").cast("int").alias("seed"))
-    fanned = e.select("user_id").crossJoin(F.broadcast(seeds))
+    # seed fan-out as a narrow Generate (explode of a 4-element literal
+    # array) — no join operator at all, stays inside codegen
+    seed_arr = F.array(*[F.lit(s) for s in range(_CMS_D)])
+    fanned = e.select("user_id", F.explode(seed_arr).alias("seed"))
     # CASE keyed on seed so Spark and the SQL enumerate identically
     cases = F.when(F.col("seed") == 0, _cms_b(0, F.col("user_id")))
     for s in range(1, _CMS_D):
@@ -123,9 +125,9 @@ def ext_count_min_sketch(spark, sf_dir):
         pcases = pcases.when(F.col("seed") == s, _cms_b(s, F.col("probe")))
     # fan the 20 probes over the 4 seeds so the lookup is a plain
     # (seed, bucket) equi-join — broadcast hash join, not a nested loop
-    fanned_probes = probes.crossJoin(F.broadcast(seeds)).select(
-        "probe", "exact_n", "seed", pcases.alias("bucket")
-    )
+    fanned_probes = probes.select(
+        "probe", "exact_n", F.explode(seed_arr).alias("seed")
+    ).select("probe", "exact_n", "seed", pcases.alias("bucket"))
     est = (
         cells.join(F.broadcast(fanned_probes), ["seed", "bucket"])
         .groupBy("probe", "exact_n")
