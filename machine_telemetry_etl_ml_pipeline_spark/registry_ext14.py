@@ -1,0 +1,226 @@
+"""Fourteenth extension batch (round 5): experimentation analytics —
+the two-sample significance tests an A/B platform computes over event
+logs: a two-proportion z-test on conversion rates and Welch's unequal-
+variance t-test on order values.
+
+They complete the statistical-monitoring family (chi-square
+independence, KS/PSI drift, Spearman association) with the
+hypothesis-testing readouts; the reference has no testing surface at
+all (its stats stop at avg/min/max, project/db.py:315-341).
+
+Determinism contract: group assignment is a deterministic md5 parity
+(no RNG), every cross-row reduction is an exact integer sum (event
+counts; order values in integer cents via round(x*100) of the shared
+double), and each final statistic is one scalar float formula over
+those exact integers, rounded onto a 1e-6 grid on both engines."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+
+# deterministic 2-arm split: md5 parity of the user id — portable, and
+# the idiom a real platform uses for sticky bucketing
+_ARM_SQL = "(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2)"
+
+
+def _arm_spark():
+    return (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    ).alias("arm")
+
+
+@register(
+    "ml_ab_ztest_conversion",
+    f"""
+    WITH assigned AS (
+      SELECT user_id, {_ARM_SQL} AS arm,
+             max(CASE WHEN event_type = 'purchase'
+                       AND CAST(ts AS DATE) = DATE '2024-01-29'
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, count(*) AS n, sum(converted) AS conv
+      FROM assigned GROUP BY arm
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN arm = 0 THEN n END) AS n0,
+        max(CASE WHEN arm = 0 THEN conv END) AS c0,
+        max(CASE WHEN arm = 1 THEN n END) AS n1,
+        max(CASE WHEN arm = 1 THEN conv END) AS c1
+      FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+           round(CAST(c0 AS DOUBLE) / n0, 6) + 0 AS rate_control,
+           round(CAST(c1 AS DOUBLE) / n1, 6) + 0 AS rate_treat,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 6) + 0 AS z_stat
+    FROM wide
+    """,
+)
+def ml_ab_ztest_conversion(spark, sf_dir):
+    """Two-proportion z-test on user conversion (a 'purchase' on the
+    experiment day, 2024-01-29 — a single-day metric so both arms keep
+    genuine variance; lifetime conversion saturates at 1.0 and the
+    pooled standard error degenerates to 0) between two deterministic
+    md5-parity arms — the A/B significance readout with
+    pooled-variance standard error. Per-user conversion
+    collapses with max(), arm totals are exact integer counts, and the
+    z statistic is a single scalar formula over four exact BIGINTs —
+    identical doubles on both engines at any partition order, rounded
+    onto a 1e-6 grid. Scale shape: one partial-aggregable groupBy on
+    user_id (the only input-sized shuffle), a 2-row arm rollup, and a
+    1-row pivot; at 100 TB this is exactly the nightly-experiment
+    scorecard plan — nothing downstream of the first groupBy sees more
+    than |users| rows."""
+    assigned = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            _arm_spark(),
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts").cast("date") == F.lit("2024-01-29").cast("date")),
+                1,
+            )
+            .otherwise(0)
+            .alias("cv"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(F.max("cv").alias("converted"))
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0 = F.col("n0").cast("double")
+    c0 = F.col("c0").cast("double")
+    n1 = F.col("n1").cast("double")
+    c1 = F.col("c1").cast("double")
+    pooled = (c0 + c1) / (n0 + n1)
+    return wide.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("c1").cast("long").alias("conv_treat"),
+        (F.round(c0 / n0, 6) + 0).alias("rate_control"),
+        (F.round(c1 / n1, 6) + 0).alias("rate_treat"),
+        (
+            F.round(
+                (c1 / n1 - c0 / n0)
+                / F.sqrt(pooled * (1 - pooled) * (F.lit(1.0) / n0 + F.lit(1.0) / n1)),
+                6,
+            )
+            + 0
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "ml_welch_ttest",
+    """
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    m AS (
+      SELECT grp, count(*) AS n, sum(cents) AS s,
+             sum(cents * cents) AS ss
+      FROM v GROUP BY grp
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN grp = 0 THEN n END) AS n0,
+        max(CASE WHEN grp = 0 THEN CAST(s AS DOUBLE) END) AS s0,
+        max(CASE WHEN grp = 0 THEN CAST(ss AS DOUBLE) END) AS ss0,
+        max(CASE WHEN grp = 1 THEN n END) AS n1,
+        max(CASE WHEN grp = 1 THEN CAST(s AS DOUBLE) END) AS s1,
+        max(CASE WHEN grp = 1 THEN CAST(ss AS DOUBLE) END) AS ss1
+      FROM m
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_low, CAST(n1 AS BIGINT) AS n_high,
+           round(s0 / n0 / 100, 6) + 0 AS mean_low,
+           round(s1 / n1 / 100, 6) + 0 AS mean_high,
+           round((s1 / n1 - s0 / n0)
+                 / sqrt(((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0
+                        + ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                 , 6) + 0 AS t_stat,
+           round(pow(((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0
+                     + ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1, 2)
+                 / (pow(((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0, 2) / (n0 - 1)
+                    + pow(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1, 2) / (n1 - 1))
+                 , 4) + 0 AS welch_df
+    FROM wide
+    """,
+)
+def ml_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test on order value between priority
+    segments (urgent/high vs rest), with the Welch-Satterthwaite
+    degrees of freedom. Order values reduce as exact integer-cent sums
+    and sums of squares (DECIMAL(38,0) on Spark / HUGEINT on DuckDB —
+    cents^2 is ~2.5e15 per row, past BIGINT within thousands of rows),
+    so the t statistic
+    and df are single scalar formulas over exact integers — identical
+    doubles cross-engine at any partitioning, on 1e-6/1e-4 grids. The
+    mean/variance terms mirror ml_ks_drift's slice-comparison role for
+    the CONTINUOUS-metric case. Scale shape: one partial-aggregable
+    groupBy collapsing the fact table to two moment rows; the test
+    itself runs on a 1-row pivot. Reference analog: none
+    (project/db.py:315-341 stops at avg/min/max)."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    # cents^2 sums pass BIGINT range immediately (5e7 cents squared is
+    # 2.5e15/row); accumulate in DECIMAL(38,0), exact like the oracle's
+    # HUGEINT — the ml_spearman_corr overflow lesson applied up front
+    m = v.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(38,0)")).alias("ss"),
+    )
+    wide = m.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("s").cast("double"))).alias("s0"),
+        F.max(F.when(F.col("grp") == 0, F.col("ss").cast("double"))).alias("ss0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("s").cast("double"))).alias("s1"),
+        F.max(F.when(F.col("grp") == 1, F.col("ss").cast("double"))).alias("ss1"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    s0, ss0, s1, ss1 = F.col("s0"), F.col("ss0"), F.col("s1"), F.col("ss1")
+    se0 = ((ss0 - s0 * s0 / n0) / (n0 - 1)) / n0
+    se1 = ((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1
+    return wide.select(
+        F.col("n0").cast("long").alias("n_low"),
+        F.col("n1").cast("long").alias("n_high"),
+        (F.round(s0 / n0 / 100, 6) + 0).alias("mean_low"),
+        (F.round(s1 / n1 / 100, 6) + 0).alias("mean_high"),
+        (F.round((s1 / n1 - s0 / n0) / F.sqrt(se0 + se1), 6) + 0).alias("t_stat"),
+        (
+            F.round(
+                F.pow(se0 + se1, 2)
+                / (F.pow(se0, 2) / (n0 - 1) + F.pow(se1, 2) / (n1 - 1)),
+                4,
+            )
+            + 0
+        ).alias("welch_df"),
+    )
