@@ -194,6 +194,8 @@ _PRIORITY = [
     # added in r5 batch 9 (registry_ext14): experimentation analytics
     "ml_ab_ztest_conversion",
     "ml_welch_ttest",
+    "ml_mann_whitney_u",
+    "ext_cusum_changepoint",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

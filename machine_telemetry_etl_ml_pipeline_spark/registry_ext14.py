@@ -224,3 +224,187 @@ def ml_welch_ttest(spark, sf_dir):
             + 0
         ).alias("welch_df"),
     )
+
+
+@register(
+    "ml_mann_whitney_u",
+    """
+    WITH v AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT grp,
+             2 * rank() OVER (ORDER BY cents)
+               + count(*) OVER (PARTITION BY cents) - 1 AS rr2
+      FROM v
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS tc
+      FROM v GROUP BY cents HAVING count(*) > 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN grp = 1 THEN rr2 ELSE 0 END) AS DOUBLE) AS r1_2,
+             CAST(sum(grp) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS n
+      FROM r
+    ),
+    tie AS (SELECT CAST(coalesce(sum(tc * tc * tc - tc), 0) AS DOUBLE) AS tsum FROM t)
+    SELECT n1, n - n1 AS n0,
+           round(r1_2 / 2 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2, 1) + 0 AS u_stat,
+           round(((r1_2 / 2 - CAST(n1 * (n1 + 1) AS DOUBLE) / 2)
+                  - CAST(n1 * (n - n1) AS DOUBLE) / 2)
+                 / sqrt(CAST(n1 * (n - n1) AS DOUBLE) / 12
+                        * ((n + 1) - tsum / (CAST(n AS DOUBLE) * (n - 1)))), 6) + 0
+             AS z_stat
+    FROM s CROSS JOIN tie
+    """,
+)
+def ml_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) between the order-priority
+    segments — the nonparametric sibling of ml_welch_ttest, with the
+    normal approximation's tie-corrected variance. Tie-averaged ranks
+    are pre-scaled to exact integers (the ml_spearman_corr trick:
+    2*avg_rank = 2*rank + tie_count - 1), the rank sum and the
+    tie-correction sum(t^3 - t) reduce as exact integer sums, and U
+    plus the z statistic are single scalar formulas over those exact
+    values — identical doubles cross-engine at any partition order.
+    Scale shape: one global rank window (the range-partitioned sorted
+    pass ranking needs), a cents-keyed tie count reusing the same
+    exchange, and two 1-row aggregates. Reference analog: none."""
+    v = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("cents")
+    wt = Window.partitionBy("cents")
+    r = v.select(
+        "grp",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("rr2"),
+    )
+    t = (
+        v.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("tc"))
+        .filter(F.col("tc") > 1)
+    )
+    s = r.agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("rr2")).otherwise(0))
+        .cast("double")
+        .alias("r1_2"),
+        F.sum("grp").cast("long").alias("n1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    tie = t.agg(
+        F.coalesce(
+            F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")), F.lit(0)
+        )
+        .cast("double")
+        .alias("tsum")
+    )
+    n1 = F.col("n1")
+    n = F.col("n")
+    u = F.col("r1_2") / 2 - (n1 * (n1 + 1)).cast("double") / 2
+    var = (n1 * (n - n1)).cast("double") / 12 * (
+        (n + 1) - F.col("tsum") / (n.cast("double") * (n - 1))
+    )
+    return s.crossJoin(F.broadcast(tie)).select(
+        "n1",
+        (n - n1).alias("n0"),
+        (F.round(u, 1) + 0).alias("u_stat"),
+        (
+            F.round((u - (n1 * (n - n1)).cast("double") / 2) / F.sqrt(var), 6) + 0
+        ).alias("z_stat"),
+    )
+
+
+@register(
+    "ext_cusum_changepoint",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS total FROM d),
+    c AS (
+      SELECT day, x,
+             row_number() OVER (ORDER BY day) AS i,
+             CAST(sum(x) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM d
+    ),
+    dev AS (
+      SELECT day, x, i, cum,
+             abs(CAST(n AS BIGINT) * cum - i * total) AS ndev
+      FROM c CROSS JOIN t
+    ),
+    m AS (SELECT max(ndev) AS mx FROM dev)
+    SELECT d.day AS change_day, d.x AS day_count,
+           CAST(d.cum AS BIGINT) AS cum_events,
+           CAST(d.ndev AS BIGINT) AS scaled_max_dev,
+           round(CAST(d.ndev AS DOUBLE) / n, 4) + 0 AS max_dev
+    FROM dev d CROSS JOIN m CROSS JOIN t
+    WHERE d.ndev = m.mx
+    ORDER BY d.day LIMIT 1
+    """,
+)
+def ext_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint detection on the daily event-count series:
+    the day maximizing |cumsum(x) - i*mean| — where the running total
+    most departs from the uniform-rate line — is the classic
+    level-shift estimator. The deviation is computed SCALED BY n
+    (n*cumsum - i*total), so the argmax runs entirely on exact
+    BIGINTs; only the reported max_dev divides back to a double. One
+    partial-aggregable groupBy collapses the stream to |days| rows;
+    the cumulative window, broadcast totals, and argmax all run on
+    that calendar-bounded table. The earliest-day tiebreak is pinned
+    on both engines. Reference analog: none — the drift-alarm
+    companion to ml_ks_drift for time-ordered rates."""
+    d = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    t = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    c = d.select(
+        "day",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum"),
+    )
+    dev = c.crossJoin(F.broadcast(t)).select(
+        "day",
+        "x",
+        "i",
+        "cum",
+        "n",
+        F.abs(F.col("n") * F.col("cum") - F.col("i") * F.col("total")).alias("ndev"),
+    )
+    m = dev.agg(F.max("ndev").alias("mx"))
+    return (
+        dev.crossJoin(F.broadcast(m))
+        .filter(F.col("ndev") == F.col("mx"))
+        .orderBy("day")
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("x").alias("day_count"),
+            F.col("cum").alias("cum_events"),
+            F.col("ndev").cast("long").alias("scaled_max_dev"),
+            (F.round(F.col("ndev").cast("double") / F.col("n"), 4) + 0).alias(
+                "max_dev"
+            ),
+        )
+    )

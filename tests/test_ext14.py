@@ -83,3 +83,66 @@ def test_welch_ttest_matches_brute_force(spark):
     assert abs(row.t_stat - t) < 1e-4
     assert abs(row.welch_df - df) < 1e-2
     assert min(n0, n1) - 1 <= row.welch_df <= n0 + n1 - 2
+
+
+def test_mann_whitney_matches_brute_force(spark):
+    """U and the tie-corrected z must match the textbook computation
+    over tie-averaged ranks."""
+    row = _run(spark, "ml_mann_whitney_u").collect()[0]
+    orders = (
+        spark.read.parquet(f"{SF}/orders.parquet")
+        .select("o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    vals = [
+        (1 if r.o_orderpriority in ("1-URGENT", "2-HIGH") else 0,
+         round(r.o_totalprice * 100))
+        for r in orders
+    ]
+    xs = sorted(v for _, v in vals)
+    # tie-averaged ranks
+    from collections import Counter, defaultdict
+
+    counts = Counter(xs)
+    first_rank = {}
+    pos = 1
+    for v in sorted(counts):
+        first_rank[v] = pos
+        pos += counts[v]
+    avg_rank = {v: first_rank[v] + (counts[v] - 1) / 2 for v in counts}
+    n = len(vals)
+    n1 = sum(g for g, _ in vals)
+    r1 = sum(avg_rank[v] for g, v in vals if g == 1)
+    u = r1 - n1 * (n1 + 1) / 2
+    tsum = sum(c**3 - c for c in counts.values() if c > 1)
+    var = n1 * (n - n1) / 12 * ((n + 1) - tsum / (n * (n - 1)))
+    z = (u - n1 * (n - n1) / 2) / math.sqrt(var)
+    assert (row.n1, row.n0) == (n1, n - n1)
+    assert abs(row.u_stat - u) < 0.51  # u rounded to 1dp
+    assert abs(row.z_stat - z) < 1e-6
+
+
+def test_cusum_changepoint_matches_brute_force(spark):
+    """The reported day must maximize |cumsum - i*mean| over the daily
+    series, with the earliest-day tiebreak."""
+    row = _run(spark, "ext_cusum_changepoint").collect()[0]
+    events = spark.read.parquet(f"{SF}/events.parquet").select("ts").collect()
+    from collections import Counter
+
+    days = Counter(r.ts.date() for r in events)
+    series = sorted(days.items())
+    n = len(series)
+    total = sum(x for _, x in series)
+    cum = 0
+    best = None
+    for i, (d, x) in enumerate(series, start=1):
+        cum += x
+        ndev = abs(n * cum - i * total)
+        if best is None or ndev > best[0]:
+            best = (ndev, d, x, cum)
+    ndev, d, x, cum = best
+    assert row.change_day == d
+    assert row.day_count == x
+    assert row.cum_events == cum
+    assert row.scaled_max_dev == ndev
+    assert abs(row.max_dev - ndev / n) < 1e-4
