@@ -196,6 +196,7 @@ _PRIORITY = [
     "ml_welch_ttest",
     "ml_mann_whitney_u",
     "ext_cusum_changepoint",
+    "ext_source_text",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -408,3 +408,48 @@ def ext_cusum_changepoint(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "ext_source_text",
+    """
+    WITH lines AS (
+      SELECT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS line
+      FROM documents
+    )
+    SELECT count(*) AS n_lines,
+           CAST(sum(length(line)) AS BIGINT) AS sum_chars,
+           count(DISTINCT line) AS n_distinct,
+           CAST(sum(('0x' || substr(md5(line), 1, 8))::BIGINT) AS BIGINT)
+             AS md5_digest
+    FROM lines
+    """,
+)
+def ext_source_text(spark, sf_dir):
+    """Plain-text file source round trip (the last cell of the source
+    matrix: CSV/JSONL/ORC/XML/parquet/binaryFile/Python-DataSource +
+    text): document bodies are newline-normalized (a text line IS the
+    record delimiter — un-normalized embedded newlines would silently
+    split records), written with write.text, read back with
+    spark.read.text, and digested (line count, char mass, distinct
+    lines, order-insensitive md5 sum) against an oracle that
+    recomputes the same digests straight from the table. Scale shape:
+    narrow write + narrow scan, no shuffle until the 1-row digest
+    aggregate; text is the raw-corpus interchange format an LLM
+    pipeline ingests by the shard."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="text_src_") + "/docs"
+    src = _t(spark, sf_dir, "documents").select(
+        F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
+    )
+    src.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).alias("sum_chars"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.sum(
+            F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+        ).alias("md5_digest"),
+    )
