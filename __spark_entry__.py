@@ -30,6 +30,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext11  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext12  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext13  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext14  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext15  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -197,6 +198,10 @@ _PRIORITY = [
     "ml_mann_whitney_u",
     "ext_cusum_changepoint",
     "ext_source_text",
+    # added in r5 batch 10 (registry_ext15): SQL programmability
+    "ext_session_variables",
+    "ext_execute_immediate",
+    "ext_sql_scripting",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
