@@ -89,6 +89,14 @@ HEADLINE = [
     "ml_logistic_regression_gd",
     "graph_triangle_count",
     "llm_semdedup_prune",
+    # round-5 late batches: the statistics/sketch plans worth tracking —
+    # Mann-Whitney's global rank window (the one range-partitioned
+    # sorted pass), interval-union merge (two window passes on one
+    # user exchange), and the Count-Min sketch (4x fanned partial agg
+    # collapsing to 256 cells + broadcast probe equi-join).
+    "ml_mann_whitney_u",
+    "ext_interval_merge",
+    "ext_count_min_sketch",
 ]
 
 
