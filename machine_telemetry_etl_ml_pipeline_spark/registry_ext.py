@@ -23,7 +23,8 @@ from .registry import _epoch, _t, register
     "ext_join_revenue_by_nation",
     """
     SELECT r_name, n_name, count(*) AS n_items,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -37,7 +38,10 @@ def ext_join_revenue_by_nation(spark, sf_dir):
     nation/region are always-small -> explicit broadcast; orders is a
     fact-fact sort-merge join left to AQE. customer is broadcast at
     test SF but would exceed the threshold at 100 TB — left to AQE's
-    runtime decision rather than forced."""
+    runtime decision rather than forced. Revenue folds as an exact
+    per-row-cents BIGINT sum (the tpch_q19 lesson, resurfaced by the
+    full-registry 10x sweep: round(sum(double), 4) at ~1e10 group
+    sums puts partial-sum order error above the 4dp grid)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -49,9 +53,12 @@ def ext_join_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
     return joined.groupBy("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        (F.sum(cents).cast("double") / 100).alias("revenue"),
     )
 
 
