@@ -103,7 +103,9 @@ _BANDS_SQL = ", ".join(f"({b}, {lo}::DOUBLE, {hi}::DOUBLE)" for b, lo, hi in _BA
 @register(
     "ext_range_join",
     f"""
-    SELECT band, count(*) AS n, round(sum(l_extendedprice), 4) AS band_revenue
+    SELECT band, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100 AS band_revenue
     FROM lineitem JOIN (VALUES {_BANDS_SQL}) bands(band, lo, hi)
       ON l_extendedprice >= lo AND l_extendedprice < hi
     GROUP BY band
@@ -114,7 +116,10 @@ def ext_range_join(spark, sf_dir):
     BETWEEN-style condition. The dim is explicitly broadcast, so the
     non-equi condition never forces a cartesian shuffle — each fact
     partition scans the 11-row interval list in place (the only
-    scale-sane plan for interval joins with a small dim side)."""
+    scale-sane plan for interval joins with a small dim side). Band
+    revenue folds as an exact per-row-cents BIGINT sum (the tpch_q19
+    class, resurfaced by the full-registry 10x sweep: ~3e10 band sums
+    put float partial-sum order error above the 4dp grid)."""
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     bands = spark.createDataFrame(_BANDS, "band int, lo double, hi double")
     joined = li.join(
@@ -123,7 +128,10 @@ def ext_range_join(spark, sf_dir):
     )
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 4).alias("band_revenue"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("double")
+            / 100
+        ).alias("band_revenue"),
     )
 
 
