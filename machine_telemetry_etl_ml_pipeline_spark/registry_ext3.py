@@ -142,15 +142,15 @@ def llm_embedding_neardup(spark, sf_dir):
     "stream_session_counts",
     """
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS is_start
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM ordered
     )
@@ -166,7 +166,14 @@ def stream_session_counts(spark, sf_dir):
     gaps-and-islands SQL, proving the state-store session merge equals
     the relational formulation. Gap boundary: session_window treats an
     event at exactly prev_ts + gap as a NEW session ([start, end)
-    windows), hence `>= 1800` in the oracle."""
+    windows), hence `>= 1800` in the oracle — compared in integer
+    epoch_us like Spark's own micros arithmetic. The oracle's two
+    window passes order by (ts, event_id): without the unique
+    tiebreak, DuckDB may re-sort exact-ts ties BETWEEN the lag pass
+    and the cumulative-sum pass, detaching the session-start flag
+    from the row the cumsum visits first (the 10x replica's 10
+    duplicate-ts copies exposed this as 4 misassigned sessions —
+    Spark's state-store merge was right, the oracle was wrong)."""
     import uuid
 
     from .session import tune_session
