@@ -23,7 +23,7 @@ from .registry import _epoch, _t, register
     "ext_join_revenue_by_nation",
     """
     SELECT r_name, n_name, count(*) AS n_items,
-           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                          AS BIGINT)) AS DOUBLE) / 100 AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -53,8 +53,11 @@ def ext_join_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    # floor(x + 0.5), not round(): Spark's round() on double detours
+    # through BigDecimal per row (~40% slower here); floor stays in
+    # codegen and both engines floor identically on positive cents
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     return joined.groupBy("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_items"),
