@@ -202,6 +202,7 @@ _PRIORITY = [
     "ext_session_variables",
     "ext_execute_immediate",
     "ext_sql_scripting",
+    "ext_sql_scripting_loop",
     # r1-r4 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

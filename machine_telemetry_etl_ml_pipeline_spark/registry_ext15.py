@@ -145,3 +145,60 @@ def ext_sql_scripting(spark, sf_dir):
         END
         """
     )
+
+
+@register(
+    "ext_sql_scripting_loop",
+    """
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    t0 AS (SELECT max(cents) AS t FROM c),
+    t1 AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS t
+           FROM c CROSS JOIN t0 WHERE cents <= t0.t),
+    t2 AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS t
+           FROM c CROSS JOIN t1 WHERE cents <= t1.t),
+    t3 AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS t
+           FROM c CROSS JOIN t2 WHERE cents <= t2.t)
+    SELECT t3.t AS threshold_cents,
+           (SELECT count(*) FROM c WHERE cents <= t3.t) AS n_below,
+           CAST(3 AS INT) AS n_iterations
+    FROM t3
+    """,
+)
+def ext_sql_scripting_loop(spark, sf_dir):
+    """SQL-scripting WHILE loop: three server-side iterations of
+    trimmed-threshold refinement (threshold <- floor(mean of values
+    below the current threshold), seeded at the max) — the iterative
+    fetch-requery pattern the reference drives from Python cursors,
+    executed entirely inside one BEGIN...END block with the loop
+    variable feeding each scan's predicate. Exactness: the threshold
+    is an integer (floor of an exact-integer-sum average, identical
+    double division on both engines), so every iterate matches the
+    unrolled-CTE oracle bit for bit. Scale shape: each iteration is
+    one partial-aggregable scan with the threshold as a planned
+    literal; K iterations = K scans, the same cost model as the GD /
+    Lloyd loops — at 100 TB you cache the cents projection across
+    iterations."""
+    _views(spark, sf_dir, "events")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 0;
+          DECLARE t BIGINT;
+          SET t = (SELECT max(CAST(round(value * 100) AS BIGINT)) FROM events);
+          WHILE i < 3 DO
+            SET t = (SELECT CAST(floor(avg(CAST(round(value * 100) AS BIGINT)))
+                               AS BIGINT)
+                     FROM events
+                     WHERE CAST(round(value * 100) AS BIGINT) <= t);
+            SET i = i + 1;
+          END WHILE;
+          SELECT t AS threshold_cents,
+                 (SELECT count(*) FROM events
+                  WHERE CAST(round(value * 100) AS BIGINT) <= t) AS n_below,
+                 i AS n_iterations;
+        END
+        """
+    )

@@ -60,3 +60,18 @@ def test_sql_scripting_state_matches_fused_query(spark):
     assert row.max_n == max_n
     assert row.n_users == len(per_user)
     assert row.n_heavy == heavy
+
+
+def test_sql_scripting_loop_matches_unrolled_iteration(spark):
+    """The WHILE loop's final threshold must equal three unrolled
+    Python iterations of floor-mean refinement."""
+    row = _run(spark, "ext_sql_scripting_loop").collect()[0]
+    events = spark.read.parquet(f"{SF}/events.parquet").select("value").collect()
+    cents = [round(r.value * 100) for r in events]
+    t = max(cents)
+    for _ in range(3):
+        below = [c for c in cents if c <= t]
+        t = int(sum(below) / len(below) // 1)  # floor of exact-int mean
+    assert row.threshold_cents == t
+    assert row.n_below == sum(1 for c in cents if c <= t)
+    assert row.n_iterations == 3
