@@ -116,11 +116,15 @@ _PRIORITY = [
     "llm_length_bands_by_source",
     "llm_corpus_dashboard",
     # --- 50-entry window boundary ---
-    # r6 queue: the last r1-r4 never-driver-checked entries + the
-    # ext_approx_count_distinct rows-only re-proof + the 24 r5
-    # additions (corpus curation, Spark-4 SQL surfaces, graph,
-    # iterative ML, sources) queued below. After these, zero registry
-    # entries lack a driver row.
+    # r6 queue (71 entries — overflows one window; the driver takes
+    # the first 50, the rest spill to r7): the last r1-r4
+    # never-driver-checked entries + the ext_approx_count_distinct
+    # rows-only re-proof + every r5 addition (corpus curation, Spark-4
+    # SQL surfaces, graph, iterative ML, sources, ML-eval/drift/
+    # sketch batches, experimentation analytics, SQL programmability)
+    # in risk order. After r6+r7, zero registry entries lack a driver
+    # row. Every entry below is locally green at sf0.01 AND sf0.001
+    # AND scale-differentialed (SCALE.md campaign section).
     "ext_dq_rule_report",
     "ext_crosstab",
     "ext_grouping_id",
