@@ -293,17 +293,21 @@ def ml_mann_whitney_u(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("tc"))
         .filter(F.col("tc") > 1)
     )
+    # rank sums and tc^3 exceed BIGINT once a group passes ~2M ties /
+    # ~1.5e9 rows (ANSI Spark errors; DuckDB silently promotes to
+    # HUGEINT) — accumulate in DECIMAL(38,0) like ml_spearman_corr and
+    # only convert to double in the final scalar formula
+    dec = "decimal(38,0)"
     s = r.agg(
-        F.sum(F.when(F.col("grp") == 1, F.col("rr2")).otherwise(0))
+        F.sum(F.when(F.col("grp") == 1, F.col("rr2")).otherwise(0).cast(dec))
         .cast("double")
         .alias("r1_2"),
         F.sum("grp").cast("long").alias("n1"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+    tcd = F.col("tc").cast(dec)
     tie = t.agg(
-        F.coalesce(
-            F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc")), F.lit(0)
-        )
+        F.coalesce(F.sum(tcd * tcd * tcd - tcd), F.lit(0).cast(dec))
         .cast("double")
         .alias("tsum")
     )
@@ -414,7 +418,7 @@ def ext_cusum_changepoint(spark, sf_dir):
     "ext_source_text",
     """
     WITH lines AS (
-      SELECT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS line
+      SELECT coalesce(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '') AS line
       FROM documents
     )
     SELECT count(*) AS n_lines,
@@ -437,19 +441,32 @@ def ext_source_text(spark, sf_dir):
     narrow write + narrow scan, no shuffle until the 1-row digest
     aggregate; text is the raw-corpus interchange format an LLM
     pipeline ingests by the shard."""
+    import shutil
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="text_src_") + "/docs"
-    src = _t(spark, sf_dir, "documents").select(
-        F.regexp_replace("text", r"[\r\n]+", " ").alias("value")
-    )
-    src.write.mode("overwrite").text(path)
-    back = spark.read.text(path)
-    return back.agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.length("value")).alias("sum_chars"),
-        F.countDistinct("value").alias("n_distinct"),
-        F.sum(
-            F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
-        ).alias("md5_digest"),
-    )
+    root = tempfile.mkdtemp(prefix="text_src_")
+    try:
+        path = root + "/docs"
+        # coalesce NULL bodies to '' — the text writer requires a
+        # non-null value column (regexp_replace propagates null)
+        src = _t(spark, sf_dir, "documents").select(
+            F.coalesce(
+                F.regexp_replace("text", r"[\r\n]+", " "), F.lit("")
+            ).alias("value")
+        )
+        src.write.mode("overwrite").text(path)
+        back = spark.read.text(path)
+        out = back.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.length("value")).alias("sum_chars"),
+            F.countDistinct("value").alias("n_distinct"),
+            F.sum(
+                F.conv(F.substring(F.md5("value"), 1, 8), 16, 10).cast("long")
+            ).alias("md5_digest"),
+        )
+        # materialize before the temp dir is removed — the returned
+        # plan must not depend on the scratch files
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

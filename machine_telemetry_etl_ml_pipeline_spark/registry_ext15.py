@@ -154,11 +154,11 @@ def ext_sql_scripting(spark, sf_dir):
       SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
     ),
     t0 AS (SELECT max(cents) AS t FROM c),
-    t1 AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS t
+    t1 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS t
            FROM c CROSS JOIN t0 WHERE cents <= t0.t),
-    t2 AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS t
+    t2 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS t
            FROM c CROSS JOIN t1 WHERE cents <= t1.t),
-    t3 AS (SELECT CAST(floor(avg(cents)) AS BIGINT) AS t
+    t3 AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS t
            FROM c CROSS JOIN t2 WHERE cents <= t2.t)
     SELECT t3.t AS threshold_cents,
            (SELECT count(*) FROM c WHERE cents <= t3.t) AS n_below,
@@ -173,9 +173,11 @@ def ext_sql_scripting_loop(spark, sf_dir):
     fetch-requery pattern the reference drives from Python cursors,
     executed entirely inside one BEGIN...END block with the loop
     variable feeding each scan's predicate. Exactness: the threshold
-    is an integer (floor of an exact-integer-sum average, identical
-    double division on both engines), so every iterate matches the
-    unrolled-CTE oracle bit for bit. Scale shape: each iteration is
+    is an integer computed as an exact-integer-sum truncating division
+    (DECIMAL(38,0) sum div count on Spark, HUGEINT sum // count on
+    DuckDB — both truncate toward zero, no double anywhere, no 2^53
+    partition-order hazard), so every iterate matches the unrolled-CTE
+    oracle bit for bit. Scale shape: each iteration is
     one partial-aggregable scan with the threshold as a planned
     literal; K iterations = K scans, the same cost model as the GD /
     Lloyd loops — at 100 TB you cache the cents projection across
@@ -189,8 +191,8 @@ def ext_sql_scripting_loop(spark, sf_dir):
           DECLARE t BIGINT;
           SET t = (SELECT max(CAST(round(value * 100) AS BIGINT)) FROM events);
           WHILE i < 3 DO
-            SET t = (SELECT CAST(floor(avg(CAST(round(value * 100) AS BIGINT)))
-                               AS BIGINT)
+            SET t = (SELECT CAST(sum(CAST(round(value * 100) AS DECIMAL(38,0)))
+                               div count(*) AS BIGINT)
                      FROM events
                      WHERE CAST(round(value * 100) AS BIGINT) <= t);
             SET i = i + 1;

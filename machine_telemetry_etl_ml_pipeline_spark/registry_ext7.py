@@ -2400,28 +2400,35 @@ def ext_grouped_median(spark, sf_dir):
     "ext_decimal_exact",
     """
     SELECT event_type,
-           CAST(sum(CAST(round(value * 100) AS DECIMAL(18,0))
-                    * CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(20,2)) AS total,
-           CAST(avg(CAST(round(value * 100) AS DECIMAL(18,0))
-                    * CAST(0.01 AS DECIMAL(3,2))) AS DECIMAL(20,4)) AS avg_amt
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST((sum(CAST(round(value * 100) AS BIGINT)) * 10000
+                 + count(*) // 2) // count(*) AS BIGINT) AS avg_microdollars
     FROM events GROUP BY event_type
     """,
 )
 def ext_decimal_exact(spark, sf_dir):
-    """Exact DECIMAL money arithmetic: cents reconstructed as
-    DECIMAL(18,0), scaled by a DECIMAL literal, summed and averaged
-    with NO floating point anywhere — the financial-aggregation
-    guarantee (sum is order-independent and exact, unlike double).
-    Both engines cast the results to pinned scales (20,2)/(20,4) so
-    the canonical string forms agree digit-for-digit."""
+    """Exact money arithmetic with NO floating point past the per-row
+    cents reconstruction: integer cents are summed exactly (DECIMAL(38,0)
+    accumulator on the Spark side so the sum cannot overflow at 100 TB;
+    DuckDB promotes to HUGEINT on its own), and the average is an
+    all-integer half-up division to microdollar precision —
+    (sum_cents * 10000 + n DIV 2) DIV n. The r5 driver proved the
+    previous formulation wrong: DuckDB's avg(DECIMAL) silently returns
+    DOUBLE, so any oracle avg over decimals transits float and rounds
+    differently at boundary values. Integer DIV truncates toward zero
+    identically in both engines (verified: -7//2 = -3 in DuckDB,
+    -7 div 2 = -3 in Spark), so parity is exact digit-for-digit."""
     e = _t(spark, sf_dir, "events")
-    amt = (
-        F.round(F.col("value") * 100).cast("decimal(18,0)")
-        * F.lit("0.01").cast("decimal(3,2)")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    g = e.groupBy("event_type").agg(
+        F.sum(cents).alias("_sc"), F.count(F.lit(1)).alias("_n")
     )
-    return e.groupBy("event_type").agg(
-        F.sum(amt).cast("decimal(20,2)").alias("total"),
-        F.avg(amt).cast("decimal(20,4)").alias("avg_amt"),
+    return g.select(
+        "event_type",
+        F.col("_sc").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((_sc * 10000 + _n div 2) div _n AS BIGINT)"
+        ).alias("avg_microdollars"),
     )
 
 

@@ -249,17 +249,24 @@ def test_decimal_exact_is_order_independent(spark, queries):
     layout (float sums would not be)."""
     from machine_telemetry_etl_ml_pipeline_spark.registry import _t
 
-    base = {(r.event_type, str(r.total)) for r in queries["ext_decimal_exact"](spark, SF).collect()}
+    base = {
+        (r.event_type, r.total_cents, r.avg_microdollars)
+        for r in queries["ext_decimal_exact"](spark, SF).collect()
+    }
     e = _t(spark, SF, "events").repartition(17)
-    amt = (
-        F.round(F.col("value") * 100).cast("decimal(18,0)")
-        * F.lit("0.01").cast("decimal(3,2)")
+    cents = F.round(F.col("value") * 100).cast("decimal(38,0)")
+    g = e.groupBy("event_type").agg(
+        F.sum(cents).alias("_sc"), F.count(F.lit(1)).alias("_n")
     )
     again = {
-        (r.event_type, str(r.total))
-        for r in e.groupBy("event_type")
-        .agg(F.sum(amt).cast("decimal(20,2)").alias("total"))
-        .collect()
+        (r.event_type, r.total_cents, r.avg_microdollars)
+        for r in g.select(
+            "event_type",
+            F.col("_sc").cast("long").alias("total_cents"),
+            F.expr("CAST((_sc * 10000 + _n div 2) div _n AS BIGINT)").alias(
+                "avg_microdollars"
+            ),
+        ).collect()
     }
     assert base == again
 

@@ -35,9 +35,44 @@ canon_bad = (
     .filter(F.col("component") != F.col("mn")).count()
 )
 n_components = comp.select("component").distinct().count()
+
+# Over-merge check (the three invariants above only catch SPLIT
+# components: a degenerate labeling assigning every doc the global min
+# id satisfies (a)-(c), since edge endpoints agree and the one merged
+# component's min member equals its label). Independent ground truth:
+# a driver-side union-find over the edge list — component count must
+# equal singleton docs + distinct roots among edge-touched docs.
+parent = {}
+
+
+def find(x):
+    r = x
+    while parent[r] != r:
+        r = parent[r]
+    while parent[x] != r:  # path compression
+        parent[x], x = r, parent[x]
+    return r
+
+
+for row in e.toLocalIterator():
+    u, v = row[0], row[1]
+    parent.setdefault(u, u)
+    parent.setdefault(v, v)
+    ru, rv = find(u), find(v)
+    if ru != rv:
+        parent[max(ru, rv)] = min(ru, rv)
+
+n_edge_nodes = len(parent)
+n_roots = sum(1 for x in parent if find(x) == x)
+expected_components = (n_docs - n_edge_nodes) + n_roots
 print(f"docs={n_docs} rows={n_rows} distinct={n_distinct} edges={n_edges}")
 print(f"edge_label_mismatches={mismatch} non_canonical_labels={canon_bad}")
-print(f"n_components={n_components}")
-ok = n_rows == n_docs == n_distinct and mismatch == 0 and canon_bad == 0
+print(f"n_components={n_components} union_find_expected={expected_components}")
+ok = (
+    n_rows == n_docs == n_distinct
+    and mismatch == 0
+    and canon_bad == 0
+    and n_components == expected_components
+)
 print("INVARIANTS:", "PASS" if ok else "FAIL")
 sys.exit(0 if ok else 1)
