@@ -270,14 +270,21 @@ def ext_rollup(spark, sf_dir):
     "ext_cube",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice), 4) AS sum_price
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
 def ext_cube(spark, sf_dir):
+    """CUBE over order status x priority. The grand-total cell sums
+    the entire fact table's price mass, so it folds as exact integer
+    cents in DECIMAL(38,0) (oracle_audit: 3.75e10 at 10x leaves <64
+    ULPs to a 4dp rounding grid — the tpch_q19 class)."""
     o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("sum_price")
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents.cast("decimal(38,0)")).cast("double") / 100).alias("sum_price"),
     )
 
 

@@ -179,20 +179,27 @@ def ext_unpivot(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-           count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+           count(*) AS n,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS sum_price
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
 )
 def ext_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS with grouping_id disambiguation (SQL
-    entry point — the DataFrame API only exposes cube/rollup)."""
+    entry point — the DataFrame API only exposes cube/rollup). The
+    () grand-total sum is one group over the whole fact table, so the
+    price mass folds as exact integer cents in DECIMAL(38,0)
+    (oracle_audit: 3.2e10 at 10x leaves <64 ULPs to a 4dp grid)."""
     _views(spark, sf_dir, "lineitem")
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                CAST(grouping_id() AS BIGINT) AS gid,
-               count(*) AS n, round(sum(l_extendedprice), 4) AS sum_price
+               count(*) AS n,
+               CAST(sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 100 AS sum_price
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -439,9 +446,15 @@ def ext_date_format(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 4) AS sum_qty,
-           round(sum(l_extendedprice), 4) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS DOUBLE) / 10000 AS sum_disc_price,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                    * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))
+                AS DOUBLE) / 1000000 AS sum_charge,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 4) AS avg_disc,
@@ -453,17 +466,33 @@ def ext_date_format(spark, sf_dir):
 )
 def tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary (the canonical partial-agg benchmark:
-    map-side combine reduces 600k rows to 6 groups before the shuffle)."""
+    map-side combine reduces 600k rows to 6 groups before the shuffle).
+    The three money sums fold as exact integer cents/e4/e6 units in
+    DECIMAL(38,0) (the tpch_q19 class, flagged proactively by
+    tools/oracle_audit.py: round(sum(double), 4) at ~4e10 group sums
+    leaves <64 ULPs of slack to the 4dp grid at 10x); the single
+    integer->double conversion + division at the end is deterministic
+    on both engines. sum_qty/avg_* stay double: quantity is
+    integer-valued (exact in double to 2^53) and the avg quotients
+    are ~1e4 magnitude, far from the grid."""
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = "decimal(38,0)"
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+    tc = F.floor(F.col("l_tax") * 100 + 0.5).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            (F.sum(cents.cast(dec)).cast("double") / 100).alias("sum_base_price"),
+            (F.sum((cents * (100 - dc)).cast(dec)).cast("double") / 10000).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum((cents * (100 - dc) * (100 + tc)).cast(dec)).cast("double")
+                / 1000000
+            ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),

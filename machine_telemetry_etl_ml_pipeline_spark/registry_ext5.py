@@ -1309,7 +1309,9 @@ def ext_variant_json(spark, sf_dir):
     "ext_sql_udf",
     """
     SELECT l_returnflag,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS net_revenue
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS DOUBLE) / 10000 AS net_revenue
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -1317,16 +1319,21 @@ def ext_sql_udf(spark, sf_dir):
     """SQL-body scalar UDF (CREATE FUNCTION ... RETURN expr, Spark 4):
     the function inlines into the plan as a plain expression — full
     codegen, no Python boundary — which is why the oracle is the
-    inlined arithmetic."""
+    inlined arithmetic. The UDF returns exact e4 integer units
+    (cents x discount-cents) so the per-group revenue folds as an
+    exact DECIMAL(38,0) sum (oracle_audit: the old round(sum(double),
+    4) had ~1e11 group sums at 10x — the tpch_q19 float-grid class)."""
     _views(spark, sf_dir, "lineitem")
     spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
-        "RETURNS DOUBLE RETURN p * (1 - d)"
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price_e4(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * 100 + 0.5) AS BIGINT) "
+        "* (100 - CAST(floor(d * 100 + 0.5) AS BIGINT))"
     )
     return spark.sql(
         """
         SELECT l_returnflag,
-               round(sum(net_price(l_extendedprice, l_discount)), 4) AS net_revenue
+               CAST(sum(CAST(net_price_e4(l_extendedprice, l_discount)
+                             AS DECIMAL(38,0))) AS DOUBLE) / 10000 AS net_revenue
         FROM lineitem GROUP BY l_returnflag
         """
     )
