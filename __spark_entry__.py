@@ -31,6 +31,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext12  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext13  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext14  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext15  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext16  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -150,6 +151,13 @@ _PRIORITY = [
     "ext_sample",
     "ext_sample_stratified",
     "ext_equiheight_histogram",
+    # added in r6 (registry_ext16): idempotent foreachBatch sink, AQE
+    # skew join, label propagation, gradient-boosted stumps — part of
+    # the r7 window alongside the leftovers above
+    "stream_foreach_batch_idempotent",
+    "ext_aqe_skew_join",
+    "graph_label_propagation",
+    "ml_gbt_stumps",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

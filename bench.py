@@ -97,6 +97,12 @@ HEADLINE = [
     "ml_mann_whitney_u",
     "ext_interval_merge",
     "ext_count_min_sketch",
+    # round-6 additions: the two new iterative heavies — 2-round
+    # boosted stumps (two groupBy+cumsum fits with broadcast stump
+    # joins) and 3-round min-label propagation (K edge-join + min
+    # rounds on one node key).
+    "ml_gbt_stumps",
+    "graph_label_propagation",
 ]
 
 
