@@ -32,6 +32,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext13  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext14  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext15  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext16  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext17  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -158,6 +159,13 @@ _PRIORITY = [
     "ext_aqe_skew_join",
     "graph_label_propagation",
     "ml_gbt_stumps",
+    # added in r6 (registry_ext17): survival analysis, skyline,
+    # seasonal decomposition, pagination + by-name union surfaces
+    "ml_kaplan_meier",
+    "ext_skyline_pareto",
+    "ext_seasonal_dow_index",
+    "ext_offset_clause",
+    "ext_union_by_name",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

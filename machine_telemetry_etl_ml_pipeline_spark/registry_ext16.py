@@ -212,11 +212,15 @@ def graph_label_propagation(spark, sf_dir):
     pointer-jumping doubling in cluster.py cuts the round count to
     log(diameter) when convergence, not a fixed budget, is the goal)."""
     edges = _copurchase_edges(spark, sf_dir).select("u", "v")
-    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()  # materialize the (linear-sized) edge list once —
+    # without this every round's join replays the lineitem-orders
+    # pair-generation (4x rebuild; bench: 4.1s -> this is the fix)
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    for _ in range(3):
+    for i in range(3):
         neigh = sym.join(
             labels.withColumnRenamed("node", "v2").withColumnRenamed("lbl", "l"),
             F.col("v") == F.col("v2"),
@@ -227,6 +231,9 @@ def graph_label_propagation(spark, sf_dir):
             .groupBy("node")
             .agg(F.min("l").alias("lbl"))
         )
+        if i < 2:  # cap lineage between rounds (node-sized table); the
+            # last round flows straight into the community rollup
+            labels = labels.localCheckpoint()
     return labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("size"),
         F.min("node").alias("min_node"),

@@ -1,0 +1,373 @@
+"""Seventeenth extension batch (round 6, part 2): survival analysis,
+the skyline operator, seasonal decomposition, and two small SQL
+surfaces.
+
+- `ml_kaplan_meier`: the Kaplan-Meier product-limit survival curve
+  (time from first view to first purchase, censored at end of
+  observation) — the time-to-event family the SQL-ML suite lacked.
+  Sequential survival product via the ext_holt_linear pattern: a
+  single-row array fold on the calendar-bounded step table walks the
+  identical double arithmetic as the oracle's recursive CTE, so the
+  curve ships UNROUNDED and matches bitwise.
+- `ext_skyline_pareto`: the skyline / Pareto-frontier operator
+  (non-dominated (price, size) pairs) — classic OLAP operator Spark
+  has no built-in for, implemented as two partial-aggregable groupBys
+  plus ONE running-max window (O(|distinct prices|)), while the
+  oracle is the textbook quadratic NOT EXISTS — the plan asymmetry is
+  the point: the engine side never goes O(n^2).
+- `ext_seasonal_dow_index`: day-of-week seasonal indices (dow mean /
+  grand mean) from exact integer masses — the seasonality screen that
+  complements ext_autocorrelation/ext_holt_linear.
+- `ext_offset_clause`: LIMIT/OFFSET pagination with a total
+  deterministic sort — the cursor-paging surface the reference does
+  client-side.
+- `ext_union_by_name`: unionByName(allowMissingColumns=True) schema
+  alignment — the by-NAME set-op the positional union family missed.
+
+Determinism contract: every aggregate is an exact integer; the only
+doubles are sequential-fold survival products (bitwise-identical
+operation trees, shipped unrounded) and single fixed IEEE formulas
+over exact integers."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+
+
+def _views(spark, sf_dir, *names):
+    for n in names:
+        _t(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# --- survival analysis: Kaplan-Meier product-limit estimator ----------------
+
+
+@register(
+    "ml_kaplan_meier",
+    """
+    WITH RECURSIVE ue AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN CAST(ts AS DATE) END) AS tv,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+               AS tp_any
+      FROM events GROUP BY user_id
+    ),
+    tend AS (SELECT max(CAST(ts AS DATE)) AS te FROM events),
+    obs AS (
+      SELECT CASE WHEN tp_any IS NOT NULL AND tp_any >= tv
+                  THEN CAST(tp_any - tv AS BIGINT)
+                  ELSE CAST(te - tv AS BIGINT) END AS t,
+             CASE WHEN tp_any IS NOT NULL AND tp_any >= tv
+                  THEN 1 ELSE 0 END AS ev
+      FROM ue CROSS JOIN tend WHERE tv IS NOT NULL
+    ),
+    tot AS (SELECT count(*) AS n_total FROM obs),
+    by_t AS (SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+                    CAST(count(*) AS BIGINT) AS a
+             FROM obs GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             CAST(n_total - coalesce(sum(a) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n
+      FROM by_t CROSS JOIN tot
+    ),
+    steps AS (SELECT t, d, n, row_number() OVER (ORDER BY t) AS rn
+              FROM risk WHERE d > 0),
+    km AS (
+      SELECT rn, t, d, n,
+             CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS s
+      FROM steps WHERE rn = 1
+      UNION ALL
+      SELECT st.rn, st.t, st.d, st.n,
+             km.s * (CAST(st.n - st.d AS DOUBLE) / CAST(st.n AS DOUBLE))
+      FROM km JOIN steps st ON st.rn = km.rn + 1
+    )
+    SELECT t AS day_t, d AS n_events, n AS n_at_risk, s + 0 AS survival
+    FROM km
+    """,
+)
+def ml_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier product-limit survival curve for time from a
+    user's first view to first purchase, right-censored at the end of
+    observation — the nonparametric time-to-event estimator
+    (churn/conversion-latency analysis), a family the SQL-ML suite
+    lacked. Exactness: event/censor day offsets, death counts d_i and
+    risk sets n_i are ALL exact integers (one user-keyed groupBy, one
+    t-keyed groupBy, one running-sum window); the survival product is
+    a sequential fold over the <=|days| step rows — Spark walks it as
+    a single-row array aggregate(), DuckDB as a recursive CTE, the
+    SAME multiply/divide tree in the same order, so the doubles match
+    bitwise and ship unrounded (the ext_holt_linear doctrine). Scale
+    shape: the only data-sized work is the first groupBy(user_id)
+    (partial-aggregable); everything after runs on calendar-bounded
+    tables. Reference analog: none."""
+    e = _t(spark, sf_dir, "events")
+    ue = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts").cast("date"))
+        ).alias("tv"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts").cast("date"))
+        ).alias("tp_any"),
+    )
+    tend = e.agg(F.max(F.col("ts").cast("date")).alias("te"))
+    has_event = F.col("tp_any").isNotNull() & (F.col("tp_any") >= F.col("tv"))
+    obs = (
+        ue.filter(F.col("tv").isNotNull())
+        .crossJoin(F.broadcast(tend))
+        .select(
+            F.when(has_event, F.datediff("tp_any", "tv"))
+            .otherwise(F.datediff("te", "tv"))
+            .cast("long")
+            .alias("t"),
+            F.when(has_event, 1).otherwise(0).alias("ev"),
+        )
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    by_t = obs.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("a"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = by_t.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (F.col("n_total") - F.coalesce(F.sum("a").over(w), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+    )
+    steps = risk.filter(F.col("d") > 0)
+    folded = steps.agg(
+        F.array_sort(F.collect_list(F.struct("t", "d", "n"))).alias("s")
+    ).select(
+        F.expr(
+            """
+            aggregate(
+              slice(s, 2, greatest(size(s) - 1, 0)),
+              array(named_struct(
+                't', element_at(s, 1).t, 'd', element_at(s, 1).d,
+                'n', element_at(s, 1).n,
+                'surv', CAST(element_at(s, 1).n - element_at(s, 1).d AS DOUBLE)
+                        / CAST(element_at(s, 1).n AS DOUBLE))),
+              (acc, e) -> array_append(acc, named_struct(
+                't', e.t, 'd', e.d, 'n', e.n,
+                'surv', element_at(acc, -1).surv
+                        * (CAST(e.n - e.d AS DOUBLE) / CAST(e.n AS DOUBLE))))
+            ) AS states
+            """
+        )
+    )
+    st = folded.select(F.explode("states").alias("st"))
+    return st.select(
+        F.col("st.t").alias("day_t"),
+        F.col("st.d").alias("n_events"),
+        F.col("st.n").alias("n_at_risk"),
+        (F.col("st.surv") + 0).alias("survival"),
+    )
+
+
+# --- skyline / Pareto frontier ----------------------------------------------
+
+
+@register(
+    "ext_skyline_pareto",
+    """
+    WITH pairs AS (
+      SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size,
+             count(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT p.price_cents, p.size, CAST(p.n_parts AS BIGINT) AS n_parts
+    FROM pairs p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs q
+      WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+        AND (q.price_cents < p.price_cents OR q.size > p.size)
+    )
+    """,
+)
+def ext_skyline_pareto(spark, sf_dir):
+    """Skyline (Pareto frontier) of parts: the (price, size) pairs not
+    dominated by any cheaper-and-at-least-as-big alternative — the
+    classic multi-criteria OLAP operator Spark has no built-in for.
+    The engine side is the sort-based skyline: collapse to distinct
+    pairs (partial-aggregable), keep the max size per price level,
+    then ONE running-max window ordered by price — a pair survives iff
+    its size strictly exceeds every strictly-cheaper level's best.
+    O(|distinct prices|) after the first groupBy; the ORACLE is the
+    textbook quadratic NOT EXISTS, and that asymmetry is the point:
+    the distributed plan never goes O(n^2) (the same
+    candidate-bounding discipline as the LSH dedup stack). Dominance
+    runs on exact integer cents/sizes, so the frontier is unambiguous
+    cross-engine. Reference analog: none."""
+    p = _t(spark, sf_dir, "part")
+    pairs = p.groupBy(
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    best = pairs.groupBy("price_cents").agg(F.max("size").alias("smax"))
+    w = Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        best.select(
+            F.col("price_cents").alias("f_price"),
+            F.col("smax"),
+            F.max("smax").over(w).alias("prev_max"),
+        )
+        .filter(F.col("prev_max").isNull() | (F.col("smax") > F.col("prev_max")))
+        .select("f_price", "smax")
+    )
+    return (
+        pairs.join(
+            frontier,
+            (pairs.price_cents == frontier.f_price)
+            & (pairs.size == frontier.smax),
+        )
+        .select("price_cents", "size", "n_parts")
+    )
+
+
+# --- seasonal day-of-week decomposition -------------------------------------
+
+
+@register(
+    "ext_seasonal_dow_index",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS x FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nd_all,
+                   CAST(sum(x) AS BIGINT) AS x_all FROM d),
+    dw AS (
+      SELECT CAST(isodow(day) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS events
+      FROM d GROUP BY 1
+    )
+    SELECT dow, n_days, events,
+           CAST(events AS DOUBLE) * CAST(nd_all AS DOUBLE)
+             / (CAST(n_days AS DOUBLE) * CAST(x_all AS DOUBLE))
+             AS seasonal_index
+    FROM dw CROSS JOIN tot
+    """,
+)
+def ext_seasonal_dow_index(spark, sf_dir):
+    """Day-of-week seasonal indices (dow mean rate / grand mean rate)
+    over the daily event-count series — the weekly-seasonality screen
+    that pairs with ext_autocorrelation (which detects it) and
+    ext_holt_linear (which smooths through it). All masses are exact
+    integers from two partial-aggregable groupBys; each index is ONE
+    fixed IEEE formula (a*b)/(c*d) over exact integers, deterministic
+    cross-engine with no rounding pin. ISO weekday numbering is pinned
+    on both engines (Spark weekday()+1 == DuckDB isodow: 1=Monday).
+    Scale shape: day-keyed partial agg collapses the stream to
+    calendar-bounded rows; everything downstream is tiny. Reference
+    analog: the dow/hour feature extraction at project/db.py:373, as
+    an actual decomposition instead of raw features."""
+    e = _t(spark, sf_dir, "events")
+    d = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("nd_all"),
+        F.sum("x").cast("long").alias("x_all"),
+    )
+    dw = d.groupBy((F.weekday("day") + 1).cast("long").alias("dow")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("events"),
+    )
+    return dw.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "events",
+        (
+            F.col("events").cast("double")
+            * F.col("nd_all").cast("double")
+            / (F.col("n_days").cast("double") * F.col("x_all").cast("double"))
+        ).alias("seasonal_index"),
+    )
+
+
+# --- LIMIT/OFFSET pagination -------------------------------------------------
+
+
+@register(
+    "ext_offset_clause",
+    """
+    SELECT c_custkey, c_name,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents
+    FROM customer
+    ORDER BY acctbal_cents DESC, c_custkey ASC
+    LIMIT 10 OFFSET 20
+    """,
+)
+def ext_offset_clause(spark, sf_dir):
+    """LIMIT/OFFSET pagination (page 3 of the balance leaderboard)
+    with a TOTAL deterministic sort (integer cents + unique-key
+    tiebreak — an OFFSET without one returns engine-dependent pages).
+    Spark plans this as TakeOrderedAndProject with a skip: each
+    partition contributes its local top-(limit+offset), the driver
+    merges and drops the offset — no global sort. At 100 TB deep
+    paging (OFFSET 10^9) is an anti-pattern; the keyset-pagination
+    replacement (WHERE (bal, key) < last-seen) is the same plan as
+    ref_top_k, which is why only the shallow-page surface lives
+    here. Reference analog: the client-side row slicing after
+    fetchall (project/db.py:237-246)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias(
+                "acctbal_cents"
+            ),
+        )
+        .orderBy(F.col("acctbal_cents").desc(), F.col("c_custkey").asc())
+        .offset(20)
+        .limit(10)
+    )
+
+
+# --- unionByName schema alignment -------------------------------------------
+
+
+@register(
+    "ext_union_by_name",
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents,
+           'full' AS src
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, event_type, CAST(NULL AS BIGINT) AS cents,
+           'slim' AS src
+    FROM events WHERE event_type = 'error'
+    """,
+)
+def ext_union_by_name(spark, sf_dir):
+    """unionByName(allowMissingColumns=True): the by-NAME set op that
+    aligns differently-ordered projections and null-fills columns one
+    side lacks — the schema-drift-tolerant append a long-lived
+    pipeline needs when shards were written by different code
+    versions (positional UNION would silently misalign). The slim
+    side deliberately carries its columns in a DIFFERENT order and no
+    cents column; the oracle spells out the explicit aligned/NULL
+    projection Spark derives. Narrow op — no shuffle, both branches
+    scan-prune to their filters."""
+    e = _t(spark, sf_dir, "events")
+    full = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.lit("full").alias("src"),
+    )
+    slim = e.filter(F.col("event_type") == "error").select(
+        F.lit("slim").alias("src"),
+        F.col("event_type"),
+        F.col("event_id"),
+    )
+    return full.unionByName(slim, allowMissingColumns=True)

@@ -1,0 +1,97 @@
+"""Invariant tests for the round-6 part-2 batch (registry_ext17):
+Kaplan-Meier, skyline, seasonal indices, pagination, by-name union."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext17  # noqa: F401
+from machine_telemetry_etl_ml_pipeline_spark.registry import REGISTRY, _t
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].fn(spark, SF)
+
+
+def test_kaplan_meier_curve_properties(spark):
+    """S(t) must start below 1, be strictly decreasing across steps,
+    stay in (0, 1], risk sets must be non-increasing in t, and each
+    step's survival must equal the running product of (1 - d/n)."""
+    rows = sorted(_run(spark, "ml_kaplan_meier").collect(), key=lambda r: r.day_t)
+    assert rows, "no KM steps — no purchases in the data?"
+    prod = 1.0
+    prev_s, prev_n = 1.0 + 1e-12, None
+    for r in rows:
+        assert r.n_events > 0 and r.n_at_risk >= r.n_events
+        if prev_n is not None:
+            assert r.n_at_risk <= prev_n
+        prod = prod * ((r.n_at_risk - r.n_events) / r.n_at_risk)
+        assert abs(r.survival - prod) < 1e-12
+        assert 0.0 < r.survival < prev_s
+        prev_s, prev_n = r.survival, r.n_at_risk
+
+
+def test_skyline_matches_bruteforce(spark):
+    """The window-based frontier must equal the quadratic dominance
+    definition evaluated in Python over the distinct pairs."""
+    got = {(r.price_cents, r.size) for r in _run(spark, "ext_skyline_pareto").collect()}
+    p = (
+        _t(spark, SF, "part")
+        .select(
+            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("c"),
+            F.col("p_size").cast("long").alias("s"),
+        )
+        .distinct()
+        .collect()
+    )
+    pairs = [(r.c, r.s) for r in p]
+    expect = {
+        (c, s)
+        for c, s in pairs
+        if not any(
+            (c2 <= c and s2 >= s and (c2 < c or s2 > s)) for c2, s2 in pairs
+        )
+    }
+    assert got == expect
+
+
+def test_seasonal_index_mass_identity(spark):
+    """Day-weighted mean of the indices must be exactly 1 (the
+    decomposition conserves total mass), and every dow appears once."""
+    rows = _run(spark, "ext_seasonal_dow_index").collect()
+    assert sorted(r.dow for r in rows) == list(range(1, 8))
+    nd = sum(r.n_days for r in rows)
+    weighted = sum(r.seasonal_index * r.n_days for r in rows)
+    assert abs(weighted / nd - 1.0) < 1e-9
+
+
+def test_offset_is_the_third_page(spark):
+    """OFFSET 20 LIMIT 10 must equal rows 21-30 of the fully sorted
+    frame."""
+    got = [r.c_custkey for r in _run(spark, "ext_offset_clause").collect()]
+    full = (
+        _t(spark, SF, "customer")
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("b"),
+        )
+        .orderBy(F.col("b").desc(), F.col("c_custkey").asc())
+        .collect()
+    )
+    assert got == [r.c_custkey for r in full[20:30]]
+
+
+def test_union_by_name_null_fills_missing(spark):
+    """Slim-side rows must carry NULL cents and both sides must keep
+    their own row counts."""
+    out = _run(spark, "ext_union_by_name")
+    slim = out.filter(F.col("src") == "slim")
+    assert slim.filter(F.col("cents").isNotNull()).count() == 0
+    e = _t(spark, SF, "events")
+    assert slim.count() == e.filter(F.col("event_type") == "error").count()
+    assert (
+        out.filter(F.col("src") == "full").count()
+        == e.filter(F.col("event_type") == "purchase").count()
+    )
