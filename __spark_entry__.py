@@ -166,6 +166,9 @@ _PRIORITY = [
     "ext_seasonal_dow_index",
     "ext_offset_clause",
     "ext_union_by_name",
+    "ext_asof_join_nearest",
+    "ext_mode_aggregate",
+    "ml_quantile_pinball_eval",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

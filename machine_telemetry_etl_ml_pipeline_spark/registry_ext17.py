@@ -371,3 +371,238 @@ def ext_union_by_name(spark, sf_dir):
         F.col("event_id"),
     )
     return full.unionByName(slim, allowMissingColumns=True)
+
+
+# --- nearest as-of join (completes the backward/forward family) -------------
+
+
+@register(
+    "ext_asof_join_nearest",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    b AS (
+      SELECT p.event_id,
+             first(v.event_id ORDER BY v.ts DESC, v.event_id) AS b_id,
+             first(epoch_us(v.ts) ORDER BY v.ts DESC, v.event_id) AS b_us
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      GROUP BY p.event_id
+    ),
+    f AS (
+      SELECT p.event_id,
+             first(v.event_id ORDER BY v.ts ASC, v.event_id) AS f_id,
+             first(epoch_us(v.ts) ORDER BY v.ts ASC, v.event_id) AS f_us
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           CAST(CASE
+             WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+             WHEN f_id IS NULL THEN b_id
+             WHEN b_id IS NULL THEN f_id
+             WHEN epoch_us(p.ts) - b_us <= f_us - epoch_us(p.ts) THEN b_id
+             ELSE f_id END AS BIGINT) AS nearest_event_id,
+           CAST(CASE
+             WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+             WHEN f_id IS NULL THEN epoch_us(p.ts) - b_us
+             WHEN b_id IS NULL THEN f_us - epoch_us(p.ts)
+             WHEN epoch_us(p.ts) - b_us <= f_us - epoch_us(p.ts)
+               THEN epoch_us(p.ts) - b_us
+             ELSE f_us - epoch_us(p.ts) END AS BIGINT) AS nearest_dist_us
+    FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    """,
+)
+def ext_asof_join_nearest(spark, sf_dir):
+    """Nearest as-of join — for each purchase, the view closest in
+    time in EITHER direction, ties broken backward then by smallest
+    event_id: completes the as-of family (backward `ext_asof_join`,
+    forward `ext_asof_join_forward`). Composed from the two
+    union+window passes (operators/joins.py) carrying the candidate
+    timestamp, then an exact integer-microsecond distance pick — no
+    floats, no partition-order dependence (the forward twin's 10x
+    tiebreak lesson baked in from the start). Scale shape: two
+    user_id-keyed window passes (a fused implementation could share
+    one sort; two passes keep the proven helpers); distance math is
+    per-row narrow. The kdb `aj`-nearest / pandas merge_asof
+    (direction='nearest') semantics. Reference analog: none."""
+    from .operators.joins import asof_join, asof_join_forward
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("ts").alias("vts")
+    ).select("event_id", "user_id", "ts", "vts")
+    back = asof_join(
+        p, v.select("user_id", "ts", F.col("event_id").alias("vid"), "vts"),
+        "user_id", "ts", "ts", ["vid", "vts"], right_tiebreak="vid",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("asof_vid").alias("b_id"),
+        # events.ts is TIMESTAMP_NTZ; cast to instant (value-identical
+        # under the UTC session zone) for exact integer micros
+        F.unix_micros(F.col("asof_vts").cast("timestamp")).alias("b_us"),
+    )
+    fwd = asof_join_forward(
+        p, v.select("user_id", "ts", F.col("event_id").alias("vid"), "vts"),
+        "user_id", "ts", "ts", ["vid", "vts"], right_tiebreak="vid",
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("next_vid").alias("f_id"),
+        F.unix_micros(F.col("next_vts").cast("timestamp")).alias("f_us"),
+    )
+    j = back.join(fwd, back.event_id == fwd.f_event_id, "left")
+    pus = F.unix_micros(F.col("ts").cast("timestamp"))
+    bd = pus - F.col("b_us")
+    fd = F.col("f_us") - pus
+    both_null = F.col("b_id").isNull() & F.col("f_id").isNull()
+    pick_b = F.col("f_id").isNull() | (
+        F.col("b_id").isNotNull() & (bd <= fd)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        pus.cast("long").alias("ts_us"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(pick_b, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .cast("long")
+        .alias("nearest_event_id"),
+        F.when(both_null, F.lit(None).cast("long"))
+        .when(pick_b, bd)
+        .otherwise(fd)
+        .cast("long")
+        .alias("nearest_dist_us"),
+    )
+
+
+# --- deterministic mode aggregate -------------------------------------------
+
+
+@register(
+    "ext_mode_aggregate",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           first(cents ORDER BY cnt DESC, cents ASC) AS mode_cents,
+           CAST(first(cnt ORDER BY cnt DESC, cents ASC) AS BIGINT) AS mode_count,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM c GROUP BY event_type
+    """,
+)
+def ext_mode_aggregate(spark, sf_dir):
+    """Statistical mode per group with a PINNED tie rule (highest
+    count, then smallest value) — both engines ship a native mode()
+    whose tie choice is unspecified/engine-dependent, so the portable
+    formulation is the count-then-argmax: one partial-aggregable
+    groupBy collapses the facts to (group, value, count), then a
+    per-group WindowGroupLimit top-1 picks deterministically. Scale
+    shape: the candidate table is bounded by distinct (group, value)
+    pairs; nothing data-sized past the first combine. Reference
+    analog: none (its aggregates stop at min/max/avg/count,
+    project/db.py:331-339)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("cents").asc()
+    )
+    nd = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    top = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("cnt").cast("long").alias("mode_count"),
+        )
+    )
+    return top.join(nd, "event_type")
+
+
+# --- quantile-forecast evaluation: pinball (quantile) loss ------------------
+
+
+@register(
+    "ml_quantile_pinball_eval",
+    """
+    WITH y AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    fc AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(cents, 0.1)) AS BIGINT) AS f1,
+             CAST(round(quantile_cont(cents, 0.5)) AS BIGINT) AS f5,
+             CAST(round(quantile_cont(cents, 0.9)) AS BIGINT) AS f9
+      FROM y GROUP BY event_type
+    ),
+    terms AS (
+      SELECT y.event_type, q10,
+             CASE q10 WHEN 1 THEN greatest(1 * (cents - f1),
+                                           (1 - 10) * (cents - f1))
+                      WHEN 5 THEN greatest(5 * (cents - f5),
+                                           (5 - 10) * (cents - f5))
+                      ELSE greatest(9 * (cents - f9),
+                                    (9 - 10) * (cents - f9)) END AS t10
+      FROM y JOIN fc USING (event_type)
+      CROSS JOIN (SELECT unnest([1, 5, 9]) AS q10)
+    )
+    SELECT event_type, CAST(q10 AS BIGINT) AS q10,
+           CAST(sum(t10) AS BIGINT) AS loss_sum_e1,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(t10) AS DOUBLE) / (10 * count(*)) AS mean_pinball
+    FROM terms GROUP BY event_type, q10
+    """,
+)
+def ml_quantile_pinball_eval(spark, sf_dir):
+    """Pinball (quantile) loss evaluation of P10/P50/P90 per-group
+    quantile forecasts against the observed cents — the scoring rule
+    for quantile-forecast models (SLO latency forecasting, demand
+    bands). The forecast is the exact interpolated percentile ROUNDED
+    to integer cents, so every per-row loss term is an EXACT integer
+    (scaled x10: max(q10*d, (q10-10)*d) with q10 in {1,5,9}); the sums
+    are order-independent BIGINTs and only the final mean divides to
+    double. In-query invariant: each loss_sum is minimal at its own
+    quantile by construction of the estimator (asserted in tests
+    against shifted forecasts). Scale shape: one grouped exact
+    percentile (partial-aggregable sketch pass), forecasts broadcast
+    back, one more partial-aggregable sum — two scans total, no
+    window. Reference analog: none (model eval happens offline in
+    sklearn there)."""
+    e = _t(spark, sf_dir, "events")
+    y = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    fc = y.groupBy("event_type").agg(
+        F.round(F.percentile("cents", F.lit(0.1))).cast("long").alias("f1"),
+        F.round(F.percentile("cents", F.lit(0.5))).cast("long").alias("f5"),
+        F.round(F.percentile("cents", F.lit(0.9))).cast("long").alias("f9"),
+    )
+    q = spark.range(1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(9))).alias("q10")
+    )
+    joined = y.join(F.broadcast(fc), "event_type").crossJoin(F.broadcast(q))
+    d = (
+        F.when(F.col("q10") == 1, F.col("cents") - F.col("f1"))
+        .when(F.col("q10") == 5, F.col("cents") - F.col("f5"))
+        .otherwise(F.col("cents") - F.col("f9"))
+    )
+    t10 = F.greatest(F.col("q10") * d, (F.col("q10") - 10) * d)
+    return joined.groupBy("event_type", "q10").agg(
+        F.sum(t10.cast("decimal(38,0)")).cast("long").alias("loss_sum_e1"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(t10.cast("decimal(38,0)")).cast("double") / (10 * F.count(F.lit(1))))
+        .alias("mean_pinball"),
+    )

@@ -95,3 +95,72 @@ def test_union_by_name_null_fills_missing(spark):
         out.filter(F.col("src") == "full").count()
         == e.filter(F.col("event_type") == "purchase").count()
     )
+
+
+def test_asof_nearest_distance_bounds(spark):
+    """Every picked nearest view must be at least as close as BOTH the
+    backward and the forward candidate taken alone (recomputed in
+    Python from raw events)."""
+    rows = _run(spark, "ext_asof_join_nearest").collect()
+    raw = _t(spark, SF, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).collect()
+    views = {}
+    for r in raw:
+        if r.event_type == "view":
+            views.setdefault(r.user_id, []).append((r.us, r.event_id))
+    purchases = {r.event_id: (r.user_id, r.us) for r in raw if r.event_type == "purchase"}
+    assert len(rows) == len(purchases)
+    for r in rows:
+        u, pus = purchases[r.event_id]
+        cands = views.get(u, [])
+        if not cands:
+            assert r.nearest_event_id is None
+            continue
+        best = min(abs(vus - pus) for vus, _ in cands)
+        assert r.nearest_dist_us == best
+
+
+def test_mode_matches_counter(spark):
+    """The pinned-tie mode must equal Python's max(count, then
+    smallest value) over the raw cents."""
+    from collections import Counter
+
+    got = {r.event_type: (r.mode_cents, r.mode_count) for r in _run(spark, "ext_mode_aggregate").collect()}
+    raw = _t(spark, SF, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    ).collect()
+    by_type = {}
+    for r in raw:
+        by_type.setdefault(r.event_type, Counter())[r.c] += 1
+    for et, cnt in by_type.items():
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert got[et] == (best[0], best[1])
+
+
+def test_pinball_loss_minimal_at_own_quantile(spark):
+    """The P50 forecast's pinball loss must not exceed the loss of the
+    same data scored against the P10 and P90 forecasts at q=0.5 — the
+    defining property of the quantile estimator."""
+    rows = _run(spark, "ml_quantile_pinball_eval").collect()
+    raw = _t(spark, SF, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    ).collect()
+    by_type = {}
+    for r in raw:
+        by_type.setdefault(r.event_type, []).append(r.c)
+    import statistics
+
+    for r in [x for x in rows if x.q10 == 5]:
+        ys = by_type[r.event_type]
+        for alt_q in (0.1, 0.9):
+            qs = sorted(ys)
+            # exact interpolated percentile, rounded like the entry
+            import math
+            rank = alt_q * (len(qs) - 1)
+            lo, frac = int(math.floor(rank)), rank - math.floor(rank)
+            f = qs[lo] if frac == 0 else qs[lo] + frac * (qs[lo + 1] - qs[lo])
+            f = int(math.floor(f + 0.5))
+            alt = sum(max(5 * (y - f), -5 * (y - f)) for y in ys)
+            assert r.loss_sum_e1 <= alt
