@@ -169,6 +169,8 @@ _PRIORITY = [
     "ext_asof_join_nearest",
     "ext_mode_aggregate",
     "ml_quantile_pinball_eval",
+    "ml_isotonic_regression",
+    "ext_snapshot_diff_cdc",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -606,3 +606,178 @@ def ml_quantile_pinball_eval(spark, sf_dir):
         (F.sum(t10.cast("decimal(38,0)")).cast("double") / (10 * F.count(F.lit(1))))
         .alias("mean_pinball"),
     )
+
+
+# --- isotonic regression (minimax form on the candidate table) --------------
+
+
+@register(
+    "ml_isotonic_regression",
+    """
+    WITH lab AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    pv AS (SELECT q, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+           FROM lab GROUP BY q),
+    idx AS (SELECT q, n, s, row_number() OVER (ORDER BY q) AS k FROM pv),
+    cum AS (SELECT q, k, n, s,
+                   sum(n) OVER w AS cn, sum(s) OVER w AS cs
+            FROM idx WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW)),
+    spans AS (
+      SELECT i.k AS i, j.k AS j,
+             CAST(j.cs - coalesce(ip.cs, 0) AS DOUBLE)
+               / CAST(j.cn - coalesce(ip.cn, 0) AS DOUBLE) AS m
+      FROM cum i JOIN cum j ON j.k >= i.k
+      LEFT JOIN cum ip ON ip.k = i.k - 1
+    ),
+    mins AS (SELECT i, min(m) AS mn FROM spans GROUP BY i),
+    iso AS (
+      SELECT c.k, c.q, c.n, c.s, max(mn.mn) AS fit
+      FROM cum c JOIN mins mn ON mn.i <= c.k
+      GROUP BY c.k, c.q, c.n, c.s
+    )
+    SELECT q, n, s AS positives, round(fit, 9) + 0 AS iso_rate
+    FROM iso
+    """,
+)
+def ml_isotonic_regression(spark, sf_dir):
+    """Isotonic regression of the return rate on quantity via the
+    closed-form minimax characterization: iso(k) = max_{i<=k}
+    min_{j>=i} mean(y[i..j]) — the PAVA result without PAVA's
+    sequential pool merging, so it distributes: one partial-aggregable
+    groupBy collapses the facts to |distinct q| candidates (50 here;
+    quantile-binned at 100 TB), and the span/min/max cascade runs
+    entirely on that bounded table (1275 spans for 50 levels — the
+    candidate-table discipline of ml_decision_stump). Span means are
+    doubles from exact integer prefix sums — identical IEEE divisions
+    on both engines; the monotone fit is rounded 1e-9 only at the
+    output. Isotonic calibration is the score-calibration step
+    (sklearn IsotonicRegression / calibrated classifiers) the
+    reference's offline sklearn stack would run — here as relational
+    algebra. Monotonicity + pool-mean invariants test-asserted."""
+    li = _t(spark, sf_dir, "lineitem")
+    lab = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    pv = lab.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    wk = Window.orderBy("q")
+    wc = wk.rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        "q",
+        F.row_number().over(wk).alias("k"),
+        "n",
+        "s",
+        F.sum("n").over(wc).alias("cn"),
+        F.sum("s").over(wc).alias("cs"),
+    )
+    ci = cum.select(
+        F.col("k").alias("i"),
+        (F.col("cn") - F.col("n")).alias("pn"),
+        (F.col("cs") - F.col("s")).alias("ps"),
+    )
+    cj = cum.select(F.col("k").alias("j"), F.col("cn").alias("jn"), F.col("cs").alias("js"))
+    spans = ci.join(cj, F.col("j") >= F.col("i")).select(
+        "i",
+        (
+            (F.col("js") - F.col("ps")).cast("double")
+            / (F.col("jn") - F.col("pn")).cast("double")
+        ).alias("m"),
+    )
+    mins = spans.groupBy("i").agg(F.min("m").alias("mn"))
+    iso = (
+        cum.join(mins, mins.i <= cum.k)
+        .groupBy("k", "q", "n", "s")
+        .agg(F.max("mn").alias("fit"))
+    )
+    return iso.select(
+        "q",
+        "n",
+        F.col("s").alias("positives"),
+        (F.round("fit", 9) + 0).alias("iso_rate"),
+    )
+
+
+# --- CDC snapshot diff -------------------------------------------------------
+
+
+@register(
+    "ext_snapshot_diff_cdc",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 10 < 7
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 100 = 55 THEN 'X' ELSE o_orderstatus END AS st,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               + CASE WHEN o_orderkey % 100 = 44 THEN 1 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 10 > 2
+    )
+    SELECT change,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS key_digest
+    FROM (
+      SELECT coalesce(o.k, n.k) AS k,
+             CASE WHEN o.k IS NULL THEN 'insert'
+                  WHEN n.k IS NULL THEN 'delete'
+                  WHEN o.st <> n.st OR o.cents <> n.cents THEN 'update'
+                  ELSE 'unchanged' END AS change
+      FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    ) GROUP BY change
+    """,
+)
+def ext_snapshot_diff_cdc(spark, sf_dir):
+    """Snapshot-diff change-data-capture: given two table versions
+    (deterministically derived old/new slices with status flips and
+    cent bumps injected INSIDE the key overlap), classify every key as insert / delete /
+    update / unchanged via ONE full outer join on the key plus a
+    column compare — the diff step of a snapshot-based CDC pipeline
+    (the batch complement of stream_update_mode_upsert's CDC-out, and
+    what feeds ext_merge_upsert's MERGE). At 100 TB both sides
+    bucket/partition by the key so the outer join is co-located
+    (ext_bucketed_join_colocated's layout move); with deletion-vector
+    formats the delete class arrives for free, which is out of this
+    container's scope and documented here instead. Row identity is
+    pinned by exact integers (keys, cents), so the class counts and
+    key digests are engine-exact."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    old = o.filter(F.col("o_orderkey") % 10 < 7).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        cents.alias("cents"),
+    )
+    new = o.filter(F.col("o_orderkey") % 10 > 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 100 == 55, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("st"),
+        (cents + F.when(F.col("o_orderkey") % 100 == 44, 1).otherwise(0)).alias(
+            "cents"
+        ),
+    )
+    j = old.alias("o").join(new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer")
+    classified = j.select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+        F.when(F.col("o.k").isNull(), "insert")
+        .when(F.col("n.k").isNull(), "delete")
+        .when(
+            (F.col("o.st") != F.col("n.st")) | (F.col("o.cents") != F.col("n.cents")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return classified.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("key_digest"),
+    )

@@ -164,3 +164,30 @@ def test_pinball_loss_minimal_at_own_quantile(spark):
             f = int(math.floor(f + 0.5))
             alt = sum(max(5 * (y - f), -5 * (y - f)) for y in ys)
             assert r.loss_sum_e1 <= alt
+
+
+def test_isotonic_fit_is_monotone_and_mass_preserving(spark):
+    """The fitted rates must be non-decreasing in q, lie in [0,1], and
+    the fit must preserve total positive mass (sum n*fit == sum s, a
+    PAVA identity)."""
+    rows = sorted(_run(spark, "ml_isotonic_regression").collect(), key=lambda r: r.q)
+    prev = -1.0
+    for r in rows:
+        assert 0.0 <= r.iso_rate <= 1.0
+        assert r.iso_rate >= prev - 1e-12
+        prev = r.iso_rate
+    mass_fit = sum(r.n * r.iso_rate for r in rows)
+    mass_obs = sum(r.positives for r in rows)
+    assert abs(mass_fit - mass_obs) < 1e-6 * max(1.0, mass_obs)
+
+
+def test_snapshot_diff_classes_consistent(spark):
+    """Class counts must tile the key universe: |old| = deletes +
+    updates + unchanged, |new| = inserts + updates + unchanged."""
+    got = {r.change: r.n for r in _run(spark, "ext_snapshot_diff_cdc").collect()}
+    o = _t(spark, SF, "orders")
+    n_old = o.filter(F.col("o_orderkey") % 10 < 7).count()
+    n_new = o.filter(F.col("o_orderkey") % 10 > 2).count()
+    assert set(got) == {"insert", "delete", "update", "unchanged"}
+    assert n_old == got["delete"] + got["update"] + got["unchanged"]
+    assert n_new == got["insert"] + got["update"] + got["unchanged"]
