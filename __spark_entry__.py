@@ -171,6 +171,8 @@ _PRIORITY = [
     "ml_quantile_pinball_eval",
     "ml_isotonic_regression",
     "ext_snapshot_diff_cdc",
+    "llm_bpe_merge_iterate",
+    "ml_ols_inference",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -781,3 +781,223 @@ def ext_snapshot_diff_cdc(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("k").cast("long").alias("key_digest"),
     )
+
+
+# --- BPE tokenizer induction: the ITERATE step (merge -> re-pair) -----------
+
+
+@register(
+    "llm_bpe_merge_iterate",
+    """
+    WITH RECURSIVE ws AS (
+      SELECT row_number() OVER () AS did,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      FROM documents
+    ),
+    p1 AS (
+      SELECT ws[i] AS a, ws[i + 1] AS b
+      FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM ws WHERE len(ws) > 1)
+    ),
+    m1 AS (
+      SELECT a, b, a || '_' || b AS m
+      FROM (SELECT a, b, count(*) AS n FROM p1 GROUP BY a, b
+            ORDER BY n DESC, a ASC, b ASC LIMIT 1)
+    ),
+    walk AS (
+      SELECT did, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM ws
+      UNION ALL
+      SELECT w.did, walk.i + 1,
+             CASE WHEN len(walk.acc) > 0
+                       AND walk.acc[len(walk.acc)] = m1.a
+                       AND w.ws[walk.i + 1] = m1.b
+                  THEN walk.acc[1:len(walk.acc) - 1] || [m1.m]
+                  ELSE walk.acc || [w.ws[walk.i + 1]] END
+      FROM walk JOIN ws w ON w.did = walk.did CROSS JOIN m1
+      WHERE walk.i < len(w.ws)
+    ),
+    merged AS (
+      SELECT walk.did, walk.acc
+      FROM walk JOIN ws ON ws.did = walk.did
+      WHERE walk.i = len(ws.ws)
+    ),
+    p2 AS (
+      SELECT acc[i] || ' ' || acc[i + 1] AS pair
+      FROM (SELECT acc, unnest(generate_series(1, len(acc) - 1)) AS i
+            FROM merged WHERE len(acc) > 1)
+    )
+    SELECT pair, count(*) AS n
+    FROM p2 GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 10
+    """,
+)
+def llm_bpe_merge_iterate(spark, sf_dir):
+    """BPE tokenizer induction, the ITERATE step llm_bpe_merge_step
+    stops short of: pick the top adjacent pair (count desc, pair-text
+    tiebreak), APPLY the merge to every symbol sequence (greedy
+    left-to-right non-overlapping — the fold keeps the merged token
+    only when the accumulator's last symbol is exactly `a`, so a
+    freshly merged token never double-merges), then recount adjacent
+    pairs and emit the next top-10 — the trainer's inner loop, one
+    full round. Spark applies the merge as a per-row array aggregate()
+    fold (narrow, no shuffle); the pair counts are the same
+    zip_with-shifted-slices Generate as the first-step entry, so each
+    round costs ONE (pair, partial-count) shuffle — at 100 TB a K-merge
+    trainer is K narrow passes + K sketch-sized shuffles over
+    sequences that SHRINK every round. The oracle replays the fold as
+    a per-document recursive CTE (token-bounded recursion). Reference
+    analog: none."""
+    d = _t(spark, sf_dir, "documents")
+    from .llm.textstats import words_col
+
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    pair_a = F.explode(
+        F.zip_with(
+            F.slice(ws, 1, n - 1),
+            F.slice(ws, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+        )
+    )
+    m1 = (
+        d.filter(n > 1)
+        .select(pair_a.alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+        .limit(1)
+        .select("a", "b", F.concat("a", F.lit("_"), "b").alias("m"))
+    )
+    applied = d.select(ws.alias("ws")).crossJoin(F.broadcast(m1)).select(
+        F.expr(
+            """
+            aggregate(
+              ws,
+              CAST(array() AS ARRAY<STRING>),
+              (acc, c) -> CASE
+                WHEN size(acc) > 0 AND element_at(acc, -1) = a AND c = b
+                THEN array_append(slice(acc, 1, size(acc) - 1), m)
+                ELSE array_append(acc, c) END
+            ) AS acc
+            """
+        )
+    )
+    an = F.size(F.col("acc"))
+    pairs2 = F.zip_with(
+        F.slice(F.col("acc"), 1, an - 1),
+        F.slice(F.col("acc"), 2, an - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        applied.filter(an > 1)
+        .select(F.explode(pairs2).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(10)
+    )
+
+
+# --- OLS inference: slope/intercept with standard errors and t-stats --------
+
+
+@register(
+    "ml_ols_inference",
+    """
+    WITH d AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    mom AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx_r, sum(x * y) AS sxy_r,
+             sum(y * y) AS syy_r
+      FROM d GROUP BY flag
+    ),
+    c AS (
+      SELECT flag, n,
+             n * sxx_r - sx * sx AS sxx,
+             n * sxy_r - sx * sy AS sxy,
+             n * syy_r - sy * sy AS syy,
+             sx, sy
+      FROM mom
+    )
+    SELECT flag, n,
+           round(CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE), 9) + 0 AS slope,
+           round((CAST(sy AS DOUBLE) - (CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / n, 9) + 0 AS intercept,
+           round(CAST(sxy AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 / (CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)), 9) + 0 AS r2,
+           round(sqrt((CAST(syy AS DOUBLE) / CAST(sxx AS DOUBLE)
+                       - (CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE))
+                         * (CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE)))
+                      / (n - 2)), 9) + 0 AS se_slope,
+           round((CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE))
+                 / sqrt((CAST(syy AS DOUBLE) / CAST(sxx AS DOUBLE)
+                         - (CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE))
+                           * (CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE)))
+                        / (n - 2)), 6) + 0 AS t_stat
+    FROM c
+    """,
+)
+def ml_ols_inference(spark, sf_dir):
+    """OLS with INFERENCE — slope, intercept, R^2, the slope's
+    standard error, and its t statistic per group — the step past
+    ml_linear_regression_sql's point estimates that makes the
+    regression a hypothesis test (is the quantity-price relation
+    significant per return class?). One partial-aggregable moment
+    sketch per group (n, Sx, Sy, Sxx, Sxy, Syy as exact
+    DECIMAL(38,0)/HUGEINT integers over cents), then every statistic
+    is a fixed IEEE formula over the exact centered moments
+    n*Sxx - Sx^2 etc. — sqrt is correctly rounded per IEEE-754 (unlike
+    ln/exp), so both engines produce identical doubles, rounded 1e-9
+    (t at 1e-6) only at the output. Scale shape: one scan, one 6-sum
+    combine — the cheapest possible distributed regression, and the
+    same sketch a 100 TB run would compute. Reference analog: the
+    offline sklearn fit at database_and_model_tools.py:141-157, as
+    in-engine inference."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    d = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    )
+    mom = d.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx_r"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy_r"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy_r"),
+    )
+    c = mom.select(
+        "flag",
+        "n",
+        (F.col("n") * F.col("sxx_r") - F.col("sx") * F.col("sx")).alias("sxx"),
+        (F.col("n") * F.col("sxy_r") - F.col("sx") * F.col("sy")).alias("sxy"),
+        (F.col("n") * F.col("syy_r") - F.col("sy") * F.col("sy")).alias("syy"),
+        "sx",
+        "sy",
+    )
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    slope = sxy / sxx
+    se = F.sqrt((syy / sxx - slope * slope) / (F.col("n") - 2))
+    return c.select(
+        "flag",
+        "n",
+        (F.round(slope, 9) + 0).alias("slope"),
+        (
+            F.round((F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                    / F.col("n"), 9) + 0
+        ).alias("intercept"),
+        (F.round(sxy * sxy / (sxx * syy), 9) + 0).alias("r2"),
+        (F.round(se, 9) + 0).alias("se_slope"),
+        (F.round(slope / se, 6) + 0).alias("t_stat"),
+    )

@@ -191,3 +191,66 @@ def test_snapshot_diff_classes_consistent(spark):
     assert set(got) == {"insert", "delete", "update", "unchanged"}
     assert n_old == got["delete"] + got["update"] + got["unchanged"]
     assert n_new == got["insert"] + got["update"] + got["unchanged"]
+
+
+def test_bpe_iterate_reduces_top_pair(spark):
+    """After applying merge #1, the merged pair must no longer appear
+    in the pass-2 counts (its occurrences were consumed), and total
+    pair mass must have DROPPED by at least the merged pair's count
+    (each merge removes >= 1 adjacent pair)."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.textstats import words_col
+
+    d = _t(spark, SF, "documents")
+    ws = words_col(F.col("text"))
+    n = F.size(ws)
+    p1 = (
+        d.filter(n > 1)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(ws, 1, n - 1),
+                    F.slice(ws, 2, n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .count()
+        .orderBy(F.desc("count"), F.asc("pair"))
+        .limit(1)
+        .collect()[0]
+    )
+    rows = _run(spark, "llm_bpe_merge_iterate").collect()
+    assert all(r.pair != p1.pair for r in rows)
+    assert all("_" in r.pair or " " in r.pair for r in rows)
+    assert rows == sorted(rows, key=lambda r: (-r.n, r.pair))
+
+
+def test_ols_inference_matches_numpy(spark):
+    """Slope/intercept/r2/t must match a numpy least-squares fit on
+    the raw (quantity, cents) pairs per flag."""
+    import numpy as np
+
+    rows = {r.flag: r for r in _run(spark, "ml_ols_inference").collect()}
+    raw = _t(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("f"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("y"),
+    ).collect()
+    by = {}
+    for r in raw:
+        by.setdefault(r.f, []).append((r.x, r.y))
+    for f, pts in by.items():
+        x = np.array([p[0] for p in pts], dtype=float)
+        y = np.array([p[1] for p in pts], dtype=float)
+        b1, b0 = np.polyfit(x, y, 1)
+        r = rows[f]
+        assert abs(r.slope - b1) < 1e-4 * max(1.0, abs(b1))
+        assert abs(r.intercept - b0) < 1e-4 * max(1.0, abs(b0))
+        resid = y - (b0 + b1 * x)
+        n = len(x)
+        se = float(
+            np.sqrt(np.sum(resid**2) / (n - 2) / np.sum((x - x.mean()) ** 2))
+        )
+        assert abs(r.se_slope - se) < 1e-4 * max(1e-9, se)
+        assert abs(r.t_stat - b1 / se) < 1e-2 * max(1.0, abs(b1 / se))
