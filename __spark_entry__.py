@@ -173,6 +173,8 @@ _PRIORITY = [
     "ext_snapshot_diff_cdc",
     "llm_bpe_merge_iterate",
     "ml_ols_inference",
+    "ext_approx_top_k_sketch_merge",
+    "stream_python_datasource",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

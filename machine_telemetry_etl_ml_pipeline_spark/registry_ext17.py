@@ -1001,3 +1001,133 @@ def ml_ols_inference(spark, sf_dir):
         (F.round(se, 9) + 0).alias("se_slope"),
         (F.round(slope / se, 6) + 0).alias("t_stat"),
     )
+
+
+# --- mergeable heavy-hitters sketch (accumulate / combine / estimate) -------
+
+
+@register(
+    "ext_approx_top_k_sketch_merge",
+    """
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    )
+    SELECT w AS item, CAST(count(*) AS BIGINT) AS cnt
+    FROM words GROUP BY w
+    ORDER BY cnt DESC, item ASC LIMIT 5
+    """,
+)
+def ext_approx_top_k_sketch_merge(spark, sf_dir):
+    """Mergeable heavy-hitters: per-SOURCE partial approx_top_k
+    sketches accumulated in one pass, COMBINED into a single sketch,
+    then estimated — the Spark-4 accumulate/combine/estimate API that
+    makes the frequency sketch re-aggregable exactly like a rollup
+    partial (the 100 TB shape: each shard/day keeps a tiny sketch,
+    the global top-k is a combine over sketches, and NO re-scan of
+    history is ever needed — the sketch sibling of
+    ext_incremental_rollup). At this vocabulary (31 synthetic words,
+    sketch capacity 64 >> vocab) the estimates are EXACT, so the
+    oracle is the exact top-5; the top-10 estimate is re-sorted with
+    the (count desc, item asc) tiebreak before the cut so boundary
+    ties are pinned. On heavy-tailed data the check would become an
+    invariant (estimate >= true count - error bound) instead."""
+    d = _t(spark, sf_dir, "documents")
+    from .llm.textstats import words_col
+
+    words = d.select(
+        "source", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    partial = words.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(w, 64)").alias("sk")
+    )
+    combined = partial.agg(F.expr("approx_top_k_combine(sk, 64)").alias("sk"))
+    est = combined.select(
+        F.explode(F.expr("approx_top_k_estimate(sk, 10)")).alias("e")
+    ).select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    return est.orderBy(F.desc("cnt"), F.asc("item")).limit(5)
+
+
+# --- Spark 4 Python STREAMING data source ------------------------------------
+
+
+@register(
+    "stream_python_datasource",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(sum(CASE WHEN v % 7 = 0 THEN v * v END) AS BIGINT)
+             AS sum_sq_sevens
+    FROM (SELECT unnest(generate_series(0, 2999)) AS v)
+    """,
+)
+def stream_python_datasource(spark, sf_dir):
+    """Spark-4 Python STREAMING Data Source (SimpleDataSourceStreamReader):
+    a custom offset-tracked source emits 3000 deterministic rows in
+    1000-row batches; the engine's Python streaming wrapper does not
+    yet support Trigger.AvailableNow (it logs the single-batch
+    fallback), so the entry drives the drain the way an operator
+    would — repeated restarts against ONE checkpoint — which is
+    itself the exactly-once contract under test: every restart resumes
+    from the committed offset, no batch is skipped or double-read, and
+    the final table digests to the closed-form oracle. The batch twin
+    is ext_python_datasource; together they close the custom-source
+    matrix. Scale shape: offsets are per-source bookkeeping, rows
+    stream through without a shuffle until the digest."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    class _Reader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"x": 0}
+
+        def read(self, start):
+            x = start["x"]
+            if x >= 3000:
+                return (iter([]), {"x": x})
+            return (iter([(v,) for v in range(x, x + 1000)]), {"x": x + 1000})
+
+    class _Src(DataSource):
+        @classmethod
+        def name(cls):
+            return "graft_rng_stream"
+
+        def schema(self):
+            return StructType([StructField("v", LongType())])
+
+        def simpleStreamReader(self, schema):
+            return _Reader()
+
+    spark.dataSource.register(_Src)
+    work = tempfile.mkdtemp(prefix="pyds_stream_")
+    try:
+        for _ in range(4):  # 3 data batches + 1 empty terminal batch
+            q = (
+                spark.readStream.format("graft_rng_stream")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", f"{work}/t")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        back = spark.read.parquet(f"{work}/t")
+        out = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_v"),
+            F.sum(
+                F.when(F.col("v") % 7 == 0, F.col("v") * F.col("v"))
+            ).alias("sum_sq_sevens"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -254,3 +254,30 @@ def test_ols_inference_matches_numpy(spark):
         )
         assert abs(r.se_slope - se) < 1e-4 * max(1e-9, se)
         assert abs(r.t_stat - b1 / se) < 1e-2 * max(1.0, abs(b1 / se))
+
+
+def test_sketch_merge_equals_exact_topk(spark):
+    """At this vocabulary the combined sketch must be EXACT: equal to
+    the exact word top-5 under the same tiebreak."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.textstats import words_col
+
+    got = [(r.item, r.cnt) for r in _run(spark, "ext_approx_top_k_sketch_merge").collect()]
+    exact = (
+        _t(spark, SF, "documents")
+        .select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(5)
+        .collect()
+    )
+    assert got == [(r.w, r["count"]) for r in exact]
+
+
+def test_python_stream_source_exactly_once_across_restarts(spark):
+    """The 4-restart drain must produce every offset exactly once:
+    3000 rows, the closed-form sum, no duplicates."""
+    row = _run(spark, "stream_python_datasource").collect()[0]
+    assert row.n == 3000
+    assert row.sum_v == 2999 * 3000 // 2
+    assert row.sum_sq_sevens == sum(v * v for v in range(0, 3000, 7))
