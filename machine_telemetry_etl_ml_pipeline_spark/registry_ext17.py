@@ -1131,3 +1131,87 @@ def stream_python_datasource(spark, sf_dir):
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# --- streaming sessionization with a DYNAMIC per-event gap -------------------
+
+
+@register(
+    "stream_session_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'click' THEN 1800000000
+                  ELSE 3600000000 END AS gap
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, event_id, t, gap,
+             max(t + gap) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_end
+      FROM e
+    ),
+    m AS (
+      SELECT user_id, event_id, t, gap,
+             CASE WHEN prev_end IS NULL OR t >= prev_end THEN 1 ELSE 0 END
+               AS is_start
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, t, gap,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           CAST(min(t) // 1000000 AS BIGINT) AS sess_start,
+           CAST(max(t + gap) // 1000000 AS BIGINT) AS sess_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """STREAMING session_window with a DYNAMIC per-event gap (30 min
+    for clicks, 60 min otherwise) — the stateful twin of
+    ext_session_dynamic_gap, draining the events stream through the
+    session state store under an availableNow trigger. The state
+    store must perform the same interval-union merge the batch oracle
+    expresses as a running max of window ends in exact epoch-micros —
+    a per-event gap means sessions EXTEND differently per event type,
+    the case fixed-gap streaming sessionization cannot express. Same
+    oracle as the batch twin: equal results prove state-store merge ==
+    relational formulation. Scale shape: state is per-(user, open
+    session), evicted at the watermark; the drain is one availableNow
+    pass."""
+    import uuid
+
+    from .session import tune_session
+    from .streaming.windows import events_testdata_stream
+
+    tune_session(spark)
+    stream = events_testdata_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "click", F.lit("30 minutes")).otherwise(
+        F.lit("60 minutes")
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).cast("long").alias("sess_end"),
+            "n_events",
+        )
+    )
+    name = f"stream_dyn_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

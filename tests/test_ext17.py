@@ -281,3 +281,19 @@ def test_python_stream_source_exactly_once_across_restarts(spark):
     assert row.n == 3000
     assert row.sum_v == 2999 * 3000 // 2
     assert row.sum_sq_sevens == sum(v * v for v in range(0, 3000, 7))
+
+
+def test_stream_dynamic_gap_equals_batch_twin(spark):
+    """The streaming state-store session merge must equal the batch
+    session_window result row for row."""
+    from machine_telemetry_etl_ml_pipeline_spark import registry_ext7  # noqa: F401
+
+    got = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in _run(spark, "stream_session_dynamic_gap").collect()
+    }
+    batch = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in _run(spark, "ext_session_dynamic_gap").collect()
+    }
+    assert got == batch
