@@ -297,3 +297,19 @@ def test_stream_dynamic_gap_equals_batch_twin(spark):
         for r in _run(spark, "ext_session_dynamic_gap").collect()
     }
     assert got == batch
+
+
+def test_new_operator_plans_stay_non_quadratic(spark):
+    """The r6 operators whose ORACLES are quadratic must compile to
+    non-quadratic physical plans: no CartesianProduct anywhere, and no
+    BroadcastNestedLoopJoin except against provably tiny build sides
+    (the isotonic span table and 1-row stump broadcasts are
+    candidate-bounded by construction and excluded)."""
+    for name in ["ext_skyline_pareto", "ext_asof_join_nearest",
+                 "ext_mode_aggregate", "ext_snapshot_diff_cdc"]:
+        df = _run(spark, name)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, (name, plan[:500])
+        if name == "ext_skyline_pareto":
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:500])
