@@ -176,6 +176,7 @@ _PRIORITY = [
     "ext_approx_top_k_sketch_merge",
     "stream_python_datasource",
     "stream_session_dynamic_gap",
+    "ext_map_higher_order",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -1215,3 +1215,81 @@ def stream_session_dynamic_gap(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- map higher-order functions (transform_values/map_filter/map_zip_with) --
+
+
+@register(
+    "ext_map_higher_order",
+    """
+    WITH g AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+      FROM events GROUP BY user_id, event_type
+    ),
+    u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_types_total,
+             CAST(sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_types_big
+      FROM g GROUP BY user_id
+    )
+    SELECT g.user_id, g.event_type, g.n,
+           CAST(g.s // g.n AS BIGINT) AS avg_cents,
+           u.n_types_total, u.n_types_big
+    FROM g JOIN u USING (user_id)
+    WHERE g.n >= 3
+    """,
+)
+def ext_map_higher_order(spark, sf_dir):
+    """Map higher-order functions — map_from_entries, map_zip_with
+    (count-map x sum-map -> integer-div average map), map_filter
+    (drop sparse keys), map_keys/size — the map-typed lambda family
+    the array higher-order entry (ext_higher_order_funcs) doesn't
+    touch. The per-user maps are built from unique keys so collect
+    order cannot matter, every derived value is an exact integer, and
+    the final explode projects the maps back to rows — which is the
+    point the oracle makes: the map plumbing is pure representation,
+    the relational answer is unchanged (the oracle never builds a
+    map). All lambdas run in codegen; one user-keyed exchange feeds
+    both the map build and the per-user totals. Reference analog: the
+    JSONB props introspection at project/db.py (maps as the typed
+    upgrade)."""
+    e = _t(spark, sf_dir, "events")
+    g = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("s"),
+    )
+    maps = g.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m_n"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "s"))
+        ).alias("m_s"),
+    )
+    derived = maps.select(
+        "user_id",
+        F.expr("map_zip_with(m_n, m_s, (k, n, s) -> s div n)").alias("m_avg"),
+        F.expr("map_filter(m_n, (k, v) -> v >= 3)").alias("m_big"),
+        F.size("m_n").cast("long").alias("n_types_total"),
+        F.expr("CAST(size(map_filter(m_n, (k, v) -> v >= 3)) AS BIGINT)").alias(
+            "n_types_big"
+        ),
+    )
+    ex = derived.select(
+        "user_id",
+        "n_types_total",
+        "n_types_big",
+        F.explode(F.expr("map_zip_with(m_big, m_avg, (k, n, a) -> struct(n, a))")).alias(
+            "event_type", "v"
+        ),
+    ).filter(F.col("v.n").isNotNull())
+    return ex.select(
+        "user_id",
+        "event_type",
+        F.col("v.n").alias("n"),
+        F.col("v.a").alias("avg_cents"),
+        "n_types_total",
+        "n_types_big",
+    )
