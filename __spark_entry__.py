@@ -177,6 +177,7 @@ _PRIORITY = [
     "stream_python_datasource",
     "stream_session_dynamic_gap",
     "ext_map_higher_order",
+    "ml_subsample_ci",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

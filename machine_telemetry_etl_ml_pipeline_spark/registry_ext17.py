@@ -1293,3 +1293,94 @@ def ext_map_higher_order(spark, sf_dir):
         "n_types_total",
         "n_types_big",
     )
+
+
+# --- uncertainty quantification: deterministic subsample CI ------------------
+
+
+_CI_B = 20
+_CI_THRESH = 2147483648  # 2^31: ~50% inclusion on a 32-bit md5 prefix
+
+
+def _ci_oracle() -> str:
+    terms = []
+    for i in range(1, _CI_B + 1):
+        h = (
+            f"('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_{i}'), 1, 8))"
+            f"::BIGINT < {_CI_THRESH}"
+        )
+        terms.append(
+            f"CAST(sum(CASE WHEN {h} THEN cents END) AS DOUBLE)"
+            f" / sum(CASE WHEN {h} THEN 1 END) AS m{i}"
+        )
+    means = ", ".join(f"m{i}" for i in range(1, _CI_B + 1))
+    return f"""
+    WITH c AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    wide AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             {', '.join(terms)}
+      FROM c
+    ),
+    reps AS (SELECT n, s, unnest([{means}]) AS m FROM wide)
+    SELECT n, CAST({_CI_B} AS BIGINT) AS n_replicates,
+           round(CAST(s AS DOUBLE) / n, 6) + 0 AS point_mean,
+           round(quantile_cont(m, 0.025), 6) + 0 AS ci_lo,
+           round(quantile_cont(m, 0.975), 6) + 0 AS ci_hi
+    FROM reps GROUP BY n, s
+    """
+
+
+@register("ml_subsample_ci", _ci_oracle())
+def ml_subsample_ci(spark, sf_dir):
+    """Uncertainty quantification for the global mean: a 20-replicate
+    DETERMINISTIC half-subsample distribution (row r joins replicate i
+    iff a 32-bit md5 prefix of (event_id, i) clears a fixed threshold
+    — the portable-hash trick every sampler in this repo uses, so both
+    engines draw the identical pseudo-samples with no RNG), with the
+    2.5/97.5 percentile band of the replicate means as the interval —
+    m-out-of-n subsampling, the distributable cousin of the bootstrap.
+    Plan shape: ONE scan with 40 conditional partial-aggregable sums
+    (no explode — a naive bootstrap materializes B copies of the data;
+    this never replicates a row), then the percentile runs over a
+    B-row table. Replicate means are single divisions of exact integer
+    sums; the band interpolates identical doubles on both engines.
+    Reference analog: none (its stats stop at point estimates)."""
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+    ]
+    for i in range(1, _CI_B + 1):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f"_{i}"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") < F.lit(_CI_THRESH)
+        aggs.append(
+            (
+                F.sum(F.when(h, F.col("cents"))).cast("double")
+                / F.sum(F.when(h, 1))
+            ).alias(f"m{i}")
+        )
+    wide = c.agg(*aggs)
+    reps = wide.select(
+        "n",
+        "s",
+        F.explode(F.array(*[F.col(f"m{i}") for i in range(1, _CI_B + 1)])).alias("m"),
+    )
+    return reps.groupBy("n", "s").agg(
+        F.lit(_CI_B).cast("long").alias("n_replicates"),
+        (F.round(F.col("s").cast("double") / F.col("n"), 6) + 0).alias("point_mean"),
+        (F.round(F.percentile("m", F.lit(0.025)), 6) + 0).alias("ci_lo"),
+        (F.round(F.percentile("m", F.lit(0.975)), 6) + 0).alias("ci_hi"),
+    ).drop("s").select("n", "n_replicates", "point_mean", "ci_lo", "ci_hi")

@@ -313,3 +313,18 @@ def test_new_operator_plans_stay_non_quadratic(spark):
         assert "CartesianProduct" not in plan, (name, plan[:500])
         if name == "ext_skyline_pareto":
             assert "BroadcastNestedLoopJoin" not in plan, (name, plan[:500])
+
+
+def test_subsample_ci_brackets_point_estimate(spark):
+    """The interval must contain the point estimate, be properly
+    ordered, and be tight relative to the data spread (half-samples of
+    thousands of rows cannot produce a band wider than the value
+    range)."""
+    r = _run(spark, "ml_subsample_ci").collect()[0]
+    assert r.n_replicates == 20
+    assert r.ci_lo <= r.point_mean <= r.ci_hi
+    stats = _t(spark, SF, "events").agg(
+        F.min(F.round(F.col("value") * 100)).alias("lo"),
+        F.max(F.round(F.col("value") * 100)).alias("hi"),
+    ).collect()[0]
+    assert (r.ci_hi - r.ci_lo) < (stats.hi - stats.lo)
