@@ -178,6 +178,8 @@ _PRIORITY = [
     "stream_session_dynamic_gap",
     "ext_map_higher_order",
     "ml_subsample_ci",
+    "ext_asof_join_tolerance",
+    "ml_gini_lorenz",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

