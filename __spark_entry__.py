@@ -180,6 +180,7 @@ _PRIORITY = [
     "ml_subsample_ci",
     "ext_asof_join_tolerance",
     "ml_gini_lorenz",
+    "ml_text_classifier_e2e",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -1525,3 +1525,173 @@ def ml_gini_lorenz(spark, sf_dir):
         ),
         (F.round(gini, 6) + 0).alias("gini"),
     )
+
+
+# --- flagship composite: end-to-end SQL-native text classifier --------------
+
+
+@register(
+    "ml_text_classifier_e2e",
+    """
+    WITH feat AS (
+      SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(length(text) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')) AS f1,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                        w -> w <> ''))) AS DOUBLE)
+               / len(list_filter(string_split(text, ' '), w -> w <> '')) AS f2
+      FROM documents
+      WHERE length(text) > 0
+        AND len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+    ),
+    stats AS (
+      SELECT round(avg(f1), 9) AS m1, round(stddev_pop(f1), 9) AS s1,
+             round(avg(f2), 9) AS m2, round(stddev_pop(f2), 9) AS s2,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM feat
+    ),
+    d AS (
+      SELECT y, (f1 - m1) / s1 AS x1, (f2 - m2) / s2 AS x2, n
+      FROM feat CROSS JOIN stats
+    ),
+    g1 AS (
+      SELECT round(sum(0.5 - y) / max(n), 9) AS g0,
+             round(sum((0.5 - y) * x1) / max(n), 9) AS ga,
+             round(sum((0.5 - y) * x2) / max(n), 9) AS gb
+      FROM d
+    ),
+    w1 AS (SELECT -0.5 * g0 AS w0, -0.5 * ga AS wa, -0.5 * gb AS wb FROM g1),
+    g2 AS (
+      SELECT round(sum(1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) / max(n), 9) AS g0,
+             round(sum((1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) * x1) / max(n), 9) AS ga,
+             round(sum((1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) * x2) / max(n), 9) AS gb
+      FROM d CROSS JOIN w1
+    ),
+    w2 AS (SELECT w0 - 0.5 * g0 AS w0, wa - 0.5 * ga AS wa, wb - 0.5 * gb AS wb
+           FROM w1 CROSS JOIN g2),
+    g3 AS (
+      SELECT round(sum(1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) / max(n), 9) AS g0,
+             round(sum((1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) * x1) / max(n), 9) AS ga,
+             round(sum((1.0/(1.0 + exp(-(w0 + wa*x1 + wb*x2))) - y) * x2) / max(n), 9) AS gb
+      FROM d CROSS JOIN w2
+    ),
+    w3 AS (SELECT w0 - 0.5 * g0 AS w0, wa - 0.5 * ga AS wa, wb - 0.5 * gb AS wb
+           FROM w2 CROSS JOIN g3),
+    pred AS (
+      SELECT CAST(sum(CASE WHEN round(w0 + wa*x1 + wb*x2, 9) > 0
+                            AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN round(w0 + wa*x1 + wb*x2, 9) > 0
+                            AND y = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN NOT (round(w0 + wa*x1 + wb*x2, 9) > 0)
+                            AND y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM d CROSS JOIN w3
+    )
+    SELECT round(w0, 6) + 0 AS w_intercept,
+           round(wa, 6) + 0 AS w_chars_per_word,
+           round(wb, 6) + 0 AS w_distinct_ratio,
+           tp, fp, fn, n_rows
+    FROM w3 CROSS JOIN pred
+    """,
+)
+def ml_text_classifier_e2e(spark, sf_dir):
+    """END-TO-END SQL-native text classifier: featurize raw documents
+    (chars-per-word, distinct-word ratio — both exact-integer-derived
+    doubles; the synthetic corpus shares an ASCII vocabulary across
+    langs, so the model demonstrates the LOOP's cross-engine parity,
+    not linguistic skill), standardize, train logistic regression by 3
+    full-batch GD steps, and score (TP/FP/FN at the logit-sign
+    threshold) — the whole train/evaluate loop as ONE lazy plan,
+    the composite flagship tying llm_language_id's heuristic to
+    ml_logistic_regression_gd's optimizer machinery. Float parity per
+    the established discipline: stats and gradients rounded 1e-9 so
+    both engines walk the identical weight trajectory; the prediction
+    threshold is the logit sign (never exp). Scale shape: the
+    featurization is narrow string arithmetic fused into each GD
+    scan's projection (at 100 TB you cache the standardized (y, x1,
+    x2) projection once); each step is one partial-aggregable 1-row
+    gradient + broadcast weight join. Reference analog: the offline
+    sklearn classifiers (M3) as in-engine relational algebra."""
+    wn = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    d0 = _t(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (wn > 0)
+    )
+    feat = d0.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        (F.length("text").cast("double") / wn).alias("f1"),
+        (
+            F.size(
+                F.array_distinct(
+                    F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+                )
+            ).cast("double")
+            / wn
+        ).alias("f2"),
+    )
+    stats = feat.agg(
+        F.round(F.avg("f1"), 9).alias("m1"),
+        F.round(F.stddev_pop("f1"), 9).alias("s1"),
+        F.round(F.avg("f2"), 9).alias("m2"),
+        F.round(F.stddev_pop("f2"), 9).alias("s2"),
+        F.count("*").cast("double").alias("n"),
+    )
+    d = feat.crossJoin(F.broadcast(stats)).select(
+        "y",
+        ((F.col("f1") - F.col("m1")) / F.col("s1")).alias("x1"),
+        ((F.col("f2") - F.col("m2")) / F.col("s2")).alias("x2"),
+        "n",
+    )
+    g = d.agg(
+        F.round(F.sum(F.lit(0.5) - F.col("y")) / F.max("n"), 9).alias("g0"),
+        F.round(F.sum((F.lit(0.5) - F.col("y")) * F.col("x1")) / F.max("n"), 9).alias("ga"),
+        F.round(F.sum((F.lit(0.5) - F.col("y")) * F.col("x2")) / F.max("n"), 9).alias("gb"),
+    )
+    w = g.select(
+        (F.lit(-0.5) * F.col("g0")).alias("w0"),
+        (F.lit(-0.5) * F.col("ga")).alias("wa"),
+        (F.lit(-0.5) * F.col("gb")).alias("wb"),
+    )
+    for _ in range(2):
+        dd = d.crossJoin(F.broadcast(w))
+        z = F.col("w0") + F.col("wa") * F.col("x1") + F.col("wb") * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        g = dd.agg(
+            F.round(F.sum(p - F.col("y")) / F.max("n"), 9).alias("g0"),
+            F.round(F.sum((p - F.col("y")) * F.col("x1")) / F.max("n"), 9).alias("ga"),
+            F.round(F.sum((p - F.col("y")) * F.col("x2")) / F.max("n"), 9).alias("gb"),
+            F.first("w0").alias("pw0"),
+            F.first("wa").alias("pwa"),
+            F.first("wb").alias("pwb"),
+        )
+        w = g.select(
+            (F.col("pw0") - F.lit(0.5) * F.col("g0")).alias("w0"),
+            (F.col("pwa") - F.lit(0.5) * F.col("ga")).alias("wa"),
+            (F.col("pwb") - F.lit(0.5) * F.col("gb")).alias("wb"),
+        )
+    dd = d.crossJoin(F.broadcast(w))
+    z = F.round(
+        F.col("w0") + F.col("wa") * F.col("x1") + F.col("wb") * F.col("x2"), 9
+    )
+    pos = z > 0
+    pred = dd.agg(
+        F.sum(F.when(pos & (F.col("y") == 1.0), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(pos & (F.col("y") == 0.0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~pos & (F.col("y") == 1.0), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    zero = F.lit(0.0)
+    return w.crossJoin(pred).select(
+        (F.round(F.col("w0"), 6) + zero).alias("w_intercept"),
+        (F.round(F.col("wa"), 6) + zero).alias("w_chars_per_word"),
+        (F.round(F.col("wb"), 6) + zero).alias("w_distinct_ratio"),
+        "tp",
+        "fp",
+        "fn",
+        "n_rows",
+    )

@@ -369,3 +369,16 @@ def test_gini_identities(spark):
     # deciles sizes can differ by 1 — compare per-row average mass
     avg = [r.mass / r.n_rows for r in rows]
     assert all(avg[i] <= avg[i + 1] + 1e-9 for i in range(9))
+
+
+def test_text_classifier_confusion_tiles(spark):
+    """TP+FP+FN+TN must tile the filtered corpus, and the learned
+    weights must be finite non-trivial doubles."""
+    r = _run(spark, "ml_text_classifier_e2e").collect()[0]
+    d = _t(spark, SF, "documents").filter(F.length("text") > 0)
+    n = d.count()
+    assert r.n_rows == n
+    assert 0 <= r.tp + r.fp + r.fn <= n
+    import math
+    for wv in (r.w_intercept, r.w_chars_per_word, r.w_distinct_ratio):
+        assert math.isfinite(wv)
