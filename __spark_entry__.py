@@ -181,6 +181,9 @@ _PRIORITY = [
     "ext_asof_join_tolerance",
     "ml_gini_lorenz",
     "ml_text_classifier_e2e",
+    "ml_markov_transition_matrix",
+    "ml_mutual_information",
+    "ext_sequence_pattern_vshape",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

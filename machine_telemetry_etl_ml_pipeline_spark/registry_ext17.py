@@ -1695,3 +1695,179 @@ def ml_text_classifier_e2e(spark, sf_dir):
         "fn",
         "n_rows",
     )
+
+
+# --- sequence modeling: first-order Markov transition matrix -----------------
+
+
+@register(
+    "ml_markov_transition_matrix",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    t AS (
+      SELECT event_type AS from_state, nxt AS to_state,
+             CAST(count(*) AS BIGINT) AS n
+      FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
+            FROM t GROUP BY from_state)
+    SELECT t.from_state, t.to_state, t.n,
+           round(CAST(t.n AS DOUBLE) / n_from, 6) + 0 AS p
+    FROM t JOIN tot USING (from_state)
+    """,
+)
+def ml_markov_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each user's
+    time-ordered event sequence — P(next event type | current), the
+    behavioral-model primitive behind next-action prediction and
+    anomalous-session scoring. One user-keyed window (total order
+    pinned by (ts, event_id)) emits the transitions, then two
+    partial-aggregable counts; probabilities are single divisions of
+    exact integers rounded 1e-6. Scale shape: the transition count
+    table is |states|^2 (25 cells here) regardless of data volume —
+    everything after the lead() window is sketch-sized. Reference
+    analog: none (its session analysis stops at counts)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    t = o.groupBy(
+        F.col("event_type").alias("from_state"), F.col("nxt").alias("to_state")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = t.groupBy("from_state").agg(F.sum("n").cast("long").alias("n_from"))
+    return t.join(tot, "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        (F.round(F.col("n").cast("double") / F.col("n_from"), 6) + 0).alias("p"),
+    )
+
+
+# --- information theory: mutual information ----------------------------------
+
+
+@register(
+    "ml_mutual_information",
+    """
+    WITH b AS (
+      SELECT event_type AS xv,
+             CAST(round(value * 100) AS BIGINT) // 5000 AS yv
+      FROM events
+    ),
+    jnt AS (SELECT xv, yv, CAST(count(*) AS BIGINT) AS nxy FROM b GROUP BY 1, 2),
+    mx  AS (SELECT xv, CAST(sum(nxy) AS BIGINT) AS nx FROM jnt GROUP BY xv),
+    my  AS (SELECT yv, CAST(sum(nxy) AS BIGINT) AS ny FROM jnt GROUP BY yv),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM jnt)
+    SELECT round(sum(CAST(nxy AS DOUBLE) / n
+                     * ln(CAST(nxy AS DOUBLE) * n
+                          / (CAST(nx AS DOUBLE) * ny))), 6) + 0
+             AS mutual_information_nats,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(max(n) AS BIGINT) AS n_rows
+    FROM jnt JOIN mx USING (xv) JOIN my USING (yv) CROSS JOIN tot
+    """,
+)
+def ml_mutual_information(spark, sf_dir):
+    """Mutual information (nats) between the event type and the
+    banded value — the nonlinear-dependence screen that catches what
+    Pearson/Spearman miss (feature selection, leakage detection). The
+    contingency table comes from ONE partial-aggregable groupBy
+    (|X| x |Y| cells — sketch-sized at any data volume); margins and
+    the total derive from the CELLS, never a second scan. The MI sum
+    runs over exact integer counts with one ln() per cell, rounded
+    1e-6 (the llm_char_entropy libm discipline: identical integer
+    inputs -> same-to-ulp logs on both engines, far inside the
+    rounding grid). Reference analog: none."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        F.col("event_type").alias("xv"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 5000").alias("yv"),
+    )
+    jnt = b.groupBy("xv", "yv").agg(F.count(F.lit(1)).cast("long").alias("nxy"))
+    mx = jnt.groupBy("xv").agg(F.sum("nxy").cast("long").alias("nx"))
+    my = jnt.groupBy("yv").agg(F.sum("nxy").cast("long").alias("ny"))
+    tot = jnt.agg(F.sum("nxy").cast("long").alias("n"))
+    j = (
+        jnt.join(mx, "xv")
+        .join(my, "yv")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        F.col("nxy").cast("double")
+        / F.col("n")
+        * F.log(
+            F.col("nxy").cast("double")
+            * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny"))
+        )
+    )
+    return j.agg(
+        (F.round(F.sum(term), 6) + 0).alias("mutual_information_nats"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.max("n").cast("long").alias("n_rows"),
+    )
+
+
+# --- sequence pattern matching: V-shape detection -----------------------------
+
+
+@register(
+    "ext_sequence_pattern_vshape",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS c,
+             lag(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p1,
+             lag(CAST(round(value * 100) AS BIGINT), 2)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p2
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_vshapes,
+           CAST(min(event_id) AS BIGINT) AS first_v_event,
+           CAST(sum(c - p1) AS BIGINT) AS total_rebound_cents
+    FROM o
+    WHERE p2 IS NOT NULL AND p1 < p2 AND c > p1
+    GROUP BY user_id
+    """,
+)
+def ext_sequence_pattern_vshape(spark, sf_dir):
+    """Row-pattern matching (the MATCH_RECOGNIZE family Spark lacks):
+    detect V-shapes — a strict drop followed by a rebound — in each
+    user's time-ordered value sequence, reporting per-user pattern
+    counts and rebound mass. Fixed-length patterns compile to pure
+    lag() windows (one user-keyed sort, zero joins, zero explode);
+    variable-length patterns would extend this with the
+    gaps-and-islands machinery (ext_gap_islands). All comparisons run
+    on exact integer cents with a (ts, event_id) total order, so the
+    match set is engine-exact. Scale shape: one window pass over the
+    fact table, then a partial-aggregable per-user rollup. Reference
+    analog: none (the classic FINRA/trade-surveillance query)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = F.round(F.col("value") * 100).cast("long")
+    o = e.select(
+        "user_id",
+        "event_id",
+        c.alias("c"),
+        F.lag(c).over(w).alias("p1"),
+        F.lag(c, 2).over(w).alias("p2"),
+    )
+    hits = o.filter(
+        F.col("p2").isNotNull() & (F.col("p1") < F.col("p2")) & (F.col("c") > F.col("p1"))
+    )
+    return hits.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vshapes"),
+        F.min("event_id").cast("long").alias("first_v_event"),
+        F.sum(F.col("c") - F.col("p1")).cast("long").alias("total_rebound_cents"),
+    )

@@ -382,3 +382,51 @@ def test_text_classifier_confusion_tiles(spark):
     import math
     for wv in (r.w_intercept, r.w_chars_per_word, r.w_distinct_ratio):
         assert math.isfinite(wv)
+
+
+def test_markov_rows_are_distributions(spark):
+    """Outgoing probabilities must sum to 1 per from_state and counts
+    must total the number of (event, next-event) adjacencies."""
+    rows = _run(spark, "ml_markov_transition_matrix").collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_state, []).append(r)
+    for fs, rs in by_from.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-4
+    e = _t(spark, SF, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_mutual_information_nonnegative_and_bounded(spark):
+    """MI >= 0 (Gibbs), and MI <= min(H(X), H(Y)) <= ln(min(|X|,|Y|))."""
+    import math
+
+    r = _run(spark, "ml_mutual_information").collect()[0]
+    assert r.mutual_information_nats >= -1e-9
+    assert r.mutual_information_nats <= math.log(5) + 1e-9  # |event_type| = 5
+
+
+def test_vshape_matches_bruteforce(spark):
+    """Pattern hits must equal a Python scan over each user's ordered
+    sequence."""
+    got = {r.user_id: (r.n_vshapes, r.total_rebound_cents)
+           for r in _run(spark, "ext_sequence_pattern_vshape").collect()}
+    raw = _t(spark, SF, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    ).collect()
+    seqs = {}
+    for r in sorted(raw, key=lambda r: (r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.c)
+    expect = {}
+    for u, cs in seqs.items():
+        n, mass = 0, 0
+        for i in range(2, len(cs)):
+            if cs[i - 1] < cs[i - 2] and cs[i] > cs[i - 1]:
+                n += 1
+                mass += cs[i] - cs[i - 1]
+        if n:
+            expect[u] = (n, mass)
+    assert got == expect
