@@ -33,6 +33,8 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext14  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext15  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext16  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext17  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext18  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext19  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -184,6 +186,20 @@ _PRIORITY = [
     "ml_markov_transition_matrix",
     "ml_mutual_information",
     "ext_sequence_pattern_vshape",
+    # added in r6 (registry_ext18): OHLC resampling, linear
+    # interpolation, PR-AUC, Cohen's kappa, Cramer's V
+    "ext_resample_ohlc",
+    "ext_interpolate_linear",
+    "ml_average_precision",
+    "ml_cohens_kappa",
+    "ml_cramers_v",
+    # added in r6 (registry_ext19): table checksum, bitmap distinct,
+    # Bollinger bands, URL canonicalization, link prediction
+    "ext_table_checksum",
+    "ext_bitmap_distinct",
+    "ext_bollinger_bands",
+    "llm_url_canonicalize",
+    "graph_common_neighbors",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
