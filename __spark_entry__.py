@@ -35,6 +35,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext16  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext17  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext18  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext19  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext20  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -200,6 +201,13 @@ _PRIORITY = [
     "ext_bollinger_bands",
     "llm_url_canonicalize",
     "graph_common_neighbors",
+    # added in r6 (registry_ext20): Kendall tau-b, Theil-Sen,
+    # Z-order clustering, code detection, embedding outliers
+    "ml_kendall_tau",
+    "ml_theil_sen_slope",
+    "ext_zorder_cluster",
+    "llm_code_detect",
+    "llm_embedding_outliers",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
