@@ -36,6 +36,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext17  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext18  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext19  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext20  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext21  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -208,6 +209,13 @@ _PRIORITY = [
     "ext_zorder_cluster",
     "llm_code_detect",
     "llm_embedding_outliers",
+    # added in r6 (registry_ext21): RFM segmentation, ABC
+    # classification, one-way ANOVA, MCC, Brier score
+    "ext_rfm_segmentation",
+    "ext_abc_classification",
+    "ml_anova_oneway",
+    "ml_matthews_corrcoef",
+    "ml_brier_score",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
