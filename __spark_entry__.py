@@ -37,6 +37,9 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext18  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext19  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext20  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext21  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext22  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext23  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext24  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -216,6 +219,23 @@ _PRIORITY = [
     "ml_anova_oneway",
     "ml_matthews_corrcoef",
     "ml_brier_score",
+    # added in r6 (registry_ext22): k-core peeling, weighted SSSP,
+    # 1-D Gaussian-mixture EM
+    "graph_k_core",
+    "graph_weighted_sssp",
+    "ml_gmm_em_1d",
+    # added in r6 (registry_ext23): HMM forward posterior, MMR
+    # diversified re-rank, Flesch readability
+    "ml_hmm_forward",
+    "llm_mmr_rerank",
+    "llm_readability_flesch",
+    # added in r6 (registry_ext24): RAKE keywords, lang-ID confusion,
+    # bagged-stump forest, point-in-time churn labels, DPP surface
+    "llm_keyword_rake",
+    "llm_langid_confusion",
+    "ml_random_forest_vote",
+    "ml_churn_labels_point_in_time",
+    "ext_dynamic_partition_pruning",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -1,0 +1,381 @@
+"""Twenty-second extension batch (round 6, part 7): iterative graph
+decomposition, weighted shortest paths, and EM mixture fitting.
+
+- `graph_k_core`: bounded-round k-core peeling (k=2, 6 rounds) of the
+  sparse co-purchase graph — the degeneracy decomposition used for
+  community trimming. Each round drops nodes of degree < k and
+  reports (round, n_nodes, n_edges); both engines unroll the SAME
+  fixed round count, so the result is exact integers.
+- `graph_weighted_sssp`: single-source shortest paths under integer
+  edge costs (Bellman-Ford, 6 fixed relaxation rounds). Edge cost is
+  1 + 1000 // co_incidence_count (stronger co-purchase ties are
+  cheaper), all-integer; distances are exact BIGINTs, output as a
+  distance histogram.
+- `ml_gmm_em_1d`: 2-component 1-D Gaussian mixture on standardized
+  order totals, fit by 3 fixed EM iterations — the iterative-
+  optimizer pattern (ml_logistic_regression_gd doctrine): each
+  iteration is ONE partial-aggregable scan producing a 1-row moment
+  vector, every aggregate rounded to 1e-9 so both engines walk an
+  identical parameter trajectory despite partition-order float sums
+  and libm-exp ulp noise.
+
+Determinism contract: the graph entries are all-integer end-to-end;
+the EM entry pins its trajectory on the 1e-9 grid at every step and
+ships final parameters rounded to 1e-6 (the proven GD/KMeans/PCA
+recipe). Reference analog: none (extends the graph family and the
+SQL-native iterative-ML family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
+
+_K = 2
+_PEEL_ROUNDS = 6
+_BF_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    # every e{i}/d{i} is referenced 2-4 times downstream; DuckDB
+    # inlines CTEs by default, which expands the peel chain
+    # EXPONENTIALLY (and exhausts file handles re-opening the base
+    # parquet) — MATERIALIZED pins each round to one evaluation
+    ctes = [
+        _COPURCHASE_EDGES_SQL.strip().lstrip(),
+        "e0 AS MATERIALIZED (SELECT u, v FROM edges)",
+    ]
+    for i in range(_PEEL_ROUNDS):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS c FROM (
+        SELECT u AS node FROM e{i} UNION ALL SELECT v AS node FROM e{i}
+      ) GROUP BY node
+    )"""
+        )
+        ctes.append(
+            f"""e{i + 1} AS MATERIALIZED (
+      SELECT u, v FROM e{i}
+      WHERE u IN (SELECT node FROM d{i} WHERE c >= {_K})
+        AND v IN (SELECT node FROM d{i} WHERE c >= {_K})
+    )"""
+        )
+    stats = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS peel_round,
+           (SELECT count(*) FROM (SELECT u AS x FROM e{i}
+                                  UNION SELECT v FROM e{i})) AS n_nodes,
+           (SELECT count(*) FROM e{i}) AS n_edges"""
+        for i in range(_PEEL_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(peel_round AS BIGINT) AS peel_round,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM ({stats}) ORDER BY peel_round"""
+    )
+
+
+@register("graph_k_core", _kcore_oracle())
+def graph_k_core(spark, sf_dir):
+    """Bounded-round k-core peeling (k=2, 6 rounds — the BFS-style
+    fixed cap, identical in both engines) over the sparse co-purchase
+    graph. Each round: degree count (one groupBy over the 2|E|
+    directed list), then two semi-joins keep edges whose endpoints
+    both survive. Output is the (round, nodes, edges) trajectory —
+    exact integers, no floats anywhere. Scale: every round's shuffle
+    is bounded by the CURRENT edge list (monotonically shrinking);
+    degrees are partial-aggregable; the survivor node set rides
+    broadcast-able semi-joins on the shrinking frontier, the same
+    shape GraphX's peeling iteration shuffles. The fixed round cap
+    (not run-to-fixpoint) keeps the plan static and SF-independent;
+    peel depth beyond 6 is cut off identically on both engines.
+    Reference analog: none (extends graph_triangle_count family)."""
+    edges = _copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint()
+    out = []
+    e = edges
+    for i in range(_PEEL_ROUNDS + 1):
+        nodes_i = e.select(F.col("u").alias("x")).union(e.select("v")).agg(
+            F.countDistinct("x").alias("n_nodes")
+        )
+        stats_i = nodes_i.crossJoin(e.agg(F.count("*").alias("n_edges"))).select(
+            F.lit(i).cast("long").alias("peel_round"),
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+        )
+        out.append(stats_i)
+        if i == _PEEL_ROUNDS:
+            break
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("c"))
+        )
+        keep = deg.where(F.col("c") >= _K).select("node")
+        # localCheckpoint per round: the lineage-capping discipline of
+        # graph_bfs_distances / PageRank — without it the 7 stats
+        # branches re-derive the whole peel chain per branch
+        e = (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionAll(s)
+    return res.orderBy("peel_round")
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        _COPURCHASE_EDGES_SQL.strip().lstrip().replace(
+            """edges AS (
+      SELECT DISTINCT a.cust AS u, b.cust AS v
+      FROM grp a JOIN grp b
+        ON a.part = b.part AND a.wk = b.wk AND a.cust < b.cust
+    )""",
+            """edges AS (
+      SELECT a.cust AS u, b.cust AS v,
+             CAST(1 + 1000 // count(*) AS BIGINT) AS w
+      FROM grp a JOIN grp b
+        ON a.part = b.part AND a.wk = b.wk AND a.cust < b.cust
+      GROUP BY a.cust, b.cust
+    )""",
+        ),
+        # MATERIALIZED: each dist{i} is referenced twice by round i+1;
+        # DuckDB's default CTE inlining would expand the relaxation
+        # chain EXPONENTIALLY (2^rounds copies of the base scan)
+        "sym AS MATERIALIZED (SELECT u, v, w FROM edges"
+        " UNION ALL SELECT v, u, w FROM edges)",
+        "src AS (SELECT min(u) AS s FROM edges)",
+        "dist0 AS MATERIALIZED (SELECT s AS node, CAST(0 AS BIGINT) AS d FROM src)",
+    ]
+    for i in range(_BF_ROUNDS):
+        ctes.append(
+            f"""dist{i + 1} AS MATERIALIZED (
+      SELECT node, min(d) AS d FROM (
+        SELECT node, d FROM dist{i}
+        UNION ALL
+        SELECT e.v AS node, t.d + e.w AS d
+        FROM dist{i} t JOIN sym e ON e.u = t.node
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(d // 500 AS BIGINT) AS dist_band,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(d) AS BIGINT) AS min_dist,
+           CAST(max(d) AS BIGINT) AS max_dist
+    FROM dist{_BF_ROUNDS}
+    GROUP BY d // 500 ORDER BY dist_band"""
+    )
+
+
+@register("graph_weighted_sssp", _sssp_oracle())
+def graph_weighted_sssp(spark, sf_dir):
+    """Single-source weighted shortest paths by 6 fixed Bellman-Ford
+    relaxation rounds over the co-purchase graph. Edge cost is the
+    all-integer 1 + 1000 // tie_count (strong ties are cheap), so
+    distances are exact BIGINTs — no float anywhere — and the fixed
+    round count makes the horizon identical cross-engine (nodes
+    beyond 6 relaxations simply don't appear, same on both sides).
+    Each round shuffles only (frontier x edges) keyed on the edge
+    source — the Pregel message-passing shape — and the min-combine
+    is partial-aggregable. Output: 500-cost distance bands. Scale:
+    the relaxation join is an equi-join on node id; at 100 TB the
+    dist table is range-partitioned on node and the edge list
+    bucketed the same way, so rounds reuse one co-partitioning.
+    Reference analog: none (weighted upgrade of graph_bfs_distances)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("wk")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    grp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"), "wk")
+        .distinct()
+    )
+    a, b = grp.alias("a"), grp.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(F.col("a.cust").alias("u"), F.col("b.cust").alias("v"))
+        .agg(F.count("*").alias("cnt"))
+        .select("u", "v", F.expr("CAST(1 + 1000 DIV cnt AS BIGINT)").alias("w"))
+    )
+    sym = (
+        edges.select("u", "v", "w")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
+        .localCheckpoint()
+    )
+    src = edges.agg(F.min("u").alias("s"))
+    dist = src.select(F.col("s").alias("node"), F.lit(0).cast("long").alias("d"))
+    for _ in range(_BF_ROUNDS):
+        relaxed = dist.join(sym, dist.node == sym.u).select(
+            F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        # localCheckpoint per relaxation round (the BFS/PageRank
+        # lineage cap): dist's plan would otherwise double each round
+        dist = (
+            dist.select("node", "d")
+            .unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        dist.groupBy(F.expr("CAST(d DIV 500 AS BIGINT)").alias("dist_band"))
+        .agg(
+            F.count("*").cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_dist"),
+            F.max("d").cast("long").alias("max_dist"),
+        )
+        .orderBy("dist_band")
+    )
+
+
+def _gmm_oracle() -> str:
+    head = """
+    WITH stats AS (
+      SELECT round(avg(p), 9) AS m, round(stddev_pop(p), 9) AS s,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS p
+            FROM orders)
+    ),
+    d AS (
+      SELECT (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) - m) / s AS x, n
+      FROM orders CROSS JOIN stats
+    ),
+    p0 AS (SELECT 0.5 AS wgt, -1.0 AS mu1, 1.0 AS v1, 1.0 AS mu2, 1.0 AS v2)"""
+    steps = []
+    for i in range(3):
+        steps.append(
+            f"""
+    r{i} AS (
+      SELECT x, n,
+             (wgt * exp(-(x - mu1) * (x - mu1) / (2 * v1)) / sqrt(v1))
+               / ((wgt * exp(-(x - mu1) * (x - mu1) / (2 * v1)) / sqrt(v1))
+                  + ((1 - wgt) * exp(-(x - mu2) * (x - mu2) / (2 * v2)) / sqrt(v2)))
+               AS r
+      FROM d CROSS JOIN p{i}
+    ),
+    m{i} AS (
+      SELECT round(sum(r) / max(n), 9) AS wgt_n,
+             round(sum(r * x) / sum(r), 9) AS mu1_n,
+             round(sum(r * x * x) / sum(r)
+                   - (sum(r * x) / sum(r)) * (sum(r * x) / sum(r)), 9) AS v1_n,
+             round(sum((1 - r) * x) / sum(1 - r), 9) AS mu2_n,
+             round(sum((1 - r) * x * x) / sum(1 - r)
+                   - (sum((1 - r) * x) / sum(1 - r))
+                     * (sum((1 - r) * x) / sum(1 - r)), 9) AS v2_n
+      FROM r{i}
+    ),
+    p{i + 1} AS (SELECT wgt_n AS wgt, mu1_n AS mu1, v1_n AS v1,
+                        mu2_n AS mu2, v2_n AS v2 FROM m{i})"""
+        )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + """
+    SELECT round(wgt, 6) + 0 AS weight1, round(mu1, 6) + 0 AS mu1,
+           round(v1, 6) + 0 AS var1, round(mu2, 6) + 0 AS mu2,
+           round(v2, 6) + 0 AS var2,
+           (SELECT CAST(n AS BIGINT) FROM stats) AS n_rows
+    FROM p3"""
+    )
+
+
+@register("ml_gmm_em_1d", _gmm_oracle())
+def ml_gmm_em_1d(spark, sf_dir):
+    """2-component 1-D Gaussian mixture on standardized order totals,
+    fit by 3 fixed EM iterations — expectation-maximization as the
+    third iterative-optimizer family next to gradient descent
+    (ml_logistic_regression_gd) and Lloyd's (ml_kmeans_lloyd). Each
+    iteration is ONE partial-aggregable scan: the E-step
+    responsibility is a per-row closed form of the broadcast 5-value
+    parameter row; the M-step reduces to five moment sums whose
+    ratios are rounded to 1e-9 (the pinned-trajectory doctrine —
+    identical parameter walk both engines despite partition-order
+    float sums and libm-exp ulps; the shared 1/sqrt(2*pi) pdf factor
+    is cancelled analytically rather than trusted to libm). At 100 TB
+    you'd cache the standardized projection across the 3 scans; the
+    per-iteration shuffle is a 5-cell aggregate. Final parameters
+    ship on the 1e-6 grid. Reference analog: none (extends the
+    SQL-native iterative-ML family)."""
+    cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    orders = _t(spark, sf_dir, "orders")
+    stats = orders.select(cents.alias("p")).agg(
+        F.round(F.avg("p"), 9).alias("m"),
+        F.round(F.stddev_pop("p"), 9).alias("s"),
+        F.count("*").cast("double").alias("n"),
+    )
+    d = orders.crossJoin(F.broadcast(stats)).select(
+        ((cents - F.col("m")) / F.col("s")).alias("x"), "n"
+    )
+    params = None  # broadcast 1-row frame (wgt, mu1, v1, mu2, v2)
+    wgt, mu1, v1, mu2, v2 = (
+        F.lit(0.5),
+        F.lit(-1.0),
+        F.lit(1.0),
+        F.lit(1.0),
+        F.lit(1.0),
+    )
+    for i in range(3):
+        if params is not None:
+            d_it = d.crossJoin(F.broadcast(params))
+            wgt, mu1, v1, mu2, v2 = (
+                F.col("wgt"),
+                F.col("mu1"),
+                F.col("v1"),
+                F.col("mu2"),
+                F.col("v2"),
+            )
+        else:
+            d_it = d
+        x = F.col("x")
+        p1 = wgt * F.exp(-(x - mu1) * (x - mu1) / (2 * v1)) / F.sqrt(v1)
+        p2 = (1 - wgt) * F.exp(-(x - mu2) * (x - mu2) / (2 * v2)) / F.sqrt(v2)
+        r = (p1 / (p1 + p2)).alias("r")
+        agg = d_it.select(r, x.alias("x"), "n").agg(
+            F.round(F.sum("r") / F.max("n"), 9).alias("wgt"),
+            F.round(F.sum(F.col("r") * F.col("x")) / F.sum("r"), 9).alias("mu1"),
+            F.round(
+                F.sum(F.col("r") * F.col("x") * F.col("x")) / F.sum("r")
+                - (F.sum(F.col("r") * F.col("x")) / F.sum("r"))
+                * (F.sum(F.col("r") * F.col("x")) / F.sum("r")),
+                9,
+            ).alias("v1"),
+            F.round(
+                F.sum((1 - F.col("r")) * F.col("x")) / F.sum(F.lit(1) - F.col("r")), 9
+            ).alias("mu2"),
+            F.round(
+                F.sum((1 - F.col("r")) * F.col("x") * F.col("x"))
+                / F.sum(F.lit(1) - F.col("r"))
+                - (F.sum((1 - F.col("r")) * F.col("x")) / F.sum(F.lit(1) - F.col("r")))
+                * (F.sum((1 - F.col("r")) * F.col("x")) / F.sum(F.lit(1) - F.col("r"))),
+                9,
+            ).alias("v2"),
+        )
+        params = agg
+    n_rows = stats.select(F.col("n").cast("long").alias("n_rows"))
+    return params.crossJoin(F.broadcast(n_rows)).select(
+        (F.round(F.col("wgt"), 6) + 0).alias("weight1"),
+        (F.round(F.col("mu1"), 6) + 0).alias("mu1"),
+        (F.round(F.col("v1"), 6) + 0).alias("var1"),
+        (F.round(F.col("mu2"), 6) + 0).alias("mu2"),
+        (F.round(F.col("v2"), 6) + 0).alias("var2"),
+        "n_rows",
+    )

@@ -1,0 +1,610 @@
+"""Twenty-fourth extension batch (round 6, part 9): keyword
+extraction, classifier-diagnostic crossovers, ensemble voting,
+leakage-free label generation, and the dynamic-partition-pruning
+scan surface.
+
+- `llm_keyword_rake`: RAKE keyword extraction (Rose et al. 2010) —
+  phrases are maximal stopword/non-alpha-free word runs, word score
+  = degree/frequency, phrase score = sum of member word scores under
+  a positional sequential fold. The corpus-wide top-15 keywords.
+- `llm_langid_confusion`: confusion matrix of the stopword-hit
+  language-ID heuristic (llm_language_id) against the labeled lang
+  column, with per-cell corpus share — the eval layer over the
+  existing screen. All-integer counts + one division per cell.
+- `ml_random_forest_vote`: a 5-stump bagged ensemble — each stump
+  trains on a deterministic md5-bootstrap (~2/3) subset and picks
+  the accuracy-optimal threshold by exact integer argmax; majority
+  vote is compared against truth. No RNG, no floats in training.
+- `ml_churn_labels_point_in_time`: leakage-free churn-label
+  generation — per snapshot date, features look back 90 days and the
+  label looks forward 90 days, so no row ever sees its own future
+  (the point-in-time-correct join every training pipeline needs).
+- `ext_dynamic_partition_pruning`: the DPP scan surface — facts
+  written partitioned by order year, joined to a filtered 1-row dim;
+  Spark's dynamic partition pruning turns the dim filter into a
+  partition skip at the fact scan (plan-asserted in tests).
+
+Determinism contract: every aggregate that touches data volume is an
+exact integer (counts, degrees, md5 bytes, day diffs); the only
+doubles are degree/frequency ratios combined under positional
+sequential folds, and single end divisions. Reference analog: none
+(extends the text / ML-eval / ensemble / training-prep families)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+from .llm import textstats as ts
+
+# RAKE phrase breakers: EN stopwords (the llm_language_id list) or any
+# token that is not a pure lowercase-alpha run.
+_RAKE_STOPS = ts.STOPWORDS["en"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _RAKE_STOPS) + "]"
+_MAX_PHRASE = 4
+
+
+@register(
+    "llm_keyword_rake",
+    f"""
+    WITH words AS (
+      SELECT doc_id, lower(w) AS w, pos FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w,
+               generate_subscripts(list_filter(string_split(text, ' '),
+                                               x -> x <> ''), 1) AS pos
+        FROM documents
+      )
+    ),
+    flagged AS (
+      SELECT doc_id, w, pos,
+             CASE WHEN list_contains({_STOP_SQL}, w)
+                       OR NOT regexp_full_match(w, '[a-z]+')
+                  THEN 1 ELSE 0 END AS brk
+      FROM words
+    ),
+    seg AS (
+      SELECT doc_id, w, pos, brk,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM flagged
+    ),
+    pw AS (SELECT doc_id, seg_id, w, pos FROM seg WHERE brk = 0),
+    plen AS (
+      SELECT doc_id, seg_id, CAST(count(*) AS BIGINT) AS n_words
+      FROM pw GROUP BY doc_id, seg_id
+      HAVING count(*) <= {_MAX_PHRASE}
+    ),
+    member AS (
+      SELECT p.doc_id, p.seg_id, p.w, p.pos, l.n_words
+      FROM pw p JOIN plen l ON p.doc_id = l.doc_id AND p.seg_id = l.seg_id
+    ),
+    wstat AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(n_words) AS BIGINT) AS degree
+      FROM member GROUP BY w
+    ),
+    scored AS (
+      SELECT m.doc_id, m.seg_id, m.pos,
+             CAST(s.degree AS DOUBLE) / s.freq AS wscore
+      FROM member m JOIN wstat s ON m.w = s.w
+    ),
+    folded AS (
+      SELECT doc_id, seg_id,
+             sum(wscore) OVER (PARTITION BY doc_id, seg_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS score,
+             row_number() OVER (PARTITION BY doc_id, seg_id
+                                ORDER BY pos DESC) AS rn_last
+      FROM scored
+    ),
+    ptext AS (
+      SELECT doc_id, seg_id, string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM member GROUP BY doc_id, seg_id
+    ),
+    phrases AS (
+      SELECT t.phrase, f.score
+      FROM folded f JOIN ptext t
+        ON f.doc_id = t.doc_id AND f.seg_id = t.seg_id
+      WHERE f.rn_last = 1
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           min(score) AS rake_score
+    FROM phrases
+    GROUP BY phrase
+    ORDER BY min(score) DESC, phrase
+    LIMIT 15
+    """,
+)
+def llm_keyword_rake(spark, sf_dir):
+    """RAKE (Rapid Automatic Keyword Extraction): candidate phrases
+    are maximal runs of non-stopword, pure-alpha tokens (phrase
+    boundaries via a conditional-cumsum segment id — the
+    ext_conditional_reset_cumsum pattern); word score = degree/freq
+    over all phrase memberships; a phrase scores the SUM of its word
+    scores, folded in POSITION order (the sequential-fold doctrine,
+    so the float sum has one tree on both engines); corpus top-15
+    under a total (score DESC, phrase) order. Identical phrases score
+    identically by construction, so min(score) == max(score) per
+    group — min() is just the deterministic pick. Scale: one explode
+    (O(tokens)), vocabulary-bounded word stats, phrase stats bounded
+    by segments <= tokens; no pairwise anything. Reference analog:
+    none (extends llm_tfidf_topk_terms with phrase-level extraction)."""
+    w_all = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(w_all).alias("pos0", "w0"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.lower(F.col("w0")).alias("w"),
+        )
+    )
+    brk = (
+        F.array_contains(F.array(*[F.lit(s) for s in _RAKE_STOPS]), F.col("w"))
+        | ~F.col("w").rlike("^[a-z]+$")
+    ).cast("int")
+    seg = words.select(
+        "doc_id",
+        "w",
+        "pos",
+        brk.alias("brk"),
+    ).withColumn(
+        "seg_id",
+        F.sum("brk").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    pw = seg.where(F.col("brk") == 0).select("doc_id", "seg_id", "w", "pos")
+    plen = (
+        pw.groupBy("doc_id", "seg_id")
+        .agg(F.count("*").cast("long").alias("n_words"))
+        .where(F.col("n_words") <= _MAX_PHRASE)
+    )
+    member = pw.join(plen, ["doc_id", "seg_id"])
+    wstat = member.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("degree"),
+    )
+    scored = member.join(wstat, "w").select(
+        "doc_id",
+        "seg_id",
+        "pos",
+        (F.col("degree").cast("double") / F.col("freq")).alias("wscore"),
+    )
+    wf = (
+        Window.partitionBy("doc_id", "seg_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    folded = scored.select(
+        "doc_id",
+        "seg_id",
+        F.sum("wscore").over(wf).alias("score"),
+        F.row_number()
+        .over(Window.partitionBy("doc_id", "seg_id").orderBy(F.desc("pos")))
+        .alias("rn_last"),
+    ).where(F.col("rn_last") == 1)
+    ptext = member.groupBy("doc_id", "seg_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("phrase")
+    )
+    phrases = folded.join(ptext, ["doc_id", "seg_id"]).select("phrase", "score")
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.min("score").alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(15)
+    )
+
+
+_HITS = {
+    lang: (
+        "len(list_intersect(list_filter(string_split(text, ' '), x -> x <> ''), "
+        + "[" + ", ".join(f"'{w}'" for w in ts.STOPWORDS[lang]) + "]))"
+    )
+    for lang in ts.LANG_ORDER
+}
+_BEST = "greatest(" + ", ".join(f"hits_{l}" for l in ts.LANG_ORDER) + ")"
+_PRED = (
+    "CASE WHEN " + _BEST + " <= 0 THEN 'unknown' "
+    + " ".join(f"WHEN hits_{l} = {_BEST} THEN '{l}'" for l in ts.LANG_ORDER)
+    + " END"
+)
+
+
+@register(
+    "llm_langid_confusion",
+    f"""
+    WITH pred AS (
+      SELECT lang, {_PRED} AS pred_lang FROM (
+        SELECT lang,
+               {", ".join(f"CAST({_HITS[l]} AS INT) AS hits_{l}" for l in ts.LANG_ORDER)}
+        FROM documents
+      )
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM pred)
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) / (SELECT n FROM tot) AS share
+    FROM pred GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+)
+def llm_langid_confusion(spark, sf_dir):
+    """Confusion matrix of the stopword-hit language-ID heuristic
+    against the labeled lang column — the evaluation layer over
+    llm_language_id (which emits per-doc predictions but never
+    aggregates them). Cells are exact integer counts from one
+    partial-aggregable scan; share is one IEEE division per cell
+    against the broadcast total. The matrix is bounded by
+    (|langs|+1)^2 cells at any SF. Reference analog: none (crosses
+    llm_language_id with the ml_confusion_matrix shape)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", ts.predicted_lang(F.col("text")).alias("pred_lang")
+    )
+    tot = d.agg(F.count("*").cast("double").alias("n"))
+    return (
+        d.groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("n_docs") / F.col("n")).alias("share"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+_N_TREES = 5
+_HEXPOS = "strpos('0123456789abcdef', substr(h, {p}, 1)) - 1"
+
+_RF_ORACLE = f"""
+    WITH labeled AS MATERIALIZED (
+      SELECT l_orderkey * 10 + l_linenumber AS rid, l_quantity AS q,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    mem AS MATERIALIZED (
+      SELECT rid, q, y, t,
+             CASE WHEN (({_HEXPOS.format(p=1)}) * 16
+                        + ({_HEXPOS.format(p=2)})) % 3 <> 0
+                  THEN 1 ELSE 0 END AS in_bag
+      FROM (
+        SELECT rid, q, y, t,
+               md5(CAST(rid AS VARCHAR) || ':' || CAST(t AS VARCHAR)) AS h
+        FROM labeled, (SELECT CAST(range AS INT) AS t FROM range({_N_TREES}))
+      )
+    ),
+    pv AS (
+      SELECT t, q, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      FROM mem WHERE in_bag = 1 GROUP BY t, q
+    ),
+    tt AS (SELECT t, sum(n) AS nt, sum(pos) AS post FROM pv GROUP BY t),
+    cum AS (
+      SELECT t, q,
+             sum(n) OVER (PARTITION BY t ORDER BY q) AS nl,
+             sum(pos) OVER (PARTITION BY t ORDER BY q) AS posl
+      FROM pv
+    ),
+    scored AS (
+      -- predict y=1 on q <= threshold iff the left side is
+      -- majority-positive; correct count is EXACT integers:
+      -- best split maximizes correct = max(posl, nl-posl)
+      --                              + max(post-posl, (nt-nl)-(post-posl))
+      SELECT c.t, c.q AS threshold,
+             greatest(c.posl, c.nl - c.posl)
+               + greatest(tt.post - c.posl,
+                          (tt.nt - c.nl) - (tt.post - c.posl)) AS correct,
+             CASE WHEN c.posl * 2 >= c.nl THEN 1 ELSE 0 END AS left_pred,
+             CASE WHEN (tt.post - c.posl) * 2 >= (tt.nt - c.nl)
+                  THEN 1 ELSE 0 END AS right_pred
+      FROM cum c JOIN tt ON c.t = tt.t
+    ),
+    best AS (
+      SELECT t, threshold, left_pred, right_pred FROM (
+        SELECT *, row_number() OVER (PARTITION BY t
+                   ORDER BY correct DESC, threshold) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    model AS (
+      SELECT list(threshold ORDER BY t) AS ths,
+             list(left_pred ORDER BY t) AS lps,
+             list(right_pred ORDER BY t) AS rps
+      FROM best
+    ),
+    votes AS (
+      SELECT l.y,
+             list_sum(list_transform(range(1, {_N_TREES} + 1),
+               i -> CASE WHEN l.q <= m.ths[i] THEN m.lps[i]
+                         ELSE m.rps[i] END)) AS v
+      FROM labeled l CROSS JOIN model m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN (v * 2 > {_N_TREES}) = (y = 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN v IN (0, {_N_TREES}) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unanimous
+    FROM votes
+"""
+
+
+@register("ml_random_forest_vote", _RF_ORACLE)
+def ml_random_forest_vote(spark, sf_dir):
+    """Bagged 5-stump ensemble (a random forest reduced to its
+    relational essentials): each stump trains on a DETERMINISTIC
+    md5-bootstrap (~2/3 of rows — first md5 byte of rid:tree mod 3),
+    picks the accuracy-optimal `q <= t` split by EXACT integer argmax
+    (correct = max(posL, negL) + max(posR, negR), a total
+    (correct DESC, threshold) order — no Gini floats, unlike the
+    single ml_decision_stump), and each row is scored by the
+    majority of the 5 votes. Training is one (tree, q) grid aggregate
+    (5x the per-value table, trees unrolled as a dimension, not a
+    loop); inference folds the broadcast 1-row ARRAY model per row —
+    no per-row grouping (the synthetic (orderkey, linenumber) pair is
+    not unique), no inference shuffle at all.
+    No RNG anywhere, so the ensemble is reproducible across engines,
+    runs and cluster sizes. Scale: per-value table is
+    |distinct q| x 5 rows; everything else is partial-aggregable.
+    Reference analog: the reference bags LightGBM/XGBoost
+    (project/database_and_model_tools.py:126-164); this is the
+    engine-native ensemble shape."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    from .llm.prep import md5_bucket
+
+    trees = spark.range(_N_TREES).select(F.col("id").cast("int").alias("t"))
+    mem = li.crossJoin(F.broadcast(trees)).select(
+        "rid",
+        "q",
+        "y",
+        "t",
+        md5_bucket(
+            F.concat(
+                F.col("rid").cast("string"), F.lit(":"), F.col("t").cast("string")
+            ),
+            n_digits=2,
+        ).alias("bucket"),
+    )
+    bag = mem.where((F.col("bucket") % 3) != 0)
+    pv = bag.groupBy("t", "q").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    tt = pv.groupBy("t").agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("post")
+    )
+    wc = Window.partitionBy("t").orderBy("q")
+    cum = pv.select(
+        "t",
+        "q",
+        F.sum("n").over(wc).alias("nl"),
+        F.sum("pos").over(wc).alias("posl"),
+    )
+    scored = cum.join(tt, "t").select(
+        "t",
+        F.col("q").alias("threshold"),
+        (
+            F.greatest(F.col("posl"), F.col("nl") - F.col("posl"))
+            + F.greatest(
+                F.col("post") - F.col("posl"),
+                (F.col("nt") - F.col("nl")) - (F.col("post") - F.col("posl")),
+            )
+        ).alias("correct"),
+        F.when(F.col("posl") * 2 >= F.col("nl"), 1).otherwise(0).alias("left_pred"),
+        F.when(
+            (F.col("post") - F.col("posl")) * 2 >= (F.col("nt") - F.col("nl")), 1
+        )
+        .otherwise(0)
+        .alias("right_pred"),
+    )
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("t").orderBy(F.desc("correct"), F.asc("threshold"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("t", "threshold", "left_pred", "right_pred")
+    )
+    model = best.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "threshold", "left_pred", "right_pred"))
+        ).alias("m")
+    ).select(
+        F.transform(F.col("m"), lambda s: s["threshold"]).alias("ths"),
+        F.transform(F.col("m"), lambda s: s["left_pred"]).alias("lps"),
+        F.transform(F.col("m"), lambda s: s["right_pred"]).alias("rps"),
+    )
+    # inference is a per-row ARRAY expression over the broadcast 1-row
+    # model — no per-row grouping (rid is not unique in this data), no
+    # shuffle, exact integer votes
+    vote = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_N_TREES)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("q") <= F.element_at(F.col("ths"), i), F.element_at(F.col("lps"), i)
+        ).otherwise(F.element_at(F.col("rps"), i)),
+    )
+    votes = li.crossJoin(F.broadcast(model)).select("y", vote.alias("v"))
+    return votes.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                ((F.col("v") * 2 > _N_TREES)) == (F.col("y") == 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.sum(F.when(F.col("v").isin(0, _N_TREES), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unanimous"),
+    )
+
+
+_SNAPSHOTS = ["1996-01-01", "1997-01-01", "1998-01-01", "1999-01-01", "2000-01-01"]
+
+
+@register(
+    "ml_churn_labels_point_in_time",
+    f"""
+    WITH snaps AS (
+      SELECT CAST(s AS DATE) AS snap
+      FROM (SELECT unnest([{", ".join(f"'{s}'" for s in _SNAPSHOTS)}]) AS s)
+    ),
+    o AS (SELECT o_custkey AS cust, CAST(o_orderdate AS DATE) AS d FROM orders),
+    feat AS (
+      SELECT s.snap, o.cust,
+             CAST(count(*) AS BIGINT) AS orders_90d_before
+      FROM snaps s JOIN o
+        ON date_diff('day', o.d, s.snap) > 0
+       AND date_diff('day', o.d, s.snap) <= 90
+      GROUP BY s.snap, o.cust
+    ),
+    lab AS (
+      SELECT s.snap, o.cust, CAST(1 AS BIGINT) AS retained
+      FROM snaps s JOIN o
+        ON date_diff('day', s.snap, o.d) >= 0
+       AND date_diff('day', s.snap, o.d) < 90
+      GROUP BY s.snap, o.cust
+    )
+    SELECT CAST(f.snap AS DATE) AS snapshot_date,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(sum(CASE WHEN l.retained IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_churned,
+           CAST(sum(CASE WHEN l.retained IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS churn_rate,
+           CAST(sum(f.orders_90d_before) AS BIGINT) AS feature_order_mass
+    FROM feat f LEFT JOIN lab l ON f.snap = l.snap AND f.cust = l.cust
+    GROUP BY f.snap ORDER BY snapshot_date
+    """,
+)
+def ml_churn_labels_point_in_time(spark, sf_dir):
+    """Point-in-time-correct churn-label generation: for each snapshot
+    date, the FEATURE window is the 90 days strictly before the
+    snapshot and the LABEL window is the 90 days from it — no row can
+    see its own future, the leakage discipline every training-data
+    pipeline needs (and the reason SCD2 point-in-time joins exist —
+    ext_scd2_point_in_time_join is the dimension-side twin). Windows
+    are integer day-diff predicates (datediff here, date_diff in the
+    oracle — both exact integer days); counts and the feature mass
+    are exact; churn_rate is one division per snapshot. Scale: the
+    snapshot grid is a 5-row broadcast against one orders scan; both
+    aggregates are partial-aggregable on (snap, cust). Reference
+    analog: none (training-label extension of ext_cohort_retention)."""
+    snaps = spark.createDataFrame(
+        [(s,) for s in _SNAPSHOTS], "snap_s string"
+    ).select(F.col("snap_s").cast("date").alias("snap"))
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderdate").cast("date").alias("d")
+    )
+    feat = (
+        o.crossJoin(F.broadcast(snaps))
+        .where(
+            (F.datediff(F.col("snap"), F.col("d")) > 0)
+            & (F.datediff(F.col("snap"), F.col("d")) <= 90)
+        )
+        .groupBy("snap", "cust")
+        .agg(F.count("*").cast("long").alias("orders_90d_before"))
+    )
+    lab = (
+        o.crossJoin(F.broadcast(snaps))
+        .where(
+            (F.datediff(F.col("d"), F.col("snap")) >= 0)
+            & (F.datediff(F.col("d"), F.col("snap")) < 90)
+        )
+        .groupBy("snap", "cust")
+        .agg(F.lit(1).cast("long").alias("retained"))
+    )
+    return (
+        feat.join(lab, ["snap", "cust"], "left")
+        .groupBy(F.col("snap").alias("snapshot_date"))
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum(F.when(F.col("retained").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_churned"),
+            (
+                F.sum(F.when(F.col("retained").isNull(), 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("churn_rate"),
+            F.sum("orders_90d_before").cast("long").alias("feature_order_mass"),
+        )
+        .orderBy("snapshot_date")
+    )
+
+
+@register(
+    "ext_dynamic_partition_pruning",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1997, 1998)
+    GROUP BY 1 ORDER BY order_year
+    """,
+)
+def ext_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning surface: the fact table is written
+    partitioned by order year; the query joins it to a FILTERED tiny
+    dim (selected years), and Spark's DPP turns the dim filter into a
+    runtime partition skip on the fact scan — the mechanism that
+    makes star-schema queries touch 2 of N partitions at 100 TB
+    instead of all N (tests/test_plan_shapes.py asserts the
+    dynamicpruning subquery in the physical plan). The oracle
+    collapses to the equivalent static filter. The round trip runs in
+    a scratch dir, result materialized before cleanup (the
+    ext_source_text discipline)."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="dpp_")
+    try:
+        path = root + "/orders_by_year"
+        o = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderdate",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+        fact = spark.read.parquet(path)
+        dim = (
+            fact.select("order_year")
+            .distinct()
+            .where(F.col("order_year").isin(1997, 1998))
+        )
+        res = (
+            fact.join(dim.hint("broadcast"), "order_year")
+            .groupBy("order_year")
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .cast("long")
+                .alias("total_cents"),
+            )
+            .orderBy("order_year")
+        )
+        rows = res.collect()
+        return spark.createDataFrame(
+            rows, "order_year bigint, n_orders bigint, total_cents bigint"
+        ).orderBy("order_year")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
