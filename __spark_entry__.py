@@ -40,6 +40,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext21  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext22  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext23  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext24  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext25  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -236,6 +237,13 @@ _PRIORITY = [
     "ml_random_forest_vote",
     "ml_churn_labels_point_in_time",
     "ext_dynamic_partition_pruning",
+    # added in r6 (registry_ext25): LOO target encoding, span
+    # corruption, clustering coefficient, fertility, learning curve
+    "ml_target_encoding_loo",
+    "llm_span_corruption",
+    "graph_clustering_coefficient",
+    "llm_tokenizer_fertility",
+    "ml_learning_curve",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
