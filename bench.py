@@ -103,6 +103,17 @@ HEADLINE = [
     # rounds on one node key).
     "ml_gbt_stumps",
     "graph_label_propagation",
+    # round-6 late batches: the five heaviest new plans — 7-round
+    # k-core peel (checkpointed edge shrink), 3-scan GMM-EM (broadcast
+    # parameter walk), per-user HMM sequence fold (groupBy + sorted
+    # array aggregate), RAKE (explode + conditional-cumsum segments +
+    # positional folds), and the 5-stump bagged forest (5x md5 grid
+    # fit + per-row array-fold inference).
+    "graph_k_core",
+    "ml_gmm_em_1d",
+    "ml_hmm_forward",
+    "llm_keyword_rake",
+    "ml_random_forest_vote",
 ]
 
 

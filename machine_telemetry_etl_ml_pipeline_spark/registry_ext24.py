@@ -276,13 +276,17 @@ _RF_ORACLE = f"""
       FROM lineitem
     ),
     mem AS MATERIALIZED (
+      -- tree t's bootstrap byte is byte t of ONE md5 per row (hex
+      -- positions 2t+1, 2t+2): 1 hash instead of {_N_TREES}, same
+      -- independence
       SELECT rid, q, y, t,
-             CASE WHEN (({_HEXPOS.format(p=1)}) * 16
-                        + ({_HEXPOS.format(p=2)})) % 3 <> 0
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, 2 * t + 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef',
+                                  substr(h, 2 * t + 2, 1)) - 1)) % 3 <> 0
                   THEN 1 ELSE 0 END AS in_bag
       FROM (
-        SELECT rid, q, y, t,
-               md5(CAST(rid AS VARCHAR) || ':' || CAST(t AS VARCHAR)) AS h
+        SELECT rid, q, y, t, md5(CAST(rid AS VARCHAR) || ':bag') AS h
         FROM labeled, (SELECT CAST(range AS INT) AS t FROM range({_N_TREES}))
       )
     ),
@@ -365,20 +369,21 @@ def ml_random_forest_vote(spark, sf_dir):
         F.col("l_quantity").alias("q"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
-    from .llm.prep import md5_bucket
-
     trees = spark.range(_N_TREES).select(F.col("id").cast("int").alias("t"))
-    mem = li.crossJoin(F.broadcast(trees)).select(
+    hashed = li.select(
         "rid",
         "q",
         "y",
-        "t",
-        md5_bucket(
-            F.concat(
-                F.col("rid").cast("string"), F.lit(":"), F.col("t").cast("string")
-            ),
-            n_digits=2,
-        ).alias("bucket"),
+        F.md5(F.concat(F.col("rid").cast("string"), F.lit(":bag"))).alias("h"),
+    )
+    # tree t's bootstrap byte = byte t of the ONE md5 per row (hex
+    # positions 2t+1, 2t+2): 5x fewer hashes than md5(rid:t) per tree
+    hexd = "instr('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    bucket = F.expr(
+        f"(({hexd.format(p='2 * t + 1')}) * 16 + ({hexd.format(p='2 * t + 2')}))"
+    )
+    mem = hashed.crossJoin(F.broadcast(trees)).select(
+        "rid", "q", "y", "t", bucket.alias("bucket")
     )
     bag = mem.where((F.col("bucket") % 3) != 0)
     pv = bag.groupBy("t", "q").agg(
