@@ -41,6 +41,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext22  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext23  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext24  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext25  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext26  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -244,6 +245,13 @@ _PRIORITY = [
     "graph_clustering_coefficient",
     "llm_tokenizer_fertility",
     "ml_learning_curve",
+    # added in r6 (registry_ext26): DID, CUPED, McNemar, degree
+    # assortativity, cross-lingual n-gram overlap
+    "ml_diff_in_diff",
+    "ml_cuped_adjustment",
+    "ml_mcnemar_test",
+    "graph_degree_assortativity",
+    "llm_crosslingual_ngram_overlap",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
