@@ -42,6 +42,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext23  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext24  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext25  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext26  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext27  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -252,6 +253,13 @@ _PRIORITY = [
     "ml_mcnemar_test",
     "graph_degree_assortativity",
     "llm_crosslingual_ngram_overlap",
+    # added in r6 (registry_ext27): SPRT, winsorized mean,
+    # inter-arrival stats, preference pairs, blocked fuzzy linkage
+    "ml_sprt_stopping",
+    "ml_winsorized_mean",
+    "ext_interarrival_stats",
+    "llm_preference_pairs",
+    "ext_entity_blocking_fuzzy",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
