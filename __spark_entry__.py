@@ -43,6 +43,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext24  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext25  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext26  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext27  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext28  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -260,6 +261,12 @@ _PRIORITY = [
     "ext_interarrival_stats",
     "llm_preference_pairs",
     "ext_entity_blocking_fuzzy",
+    # added in r6 (registry_ext28): Holt-Winters seasonal, item-item
+    # CF, token-budget fill, interval arithmetic
+    "ext_holt_winters_seasonal",
+    "ml_item_item_cosine",
+    "llm_token_budget_fill",
+    "ext_interval_arithmetic",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).
