@@ -62,85 +62,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries() per round. Rotate the window each round: r1 covered the
 # reference + ext core, r2 TPC-H Q1/3/4/6/14 + LLM suite + UDFs, r3
 # completed TPC-H 22/22 + round-2/3 LLM ops + streaming surfaces, r4
-# went 50/50 green, r5 checked 50 never-checked entries (49 green; the
-# 1 red, ext_decimal_exact, was a DuckDB avg(DECIMAL)->DOUBLE oracle
-# bug, rewritten all-integer this round). The r6 window below =
-# ext_decimal_exact re-proof + 49 of the 70 never-driver-checked
-# entries, highest engine-specific risk first per the r5 verdict:
-# (a) session-state SQL surfaces (variables / EXECUTE IMMEDIATE /
-# scripting — most driver-environment-sensitive), (b) streaming
-# chained rollup, (c) filesystem sources + schema evolution, (d) the
-# iterative-ML float-trajectory trio, (e) graph pair, (f) the
-# ML-eval / drift / sketch / experimentation batch, (g) time-series
-# additions, (h) corpus curation + SemDeDup, (i) Spark-4 SQL
-# surfaces + join-strategy entries.
+# went 50/50 green, r5 checked 50 never-checked entries (49 green;
+# the 1 red was an oracle float bug, re-proven green in r6), r6 went
+# 50/50 green on the highest-risk never-checked batch (session-state
+# SQL, streaming rollup, iterative-ML trajectories, graph, ML-eval,
+# corpus curation, Spark-4 surfaces). The r7 window below = the 22
+# oldest never-driver-checked leftovers FIRST (incl. the
+# ext_approx_count_distinct and llm_multimodal_decode rows-only
+# re-proofs, 5-6 rounds old — pinned at the head so they cannot slip
+# again), then the oldest r6 additions (ext16/ext17 batches +
+# ext_resample_ohlc) up to the 50-slot boundary. Remaining r6
+# additions (ext18-ext28) queue behind for the r8 window. Every
+# never-checked entry is locally green at sf0.001 AND sf0.01
+# oracle-exact with a scale differential (SCALE.md).
 _PRIORITY = [
-    "ext_decimal_exact",  # r5 red — all-integer rewrite, re-prove
-    # (a) session-state SQL programmability
-    "ext_session_variables",
-    "ext_execute_immediate",
-    "ext_sql_scripting",
-    "ext_sql_scripting_loop",
-    # (b) streaming
-    "stream_chained_window_agg",
-    # (c) sources + schema evolution
-    "ext_source_text",
-    "ext_source_binaryfile",
-    "ext_merge_schema_evolution",
-    # (d) iterative ML with pinned float trajectories
-    "ml_logistic_regression_gd",
-    "ml_kmeans_lloyd",
-    "ml_pca_power_iteration",
-    # (e) graph
-    "graph_triangle_count",
-    "graph_bfs_distances",
-    # (f) ML evaluation / drift / sketch / experimentation
-    "ml_roc_auc",
-    "ml_calibration_bins",
-    "ml_ridge_regression_normal_eq",
-    "ml_ks_drift",
-    "ml_psi_drift_bins",
-    "ml_ndcg_at_k",
-    "ext_count_min_sketch",
-    "ml_spearman_corr",
-    "ml_lift_gains",
-    "ml_ab_ztest_conversion",
-    "ml_welch_ttest",
-    "ml_mann_whitney_u",
-    "ml_decision_stump",
-    "ml_decision_tree_depth2",
-    "ml_confusion_matrix",
-    # (g) time-series additions
-    "ext_holt_linear",
-    "ext_cusum_changepoint",
-    "ext_autocorrelation",
-    "ext_interval_merge",
-    # (h) corpus curation + SemDeDup + sampling
-    "llm_semdedup_prune",
-    "llm_quota_sample_by_source",
-    "ext_shard_balance_report",
-    "llm_embedding_norm_stats",
-    "llm_zipf_topk_terms",
-    "llm_url_domain_stats",
-    "llm_weighted_sample",
-    "llm_hashed_features",
-    "llm_multimodal_audio_energy",
-    # (i) Spark-4 SQL surfaces + join strategy
-    "ext_sql_pipe_syntax",
-    "ext_collation_ci",
-    "ext_lateral_column_alias",
-    "ext_identifier_clause",
-    "ext_bucketed_join_colocated",
-    "ext_bloom_prefilter_join",
-    "ext_incremental_join_view",
-    "ext_conditional_reset_cumsum",
-    # --- 50-entry window boundary ---
-    # r7 window head: the remaining 22 never-driver-checked entries
-    # (12 older leftovers incl. the two rows-only re-proofs, now 4+
-    # rounds old, MUST land in r7 — they must not slip again). After
-    # r7, zero registry entries lack a driver row. Every entry below
-    # is locally green at sf0.01 AND sf0.001 and scale-differentialed
-    # (SCALE.md campaign section).
+    # --- r7 window: 22 oldest leftovers (4-6 rounds unchecked) ---
     "ext_approx_count_distinct",
     "llm_multimodal_decode",
     "ext_dq_rule_report",
@@ -163,9 +99,9 @@ _PRIORITY = [
     "ext_sample",
     "ext_sample_stratified",
     "ext_equiheight_histogram",
-    # added in r6 (registry_ext16): idempotent foreachBatch sink, AQE
-    # skew join, label propagation, gradient-boosted stumps — part of
-    # the r7 window alongside the leftovers above
+    # --- r7 window continues: oldest r6 additions (ext16/ext17) ---
+    # idempotent foreachBatch sink, AQE skew join, label propagation,
+    # gradient-boosted stumps
     "stream_foreach_batch_idempotent",
     "ext_aqe_skew_join",
     "graph_label_propagation",
@@ -195,9 +131,10 @@ _PRIORITY = [
     "ml_markov_transition_matrix",
     "ml_mutual_information",
     "ext_sequence_pattern_vshape",
-    # added in r6 (registry_ext18): OHLC resampling, linear
-    # interpolation, PR-AUC, Cohen's kappa, Cramer's V
+    # added in r6 (registry_ext18): OHLC resampling completes the
+    # 50-entry r7 window
     "ext_resample_ohlc",
+    # --- 50-entry window boundary (r8 head starts here) ---
     "ext_interpolate_linear",
     "ml_average_precision",
     "ml_cohens_kappa",
@@ -267,6 +204,57 @@ _PRIORITY = [
     "ml_item_item_cosine",
     "llm_token_budget_fill",
     "ext_interval_arithmetic",
+    # --- r6 driver window (all 50 green in CORRECTNESS_r06) ---
+    "ext_decimal_exact",
+    "ext_session_variables",
+    "ext_execute_immediate",
+    "ext_sql_scripting",
+    "ext_sql_scripting_loop",
+    "stream_chained_window_agg",
+    "ext_source_text",
+    "ext_source_binaryfile",
+    "ext_merge_schema_evolution",
+    "ml_logistic_regression_gd",
+    "ml_kmeans_lloyd",
+    "ml_pca_power_iteration",
+    "graph_triangle_count",
+    "graph_bfs_distances",
+    "ml_roc_auc",
+    "ml_calibration_bins",
+    "ml_ridge_regression_normal_eq",
+    "ml_ks_drift",
+    "ml_psi_drift_bins",
+    "ml_ndcg_at_k",
+    "ext_count_min_sketch",
+    "ml_spearman_corr",
+    "ml_lift_gains",
+    "ml_ab_ztest_conversion",
+    "ml_welch_ttest",
+    "ml_mann_whitney_u",
+    "ml_decision_stump",
+    "ml_decision_tree_depth2",
+    "ml_confusion_matrix",
+    "ext_holt_linear",
+    "ext_cusum_changepoint",
+    "ext_autocorrelation",
+    "ext_interval_merge",
+    "llm_semdedup_prune",
+    "llm_quota_sample_by_source",
+    "ext_shard_balance_report",
+    "llm_embedding_norm_stats",
+    "llm_zipf_topk_terms",
+    "llm_url_domain_stats",
+    "llm_weighted_sample",
+    "llm_hashed_features",
+    "llm_multimodal_audio_energy",
+    "ext_sql_pipe_syntax",
+    "ext_collation_ci",
+    "ext_lateral_column_alias",
+    "ext_identifier_clause",
+    "ext_bucketed_join_colocated",
+    "ext_bloom_prefilter_join",
+    "ext_incremental_join_view",
+    "ext_conditional_reset_cumsum",
     # r1-r5 driver-green entries follow in registry registration
     # order (their green rows persist; the local exact-bar sweep
     # re-checks all of them each round).

@@ -467,14 +467,25 @@ def ext_date_format(spark, sf_dir):
 def tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary (the canonical partial-agg benchmark:
     map-side combine reduces 600k rows to 6 groups before the shuffle).
-    The three money sums fold as exact integer cents/e4/e6 units in
-    DECIMAL(38,0) (the tpch_q19 class, flagged proactively by
-    tools/oracle_audit.py: round(sum(double), 4) at ~4e10 group sums
-    leaves <64 ULPs of slack to the 4dp grid at 10x); the single
-    integer->double conversion + division at the end is deterministic
-    on both engines. sum_qty/avg_* stay double: quantity is
-    integer-valued (exact in double to 2^53) and the avg quotients
-    are ~1e4 magnitude, far from the grid."""
+    The three money sums fold as exact integer cents/e4/e6 units (the
+    tpch_q19 class, flagged proactively by tools/oracle_audit.py:
+    round(sum(double), 4) at ~4e10 group sums leaves <64 ULPs of slack
+    to the 4dp grid at 10x); the single integer->double conversion +
+    division at the end is deterministic on both engines.
+
+    Fold-width choice (r7 isolated re-measure, SCALE.md "tpch_q1
+    re-measure"): decimal38-all 123ms vs hybrid 75ms on the cached agg
+    at sf0.1, so each fold rides the cheapest exact width its 100 TB
+    headroom allows. 100 TB ~ TPC-H SF 1e5 -> 6e11 lineitem rows,
+    ~1.5e11 per (returnflag, linestatus) group:
+    - cents <= 1.1e7/row -> group sum <= 1.65e18 < 2^63-1 = 9.2e18
+      (5.6x headroom) -> BIGINT fold for sum_base_price.
+    - e4 units <= 1.1e9/row -> 1.65e20 overflows BIGINT -> disc_price
+      stays DECIMAL(38,0).
+    - e6 units <= 1.21e11/row -> 1.8e22 -> charge stays DECIMAL(38,0).
+    sum_qty/avg_* stay double: quantity is integer-valued (exact in
+    double to 2^53) and the avg quotients are ~1e4 magnitude, far
+    from the grid."""
     li = _t(spark, sf_dir, "lineitem")
     dec = "decimal(38,0)"
     cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
@@ -485,7 +496,7 @@ def tpch_q1(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            (F.sum(cents.cast(dec)).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(cents).cast("double") / 100).alias("sum_base_price"),
             (F.sum((cents * (100 - dc)).cast(dec)).cast("double") / 10000).alias(
                 "sum_disc_price"
             ),

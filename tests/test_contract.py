@@ -56,7 +56,16 @@ def test_oracles_reference_known_tables_only():
             sql,
             flags=re.IGNORECASE,
         )
-        ctes = set(re.findall(rf"({ident})\s*(?:\([^)]*\))?\s+AS\s*\(", sql))
+        # `AS MATERIALIZED (` is the DuckDB idiom the iterative-graph
+        # oracles require (k-core/SSSP peel rounds explode under CTE
+        # inlining) — match it alongside plain `AS (`.
+        ctes = set(
+            re.findall(
+                rf"({ident})\s*(?:\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s+)?\(",
+                sql,
+                flags=re.IGNORECASE,
+            )
+        )
         refs = set(
             re.findall(rf"(?<![a-zA-Z0-9_])(?:FROM|JOIN)\s+({ident})", sql, flags=re.IGNORECASE)
         )
