@@ -1183,28 +1183,18 @@ def stream_session_dynamic_gap(spark, sf_dir):
     oracle as the batch twin: equal results prove state-store merge ==
     relational formulation. Scale shape: state is per-(user, open
     session), evicted at the watermark; the drain is one availableNow
-    pass."""
+    pass. Watermark-eviction behavior under genuinely LATE data
+    (drop below the horizon, finalize-on-pass) is proven by
+    tests/test_streaming.py::test_dynamic_gap_watermark_eviction on
+    the same shared aggregation (streaming/windows.py
+    dynamic_gap_sessions)."""
     import uuid
 
     from .session import tune_session
-    from .streaming.windows import events_testdata_stream
+    from .streaming.windows import dynamic_gap_sessions, events_testdata_stream
 
     tune_session(spark)
-    stream = events_testdata_stream(spark, sf_dir)
-    gap = F.when(F.col("event_type") == "click", F.lit("30 minutes")).otherwise(
-        F.lit("60 minutes")
-    )
-    agg = (
-        stream.withWatermark("ts", "2 hours")
-        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_timestamp(F.col("w.start")).cast("long").alias("sess_start"),
-            F.unix_timestamp(F.col("w.end")).cast("long").alias("sess_end"),
-            "n_events",
-        )
-    )
+    agg = dynamic_gap_sessions(events_testdata_stream(spark, sf_dir))
     name = f"stream_dyn_sessions_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")

@@ -90,6 +90,32 @@ def session_counts(stream: DataFrame, gap: str = "30 minutes", watermark: str = 
     )
 
 
+def dynamic_gap_sessions(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (30 min for
+    clicks, 60 min otherwise) — the aggregation behind the
+    stream_session_dynamic_gap registry entry, shared so the
+    watermark-eviction proof (tests/test_streaming.py) drives the
+    exact same operator the oracle-checked entry runs. State is
+    per-(user, open session); the watermark both drops late rows
+    (event time below the horizon never touches state) and finalizes
+    sessions whose dynamic end has passed it — the property that
+    bounds state on an unbounded stream."""
+    gap = F.when(F.col("event_type") == "click", F.lit("30 minutes")).otherwise(
+        F.lit("60 minutes")
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("sess_start"),
+            F.unix_timestamp(F.col("w.end")).cast("long").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
 def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
     """Stateful dedup with bounded state — the streaming analog of the
     reference's DISTINCT ON idiom (exactly-once per key within the

@@ -254,3 +254,75 @@ def test_rocksdb_state_store_matches_default_provider(spark, events_dir):
             spark.conf.set(key, old)
     default = agg_counts("dflt")
     assert with_rocks == default and len(with_rocks) > 0
+
+
+def test_dynamic_gap_watermark_eviction(spark, tmp_path):
+    """Watermark eviction proof for the dynamic-gap sessionization
+    (the stream_session_dynamic_gap aggregation) under genuinely LATE
+    data — the case the availableNow oracle drain can't exercise.
+    Four checkpointed append-mode drains, one new file each:
+
+      drain 1: u1 clicks 10:00, 10:05      -> open session s1
+               (watermark after: 08:05)
+      drain 2: u1 click 10:20 (above the 08:05 horizon -> MERGES
+               into s1 = [10:00, 10:50)), u2 click 14:00
+               (watermark after: 12:00)
+      drain 3: u1 click 10:10 — BELOW the 12:00 horizon -> DROPPED;
+               u2 view 18:00 (60-min gap). The 12:00 horizon also
+               finalizes s1 -> emitted with n=3 (not 4: the late row
+               never touched state; not 2: the in-horizon merge did).
+      drain 4: u3 click 22:00 advances the horizon to 20:00 ->
+               emits u2's [14:00, 14:30) click session and
+               [18:00, 19:00) view session (60-min dynamic gap
+               visible in sess_end). u3's own session stays open
+               and must NOT be emitted.
+    """
+    from datetime import datetime, timedelta, timezone
+
+    from machine_telemetry_etl_ml_pipeline_spark.streaming.windows import (
+        EVENTS_STREAM_SCHEMA,
+        dynamic_gap_sessions,
+    )
+
+    base = datetime(2025, 1, 1, 10, 0, 0, tzinfo=timezone.utc)
+
+    def mins(m):
+        return base + timedelta(minutes=m)
+
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_sink")
+    ckpt = str(tmp_path / "late_ckpt")
+    batches = [
+        [(1, mins(0), 1, "click"), (2, mins(5), 1, "click")],
+        [(3, mins(20), 1, "click"), (4, mins(240), 2, "click")],
+        [(5, mins(10), 1, "click"), (6, mins(480), 2, "view")],
+        [(7, mins(720), 3, "click")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(eid, ts, uid, et, 1.0, "{}") for eid, ts, uid, et in rows],
+            EVENTS_STREAM_SCHEMA,
+        ).write.parquet(f"{src}/b{i}")
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(f"{src}/*")
+        q = (
+            dynamic_gap_sessions(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        (r.user_id, r.sess_start, r.sess_end, r.n_events)
+        for r in spark.read.parquet(sink).collect()
+    }
+    ep = int(base.timestamp())
+    want = {
+        (1, ep, ep + 50 * 60, 3),          # late 10:10 dropped, 10:20 merged
+        (2, ep + 240 * 60, ep + 270 * 60, 1),   # click: 30-min gap
+        (2, ep + 480 * 60, ep + 540 * 60, 1),   # view: 60-min dynamic gap
+    }
+    assert got == want  # and u3's open session was not emitted
