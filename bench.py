@@ -130,10 +130,23 @@ def main() -> None:
 
     qs = ent.queries()
 
+    from machine_telemetry_etl_ml_pipeline_spark.operators.ckpt import unpersist_all
+
     def run_once(name: str) -> float:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        return time.time() - t0
+        dt = time.time() - t0
+        # OUTSIDE the timed window: free the query's surviving
+        # localCheckpoint blocks (iterative entries leak their final
+        # round's checkpoint by construction — the returned plan needs
+        # it until the sink write completes). Without this sweep a
+        # 48-query x 3-rep suite accumulates hundreds of orphaned
+        # block-manager entries whose GC/bookkeeping pressure shows up
+        # as the uniform ~25% drift documented in SCALE.md
+        # ("Bench-regression re-measure") — each query now starts from
+        # the same clean block manager it would see run in isolation.
+        unpersist_all(spark)
+        return dt
 
     # JVM/codegen warm-up on a cheap query; not counted.
     run_once("ref_filter_range")

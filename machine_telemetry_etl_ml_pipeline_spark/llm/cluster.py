@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.ckpt import checkpoint_rotate, retire_ids
+
 
 def connected_components(
     nodes: DataFrame,
@@ -106,14 +108,13 @@ def connected_components(
             )
         )
 
-    sym = (
+    # materialize once: the edge list is re-joined every round, and
+    # without this its full upstream lineage (e.g. the MinHash-LSH
+    # pipeline that produced the pairs) re-executes per iteration
+    sym, sym_ids = checkpoint_rotate(
         raw.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionByName(raw.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .distinct()
-        # materialize once: the edge list is re-joined every round, and
-        # without this its full upstream lineage (e.g. the MinHash-LSH
-        # pipeline that produced the pairs) re-executes per iteration
-        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("u"), F.col(id_col).cast("long").alias("label"))
 
@@ -137,6 +138,7 @@ def connected_components(
     # re-shuffling the edge list at session width per iteration.
     sym = sym.repartition(iter_parts, "v")
     rounds = 0
+    round_ids: list = []
     for _ in range(max_iterations):
         rounds += 1
         neighbor_min = (
@@ -174,16 +176,25 @@ def connected_components(
                 ).alias("new_label"),
                 "label",
             )
-            # checkpoint BEFORE the convergence check so the round's
-            # joins run once (counting first would recompute them)
-            .localCheckpoint(eager=True)
         )
+        # checkpoint BEFORE the convergence check so the round's
+        # joins run once (counting first would recompute them), and
+        # retire the round it supersedes — only the newest label
+        # frame is reachable, so keeping older rounds' blocks is a
+        # pure leak (operators/ckpt.py has the measurement)
+        updated, round_ids = checkpoint_rotate(updated, retire=round_ids)
         changed = updated.filter(F.col("new_label") < F.col("label")).limit(1).count()
         labels = updated.select("u", F.col("new_label").alias("label"))
         if changed == 0:
             break
     if stats is not None:
         stats["iterations"] = rounds
+    # the returned plan reads only the FINAL label checkpoint — the
+    # edge list served its last join inside the loop, so its blocks
+    # can go too (round_ids stay: they back the returned frame).
+    # Guard: with zero rounds `labels` still reads sym directly.
+    if rounds > 0:
+        retire_ids(spark, sym_ids)
     return labels.select(F.col("u").alias(id_col), F.col("label").alias("component"))
 
 

@@ -1,0 +1,82 @@
+"""Checkpoint-rotation hygiene for iterative plans.
+
+`localCheckpoint(eager=True)` registers its materialized blocks with
+the block manager and they stay registered until the SparkContext
+stops — `DataFrame.unpersist()` does NOT free them (it talks to the
+SQL cache manager, not the checkpoint RDD), and Python GC never
+reaches the JVM-side RDD reference. Measured on this build: every
+`graph_label_propagation` run leaks 2 RDDs / ~5 MB, so a 48-query
+x 3-rep bench suite accumulates hundreds of orphaned block-manager
+entries — the "suite-context pressure" drift SCALE.md's
+bench-regression re-measure documented. At 100 TB the same leak is
+worse than drift: a 7-round peel keeps SEVEN full edge-list copies
+in executor storage when only the newest is still reachable.
+
+The fix is the GraphX iteration discipline: each round retires the
+checkpoint it just superseded. Blocks are addressed through
+`JavaSparkContext.getPersistentRDDs()` (a plain java.util.Map of
+rdd-id -> JavaRDD), the only stable handle on a checkpointed
+Dataset's internal RDD from Python. Retiring is only legal for a
+frame that nothing downstream references — retired frames FAIL if
+re-used (lineage is truncated; verified in tests/test_ckpt.py) —
+which is exactly the strictly-superseded contract the iterative
+operators already maintain.
+
+Safety note: id attribution snapshots the persistent-RDD id set
+around the checkpoint call, so concurrent queries checkpointing on
+the same SparkContext could interleave. All callers here run their
+rounds sequentially on one driver thread (the loop IS the algorithm),
+so the window is empty in practice; a multi-tenant deployment would
+key the registry by job group instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _persistent_ids(spark: SparkSession) -> set:
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def checkpoint_rotate(
+    df: DataFrame, retire: "list | tuple" = ()
+) -> "tuple[DataFrame, list]":
+    """Eagerly localCheckpoint `df`, then unpersist the checkpoint ids
+    in `retire` (ids from a previous call's return). Returns
+    (checkpointed_df, new_ids) — thread the ids through the loop and
+    retire each round's ids when the next round's checkpoint lands.
+    """
+    spark = df.sparkSession
+    before = _persistent_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    new_ids = [i for i in jmap.keySet().toArray() if i not in before]
+    for rid in retire:
+        r = jmap.get(rid)
+        if r is not None:
+            r.unpersist(False)
+    return out, new_ids
+
+
+def retire_ids(spark: SparkSession, ids) -> None:
+    """Unpersist specific checkpoint ids (end-of-loop cleanup for a
+    frame the returned plan does not reference)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        r = jmap.get(rid)
+        if r is not None:
+            r.unpersist(False)
+
+
+def unpersist_all(spark: SparkSession) -> int:
+    """Free every persisted/checkpointed RDD on the context. Harness
+    hygiene between independent queries (bench, long-running drivers):
+    no live query may be mid-flight. Returns the number retired."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    ids = list(jmap.keySet().toArray())
+    for rid in ids:
+        r = jmap.get(rid)
+        if r is not None:
+            r.unpersist(False)
+    return len(ids)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .ckpt import checkpoint_rotate, retire_ids
+
 
 def pagerank(
     nodes: DataFrame,
@@ -104,9 +106,9 @@ def pagerank(
     if stats is not None:
         stats["strategy"] = "distributed"
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = raw.join(deg, "src").localCheckpoint(eager=True)
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
-        eager=True
+    e, e_ids = checkpoint_rotate(raw.join(deg, "src"))
+    ranks, rank_ids = checkpoint_rotate(
+        nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     )
     for _ in range(iterations):
         contribs = (
@@ -115,14 +117,17 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
+        # each round's rank checkpoint supersedes the previous one —
+        # retire it so executor storage holds TWO rank tables (old
+        # feeding the join, new just landed), never `iterations` copies
+        ranks, rank_ids = checkpoint_rotate(
+            nodes.join(contribs, nodes.node == contribs.dst, "left").select(
                 "node",
                 (
                     F.lit(teleport) + damping * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            retire=rank_ids,
         )
+    retire_ids(nodes.sparkSession, e_ids)  # last edge join is done
     return ranks

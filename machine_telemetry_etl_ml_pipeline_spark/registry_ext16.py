@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.ckpt import checkpoint_rotate, retire_ids
 from .registry import _t, register
 from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
 
@@ -212,14 +213,16 @@ def graph_label_propagation(spark, sf_dir):
     pointer-jumping doubling in cluster.py cuts the round count to
     log(diameter) when convergence, not a fixed budget, is the goal)."""
     edges = _copurchase_edges(spark, sf_dir).select("u", "v")
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()  # materialize the (linear-sized) edge list once —
-    # without this every round's join replays the lineitem-orders
-    # pair-generation (4x rebuild; bench: 4.1s -> this is the fix)
+    # materialize the (linear-sized) edge list once — without this
+    # every round's join replays the lineitem-orders pair-generation
+    # (4x rebuild; bench: 4.1s -> this is the fix)
+    sym, _sym_ids = checkpoint_rotate(
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
+    lbl_ids: list = []
     for i in range(3):
         neigh = sym.join(
             labels.withColumnRenamed("node", "v2").withColumnRenamed("lbl", "l"),
@@ -232,8 +235,11 @@ def graph_label_propagation(spark, sf_dir):
             .agg(F.min("l").alias("lbl"))
         )
         if i < 2:  # cap lineage between rounds (node-sized table); the
-            # last round flows straight into the community rollup
-            labels = labels.localCheckpoint()
+            # last round flows straight into the community rollup.
+            # Round i's checkpoint supersedes round i-1's — rotate the
+            # old blocks out (operators/ckpt.py); sym stays, the final
+            # round's join still reads it.
+            labels, lbl_ids = checkpoint_rotate(labels, retire=lbl_ids)
     return labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("size"),
         F.min("node").alias("min_node"),

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators.ckpt import checkpoint_rotate, retire_ids
 from .registry import _t, register
 from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
 
@@ -94,19 +95,23 @@ def graph_k_core(spark, sf_dir):
     (not run-to-fixpoint) keeps the plan static and SF-independent;
     peel depth beyond 6 is cut off identically on both engines.
     Reference analog: none (extends graph_triangle_count family)."""
-    edges = _copurchase_edges(spark, sf_dir).select("u", "v").localCheckpoint()
-    out = []
-    e = edges
+    e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+    rows = []
     for i in range(_PEEL_ROUNDS + 1):
-        nodes_i = e.select(F.col("u").alias("x")).union(e.select("v")).agg(
-            F.countDistinct("x").alias("n_nodes")
-        )
-        stats_i = nodes_i.crossJoin(e.agg(F.count("*").alias("n_edges"))).select(
-            F.lit(i).cast("long").alias("peel_round"),
-            F.col("n_nodes").cast("long"),
-            F.col("n_edges").cast("long"),
-        )
-        out.append(stats_i)
+        # collect each round's (n_nodes, n_edges) pair EAGERLY (one
+        # 1-row aggregate per round, the accepted tiny-materialization
+        # pattern): a lazy stats branch would pin round i's edge
+        # checkpoint until the final union executes, forcing all 7
+        # edge-list copies to coexist in executor storage — collected
+        # scalars let each round's blocks rotate out immediately
+        # (operators/ckpt.py), so storage holds at most 2 copies.
+        st = (
+            e.select(F.col("u").alias("x"))
+            .union(e.select("v"))
+            .agg(F.countDistinct("x").alias("n_nodes"), F.count("*").alias("cnt2"))
+            .collect()[0]
+        )  # the directed list holds each edge twice: n_edges = cnt2/2
+        rows.append((i, int(st["n_nodes"]), int(st["cnt2"]) // 2))
         if i == _PEEL_ROUNDS:
             break
         deg = (
@@ -117,18 +122,18 @@ def graph_k_core(spark, sf_dir):
         )
         keep = deg.where(F.col("c") >= _K).select("node")
         # localCheckpoint per round: the lineage-capping discipline of
-        # graph_bfs_distances / PageRank — without it the 7 stats
-        # branches re-derive the whole peel chain per branch
-        e = (
+        # graph_bfs_distances / PageRank — without it the stats
+        # aggregates re-derive the whole peel chain per round
+        e, e_ids = checkpoint_rotate(
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint()
+            .select("u", "v"),
+            retire=e_ids,
         )
-    res = out[0]
-    for s in out[1:]:
-        res = res.unionAll(s)
-    return res.orderBy("peel_round")
+    retire_ids(spark, e_ids)  # trajectory is on the driver now
+    return spark.createDataFrame(
+        rows, "peel_round long, n_nodes long, n_edges long"
+    ).orderBy("peel_round")
 
 
 def _sssp_oracle() -> str:
@@ -215,26 +220,33 @@ def graph_weighted_sssp(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .select("u", "v", F.expr("CAST(1 + 1000 DIV cnt AS BIGINT)").alias("w"))
     )
-    sym = (
-        edges.select("u", "v", "w")
-        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w"))
-        .localCheckpoint()
+    sym, sym_ids = checkpoint_rotate(
+        edges.select("u", "v", "w").unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
     )
     src = edges.agg(F.min("u").alias("s"))
     dist = src.select(F.col("s").alias("node"), F.lit(0).cast("long").alias("d"))
+    dist_ids: list = []
     for _ in range(_BF_ROUNDS):
         relaxed = dist.join(sym, dist.node == sym.u).select(
             F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d")
         )
         # localCheckpoint per relaxation round (the BFS/PageRank
-        # lineage cap): dist's plan would otherwise double each round
-        dist = (
+        # lineage cap): dist's plan would otherwise double each round.
+        # Each round's distance table supersedes the previous one, so
+        # its blocks rotate out (operators/ckpt.py) — storage holds 2
+        # distance tables, not _BF_ROUNDS of them.
+        dist, dist_ids = checkpoint_rotate(
             dist.select("node", "d")
             .unionAll(relaxed)
             .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint()
+            .agg(F.min("d").alias("d")),
+            retire=dist_ids,
         )
+    # the histogram below reads only the FINAL distance checkpoint —
+    # the symmetric edge list's last relaxation join already ran
+    retire_ids(spark, sym_ids)
     return (
         dist.groupBy(F.expr("CAST(d DIV 500 AS BIGINT)").alias("dist_band"))
         .agg(

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators.ckpt import checkpoint_rotate, retire_ids
 from .registry import _t, register
 from .llm.similarity import dot
 
@@ -216,19 +217,17 @@ def llm_mmr_rerank(spark, sf_dir):
         / (F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("v"), F.col("v")))),
         4,
     )
-    cand = (
+    cand, _cand_ids = checkpoint_rotate(
         base.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", "v", cosq.alias("simq"))
         .orderBy(F.desc("simq"), F.asc("vec_id"))
         .limit(_MMR_CAND)
-        .localCheckpoint()
     )
-    sel = (
+    sel, sel_ids = checkpoint_rotate(
         cand.orderBy(F.desc("simq"), F.asc("vec_id"))
         .limit(1)
         .select(F.lit(1).alias("rank"), "vec_id", "v", "simq")
-        .localCheckpoint()
     )
     paircos = F.round(
         dot(F.col("c.v"), F.col("s.v"))
@@ -262,7 +261,11 @@ def llm_mmr_rerank(spark, sf_dir):
             .limit(1)
             .select("rank", "vec_id", "v", "simq")
         )
-        sel = sel.unionAll(nxt).localCheckpoint()
+        # each greedy step's panel supersedes the previous one —
+        # rotate its blocks out (operators/ckpt.py); cand stays, the
+        # next step's anti-join still reads it
+        sel, sel_ids = checkpoint_rotate(sel.unionAll(nxt), retire=sel_ids)
+    retire_ids(spark, _cand_ids)  # last anti-join is done
     return sel.select(
         F.col("rank").cast("long").alias("rank"),
         "vec_id",

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators.ckpt import checkpoint_rotate, retire_ids
 from .registry import _t, register
 from .registry_ext2 import _views
 
@@ -431,15 +432,16 @@ def bfs_distance_histogram(edges, cap: int = 8):
     smallest endpoint: returns the hop-distance histogram with -1 for
     endpoints unreached within `cap`. Property-fuzzed against a Python
     walk on random graphs in tests/test_properties.py."""
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    dist = (
-        edges.agg(F.min("u").alias("node"))
-        .select("node", F.lit(0).alias("distance"))
-        .localCheckpoint()
+    sym, sym_ids = checkpoint_rotate(
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    dist, dist_ids = checkpoint_rotate(
+        edges.agg(F.min("u").alias("node")).select(
+            "node", F.lit(0).alias("distance")
+        )
     )
     frontier = dist.select("node")
+    new_ids: list = []
     for i in range(1, cap + 1):
         cand = (
             frontier.alias("f")
@@ -447,10 +449,13 @@ def bfs_distance_histogram(edges, cap: int = 8):
             .select(F.col("e.v").alias("node"))
             .distinct()
         )
-        new = (
-            cand.join(dist, "node", "left_anti")
-            .select("node", F.lit(i).alias("distance"))
-            .localCheckpoint()
+        # the new frontier supersedes the previous round's (consumed
+        # by the cand join just executed) — rotate its blocks out
+        new, new_ids = checkpoint_rotate(
+            cand.join(dist, "node", "left_anti").select(
+                "node", F.lit(i).alias("distance")
+            ),
+            retire=new_ids,
         )
         # early exit on a settled frontier: isEmpty on the just-
         # materialized checkpoint is a metadata-cheap probe, and the
@@ -458,8 +463,11 @@ def bfs_distance_histogram(edges, cap: int = 8):
         # result, fewer jobs (the graph's diameter is usually < cap)
         if new.isEmpty():
             break
-        dist = dist.union(new).localCheckpoint()
+        dist, dist_ids = checkpoint_rotate(dist.union(new), retire=dist_ids)
         frontier = new.select("node")
+    # the returned plan reads only sym + the FINAL dist checkpoint;
+    # the last frontier's blocks are no longer reachable
+    retire_ids(edges.sparkSession, new_ids)
     endpoints = sym.select(F.col("u").alias("node")).distinct()
     return (
         endpoints.join(dist, "node", "left")

@@ -1,0 +1,64 @@
+"""Checkpoint-rotation hygiene (operators/ckpt.py).
+
+Pins the three facts the iterative operators rely on:
+- rotating retires the superseded checkpoint's blocks (the leak
+  measured in the module docstring cannot regress silently),
+- the frame checkpointed LAST stays fully usable after its
+  predecessor is retired (rotation is safe for strictly-superseded
+  chains),
+- a retired frame is genuinely dead (truncated lineage cannot be
+  recomputed) — the reason rotation must only ever retire frames
+  nothing downstream references.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machine_telemetry_etl_ml_pipeline_spark.operators.ckpt import (
+    checkpoint_rotate,
+    retire_ids,
+    unpersist_all,
+)
+
+
+def _persistent(spark):
+    return sorted(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_rotate_retires_superseded_blocks(spark):
+    unpersist_all(spark)
+    df = spark.range(10_000).select("id", (F.col("id") % 5).alias("k"))
+    c1, ids1 = checkpoint_rotate(df)
+    assert ids1 and set(ids1) <= set(_persistent(spark))
+    c2, ids2 = checkpoint_rotate(c1.groupBy("k").count(), retire=ids1)
+    live = set(_persistent(spark))
+    assert set(ids2) <= live
+    assert not (set(ids1) & live), "superseded checkpoint must be unpersisted"
+    # the surviving checkpoint is fully usable
+    assert c2.count() == 5
+    assert c2.agg(F.sum("count")).collect()[0][0] == 10_000
+    unpersist_all(spark)
+
+
+def test_retired_frame_is_dead(spark):
+    unpersist_all(spark)
+    c1, ids1 = checkpoint_rotate(spark.range(1000).select("id"))
+    assert c1.count() == 1000
+    retire_ids(spark, ids1)
+    # truncated lineage + freed blocks -> any recompute must fail,
+    # which is why rotation only retires strictly-superseded frames
+    with pytest.raises(Exception):
+        c1.count()
+    unpersist_all(spark)
+
+
+def test_unpersist_all_sweeps_everything(spark):
+    unpersist_all(spark)
+    checkpoint_rotate(spark.range(100).select("id"))
+    checkpoint_rotate(spark.range(200).select("id"))
+    assert len(_persistent(spark)) >= 2
+    n = unpersist_all(spark)
+    assert n >= 2
+    assert _persistent(spark) == []
