@@ -212,12 +212,18 @@ def graph_label_propagation(spark, sf_dir):
     deployment reuses one hash partitioning across all rounds (the
     pointer-jumping doubling in cluster.py cuts the round count to
     log(diameter) when convergence, not a fixed budget, is the goal)."""
-    edges = _copurchase_edges(spark, sf_dir).select("u", "v")
     # materialize the (linear-sized) edge list once — without this
     # every round's join replays the lineitem-orders pair-generation
-    # (4x rebuild; bench: 4.1s -> this is the fix)
+    # (4x rebuild; bench: 4.1s -> this is the fix). Two-step: edges
+    # first (the symmetrize union would otherwise run the build TWICE
+    # inside sym's own materialization), then sym from the cached
+    # blocks, retiring the directed list it supersedes.
+    edges, e_ids = checkpoint_rotate(
+        _copurchase_edges(spark, sf_dir).select("u", "v")
+    )
     sym, _sym_ids = checkpoint_rotate(
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        retire=e_ids,
     )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")

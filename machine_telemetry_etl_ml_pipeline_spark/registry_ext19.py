@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.ckpt import checkpoint_rotate, retire_ids
 from .registry import _t, register
 from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
 
@@ -390,7 +391,12 @@ def graph_common_neighbors(spark, sf_dir):
     Scale note: graph entries differential-prove at the 3x replica
     (the 10x replica's densification is unrealistic for this graph —
     see SCALE.md). Reference analog: none."""
-    edges = _copurchase_edges(spark, sf_dir)
+    # checkpoint the edge build once: the scoring plan references it
+    # SEVEN times (deg + both wedge sides through adj, plus the
+    # anti-join) and would re-run the pair-generation build per branch;
+    # the bounded top-20 is collected eagerly so the checkpoint's
+    # blocks retire before return (operators/ckpt.py)
+    edges, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir))
     adj = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -423,6 +429,9 @@ def graph_common_neighbors(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
-    return scored.orderBy(
+    out = scored.orderBy(
         F.col("jaccard").desc(), F.col("cn").desc(), "u", "w"
     ).limit(20)
+    rows = out.collect()  # <=20 rows by construction
+    retire_ids(spark, e_ids)
+    return spark.createDataFrame(rows, out.schema)

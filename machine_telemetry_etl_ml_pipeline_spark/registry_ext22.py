@@ -225,14 +225,20 @@ def graph_weighted_sssp(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
         .select("u", "v", F.expr("CAST(1 + 1000 DIV cnt AS BIGINT)").alias("w"))
     )
+    # two-step edge materialization: the symmetrize union and the
+    # source seed reference the weighted edge build three times —
+    # checkpoint it once, derive both, retire it (operators/ckpt.py)
+    edges, e_ids = checkpoint_rotate(edges)
     sym, sym_ids = checkpoint_rotate(
         edges.select("u", "v", "w").unionAll(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
         )
     )
     src = edges.agg(F.min("u").alias("s"))
-    dist = src.select(F.col("s").alias("node"), F.lit(0).cast("long").alias("d"))
-    dist_ids: list = []
+    dist, dist_ids = checkpoint_rotate(
+        src.select(F.col("s").alias("node"), F.lit(0).cast("long").alias("d")),
+        retire=e_ids,
+    )
     for _ in range(_BF_ROUNDS):
         relaxed = dist.join(sym, dist.node == sym.u).select(
             F.col("v").alias("node"), (F.col("d") + F.col("w")).alias("d")

@@ -233,8 +233,17 @@ def graph_triangle_count(spark, sf_dir):
     counted exactly once and the intermediate is Sum(deg_in*deg_out),
     bounded by the sparse degree distribution — the same shape
     GraphX/Pregel triangle counting shuffles. The three 1-row count
-    aggregates combine via broadcast cross joins."""
-    return count_triangles(_copurchase_edges(spark, sf_dir))
+    aggregates combine via broadcast cross joins. The edge list is
+    checkpointed once: the counting plan references it FIVE times
+    (e1/e2/e3 + the node and edge counts) and would re-derive the
+    pair-generation build per branch (measured 1.3x on the entry);
+    the 1-row result is collected eagerly so the checkpoint's blocks
+    retire before return (operators/ckpt.py)."""
+    e, ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir))
+    out = count_triangles(e)
+    rows = out.collect()
+    retire_ids(spark, ids)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def count_triangles(edges):
@@ -432,13 +441,19 @@ def bfs_distance_histogram(edges, cap: int = 8):
     smallest endpoint: returns the hop-distance histogram with -1 for
     endpoints unreached within `cap`. Property-fuzzed against a Python
     walk on random graphs in tests/test_properties.py."""
+    # two-step edge materialization: the symmetrize union and the
+    # source-seed aggregate reference `edges` three times between
+    # them — checkpoint the directed list once, derive both from the
+    # cached blocks, then retire it (sym + the seed supersede it)
+    edges, e_ids = checkpoint_rotate(edges)
     sym, sym_ids = checkpoint_rotate(
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
     dist, dist_ids = checkpoint_rotate(
         edges.agg(F.min("u").alias("node")).select(
             "node", F.lit(0).alias("distance")
-        )
+        ),
+        retire=e_ids,
     )
     frontier = dist.select("node")
     new_ids: list = []
