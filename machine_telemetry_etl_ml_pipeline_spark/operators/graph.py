@@ -105,8 +105,14 @@ def pagerank(
 
     if stats is not None:
         stats["strategy"] = "distributed"
+    # checkpoint the raw edge list before the degree join references
+    # it twice (build + probe side), then retire it once the joined
+    # edge relation lands; the node set is checkpointed too — the
+    # rank update re-derives it EVERY round otherwise
+    raw, raw_ids = checkpoint_rotate(raw)
     deg = raw.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e, e_ids = checkpoint_rotate(raw.join(deg, "src"))
+    e, e_ids = checkpoint_rotate(raw.join(deg, "src"), retire=raw_ids)
+    nodes, node_ids = checkpoint_rotate(nodes.select("node"))
     ranks, rank_ids = checkpoint_rotate(
         nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     )
@@ -129,5 +135,6 @@ def pagerank(
             ),
             retire=rank_ids,
         )
-    retire_ids(nodes.sparkSession, e_ids)  # last edge join is done
+    # the returned plan reads only the FINAL rank checkpoint
+    retire_ids(nodes.sparkSession, e_ids + node_ids)
     return ranks
