@@ -265,7 +265,12 @@ def _fit_stump_exact(df):
     s_l^2/n_l + s_r^2/n_r computed by one fixed IEEE formula over
     those exact integers (identical doubles cross-engine, so the
     argmax needs no rounding pin), and truncated-mean leaves via
-    integer `div`. Returns a 1-row frame (t, w_lo, w_hi)."""
+    integer `div`. Returns a 1-row frame (t, w_lo, w_hi). The
+    per-value table is referenced by both the total and the cumsum
+    branch; Catalyst's ReuseExchange serves both from ONE shuffle of
+    the data-sized aggregation (A/B-measured round 7: an explicit
+    checkpoint of pv was 1.1x SLOWER — materialization overhead with
+    no scan saved)."""
     pv = df.groupBy("q").agg(
         F.count(F.lit(1)).alias("nv"),
         F.sum(F.col("r").cast(_DEC)).alias("sv"),
