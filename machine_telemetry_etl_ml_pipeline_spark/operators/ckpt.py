@@ -35,8 +35,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _jsc(spark: SparkSession):
+    """The JavaSparkContext, or None on sessions without JVM access
+    (Spark Connect): there the helpers degrade to plain eager
+    localCheckpoint with no-op retirement — correctness is unchanged,
+    only the block hygiene is lost."""
+    try:
+        return spark.sparkContext._jsc
+    except Exception:  # noqa: BLE001  (Connect raises on sparkContext)
+        return None
+
+
 def _persistent_ids(spark: SparkSession) -> set:
-    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    jsc = _jsc(spark)
+    if jsc is None:
+        return set()
+    return set(jsc.getPersistentRDDs().keySet().toArray())
 
 
 def checkpoint_rotate(
@@ -50,7 +64,10 @@ def checkpoint_rotate(
     spark = df.sparkSession
     before = _persistent_ids(spark)
     out = df.localCheckpoint(eager=True)
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    jsc = _jsc(spark)
+    if jsc is None:
+        return out, []
+    jmap = jsc.getPersistentRDDs()
     new_ids = [i for i in jmap.keySet().toArray() if i not in before]
     for rid in retire:
         r = jmap.get(rid)
@@ -62,7 +79,10 @@ def checkpoint_rotate(
 def retire_ids(spark: SparkSession, ids) -> None:
     """Unpersist specific checkpoint ids (end-of-loop cleanup for a
     frame the returned plan does not reference)."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    jsc = _jsc(spark)
+    if jsc is None:
+        return
+    jmap = jsc.getPersistentRDDs()
     for rid in ids:
         r = jmap.get(rid)
         if r is not None:
@@ -73,7 +93,10 @@ def unpersist_all(spark: SparkSession) -> int:
     """Free every persisted/checkpointed RDD on the context. Harness
     hygiene between independent queries (bench, long-running drivers):
     no live query may be mid-flight. Returns the number retired."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    jsc = _jsc(spark)
+    if jsc is None:
+        return 0
+    jmap = jsc.getPersistentRDDs()
     ids = list(jmap.keySet().toArray())
     for rid in ids:
         r = jmap.get(rid)
