@@ -64,20 +64,90 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference + ext core, r2 TPC-H Q1/3/4/6/14 + LLM suite + UDFs, r3
 # completed TPC-H 22/22 + round-2/3 LLM ops + streaming surfaces, r4
 # went 50/50 green, r5 checked 50 never-checked entries (49 green;
-# the 1 red was an oracle float bug, re-proven green in r6), r6 went
-# 50/50 green on the highest-risk never-checked batch (session-state
-# SQL, streaming rollup, iterative-ML trajectories, graph, ML-eval,
-# corpus curation, Spark-4 surfaces). The r7 window below = the 22
-# oldest never-driver-checked leftovers FIRST (incl. the
-# ext_approx_count_distinct and llm_multimodal_decode rows-only
-# re-proofs, 5-6 rounds old — pinned at the head so they cannot slip
-# again), then the oldest r6 additions (ext16/ext17 batches +
-# ext_resample_ohlc) up to the 50-slot boundary. Remaining r6
-# additions (ext18-ext28) queue behind for the r8 window. Every
-# never-checked entry is locally green at sf0.001 AND sf0.01
-# oracle-exact with a scale differential (SCALE.md).
+# the 1 red was an oracle float bug, re-proven green in r6), r6 and
+# r7 each went 50/50 green on their never-checked batches. The r8
+# window below = EXACTLY the 50 entries that have never had a driver
+# CORRECTNESS row (the r6 ext18-ext28 batches + r7's
+# ext_variant_roundtrip — the full debt ledger, SCALE.md), ordered
+# highest-risk first: iterative graph/ML recurrences with
+# MATERIALIZED-CTE oracles (k-core, SSSP, GMM-EM, HMM, forest, MMR),
+# then the remaining batches in registration order. A green r8 run
+# drives verification debt to ZERO: every one of the 385 registered
+# entries will then have a driver row. Every window entry is locally
+# green at sf0.001 AND sf0.01 oracle-exact with a scale differential
+# (SCALE.md) and 32-vs-7-partition deterministic.
 _PRIORITY = [
-    # --- r7 window: 22 oldest leftovers (4-6 rounds unchecked) ---
+    # --- r8 window head: highest-risk never-checked (iterative
+    # recurrences, MATERIALIZED-CTE oracles, multi-join graph) ---
+    "graph_k_core",
+    "graph_weighted_sssp",
+    "ml_gmm_em_1d",
+    "ml_hmm_forward",
+    "ml_random_forest_vote",
+    "llm_mmr_rerank",
+    "graph_clustering_coefficient",
+    "graph_degree_assortativity",
+    "graph_common_neighbors",
+    "ml_churn_labels_point_in_time",
+    "ext_holt_winters_seasonal",
+    "ext_variant_roundtrip",
+    # --- r8 window: remaining never-checked, registration order ---
+    # registry_ext18: linear interpolation + ML-eval metrics
+    "ext_interpolate_linear",
+    "ml_average_precision",
+    "ml_cohens_kappa",
+    "ml_cramers_v",
+    # registry_ext19: table checksum, bitmap distinct, Bollinger,
+    # URL canonicalization
+    "ext_table_checksum",
+    "ext_bitmap_distinct",
+    "ext_bollinger_bands",
+    "llm_url_canonicalize",
+    # registry_ext20: Kendall tau-b, Theil-Sen, Z-order, code
+    # detection, embedding outliers
+    "ml_kendall_tau",
+    "ml_theil_sen_slope",
+    "ext_zorder_cluster",
+    "llm_code_detect",
+    "llm_embedding_outliers",
+    # registry_ext21: RFM, ABC, ANOVA, MCC, Brier
+    "ext_rfm_segmentation",
+    "ext_abc_classification",
+    "ml_anova_oneway",
+    "ml_matthews_corrcoef",
+    "ml_brier_score",
+    # registry_ext23-24: readability, RAKE, lang-ID confusion, DPP
+    "llm_readability_flesch",
+    "llm_keyword_rake",
+    "llm_langid_confusion",
+    "ext_dynamic_partition_pruning",
+    # registry_ext25: LOO target encoding, span corruption,
+    # fertility, learning curve
+    "ml_target_encoding_loo",
+    "llm_span_corruption",
+    "llm_tokenizer_fertility",
+    "ml_learning_curve",
+    # registry_ext26: DID, CUPED, McNemar, cross-lingual overlap
+    "ml_diff_in_diff",
+    "ml_cuped_adjustment",
+    "ml_mcnemar_test",
+    "llm_crosslingual_ngram_overlap",
+    # registry_ext27: SPRT, winsorized mean, inter-arrival stats,
+    # preference pairs, blocked fuzzy linkage
+    "ml_sprt_stopping",
+    "ml_winsorized_mean",
+    "ext_interarrival_stats",
+    "llm_preference_pairs",
+    "ext_entity_blocking_fuzzy",
+    # registry_ext28: item-item CF, token-budget fill, intervals
+    "ml_item_item_cosine",
+    "llm_token_budget_fill",
+    "ext_interval_arithmetic",
+    # --- 50-entry window boundary (r9 head starts here) ---
+    # r8 additions / rows-only upgrades queue here so the r9 window
+    # picks them up first (surface-freeze discipline: new entries
+    # land BEHIND the debt-clearing window, never inside it).
+    # --- r7 driver window (all green in CORRECTNESS_r07) ---
     "ext_approx_count_distinct",
     "llm_multimodal_decode",
     "ext_dq_rule_report",
@@ -100,15 +170,10 @@ _PRIORITY = [
     "ext_sample",
     "ext_sample_stratified",
     "ext_equiheight_histogram",
-    # --- r7 window continues: oldest r6 additions (ext16/ext17) ---
-    # idempotent foreachBatch sink, AQE skew join, label propagation,
-    # gradient-boosted stumps
     "stream_foreach_batch_idempotent",
     "ext_aqe_skew_join",
     "graph_label_propagation",
     "ml_gbt_stumps",
-    # added in r6 (registry_ext17): survival analysis, skyline,
-    # seasonal decomposition, pagination + by-name union surfaces
     "ml_kaplan_meier",
     "ext_skyline_pareto",
     "ext_seasonal_dow_index",
@@ -132,79 +197,7 @@ _PRIORITY = [
     "ml_markov_transition_matrix",
     "ml_mutual_information",
     "ext_sequence_pattern_vshape",
-    # added in r6 (registry_ext18): OHLC resampling completes the
-    # 50-entry r7 window
     "ext_resample_ohlc",
-    # --- 50-entry window boundary (r8 head starts here) ---
-    "ext_interpolate_linear",
-    "ml_average_precision",
-    "ml_cohens_kappa",
-    "ml_cramers_v",
-    # added in r6 (registry_ext19): table checksum, bitmap distinct,
-    # Bollinger bands, URL canonicalization, link prediction
-    "ext_table_checksum",
-    "ext_bitmap_distinct",
-    "ext_bollinger_bands",
-    "llm_url_canonicalize",
-    "graph_common_neighbors",
-    # added in r6 (registry_ext20): Kendall tau-b, Theil-Sen,
-    # Z-order clustering, code detection, embedding outliers
-    "ml_kendall_tau",
-    "ml_theil_sen_slope",
-    "ext_zorder_cluster",
-    "llm_code_detect",
-    "llm_embedding_outliers",
-    # added in r6 (registry_ext21): RFM segmentation, ABC
-    # classification, one-way ANOVA, MCC, Brier score
-    "ext_rfm_segmentation",
-    "ext_abc_classification",
-    "ml_anova_oneway",
-    "ml_matthews_corrcoef",
-    "ml_brier_score",
-    # added in r6 (registry_ext22): k-core peeling, weighted SSSP,
-    # 1-D Gaussian-mixture EM
-    "graph_k_core",
-    "graph_weighted_sssp",
-    "ml_gmm_em_1d",
-    # added in r6 (registry_ext23): HMM forward posterior, MMR
-    # diversified re-rank, Flesch readability
-    "ml_hmm_forward",
-    "llm_mmr_rerank",
-    "llm_readability_flesch",
-    # added in r6 (registry_ext24): RAKE keywords, lang-ID confusion,
-    # bagged-stump forest, point-in-time churn labels, DPP surface
-    "llm_keyword_rake",
-    "llm_langid_confusion",
-    "ml_random_forest_vote",
-    "ml_churn_labels_point_in_time",
-    "ext_dynamic_partition_pruning",
-    # added in r6 (registry_ext25): LOO target encoding, span
-    # corruption, clustering coefficient, fertility, learning curve
-    "ml_target_encoding_loo",
-    "llm_span_corruption",
-    "graph_clustering_coefficient",
-    "llm_tokenizer_fertility",
-    "ml_learning_curve",
-    # added in r6 (registry_ext26): DID, CUPED, McNemar, degree
-    # assortativity, cross-lingual n-gram overlap
-    "ml_diff_in_diff",
-    "ml_cuped_adjustment",
-    "ml_mcnemar_test",
-    "graph_degree_assortativity",
-    "llm_crosslingual_ngram_overlap",
-    # added in r6 (registry_ext27): SPRT, winsorized mean,
-    # inter-arrival stats, preference pairs, blocked fuzzy linkage
-    "ml_sprt_stopping",
-    "ml_winsorized_mean",
-    "ext_interarrival_stats",
-    "llm_preference_pairs",
-    "ext_entity_blocking_fuzzy",
-    # added in r6 (registry_ext28): Holt-Winters seasonal, item-item
-    # CF, token-budget fill, interval arithmetic
-    "ext_holt_winters_seasonal",
-    "ml_item_item_cosine",
-    "llm_token_budget_fill",
-    "ext_interval_arithmetic",
     # --- r6 driver window (all 50 green in CORRECTNESS_r06) ---
     "ext_decimal_exact",
     "ext_session_variables",
