@@ -139,7 +139,12 @@ def main() -> None:
         # OUTSIDE the timed window: free the query's surviving
         # localCheckpoint blocks (iterative entries leak their final
         # round's checkpoint by construction — the returned plan needs
-        # it until the sink write completes). Without this sweep a
+        # it until the sink write completes). SEQUENTIAL-ONLY: this
+        # global sweep frees blocks it does not own, so it is safe
+        # exactly because run_once is called strictly one-at-a-time
+        # with no streaming query active; a concurrent-rep or async-
+        # sink bench variant must switch to ckpt.retire_live (which
+        # frees only the ids the just-finished entries noted). Without this sweep a
         # 48-query x 3-rep suite accumulates hundreds of orphaned
         # block-manager entries whose GC/bookkeeping pressure shows up
         # as the uniform ~25% drift documented in SCALE.md

@@ -24,15 +24,29 @@ operators already maintain.
 
 Safety note: id attribution snapshots the persistent-RDD id set
 around the checkpoint call, so concurrent queries checkpointing on
-the same SparkContext could interleave. All callers here run their
-rounds sequentially on one driver thread (the loop IS the algorithm),
-so the window is empty in practice; a multi-tenant deployment would
-key the registry by job group instead.
+the same SparkContext could interleave — and for lineage-truncated
+local checkpoints a mis-attributed unpersist is an unrecoverable
+query failure, not a slowdown. All callers here run their rounds
+sequentially on one driver thread (the loop IS the algorithm), and
+`checkpoint_rotate` ENFORCES that: a second thread entering while
+another holds the attribution window raises RuntimeError instead of
+silently corrupting a neighbor's blocks. A multi-tenant deployment
+would key the registry by job group instead.
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
+
+_ATTRIBUTION_LOCK = threading.Lock()
+
+# Checkpoint ids that back a RETURNED lazy frame (the iterative
+# operators' final round). bench.py sweeps the whole block manager
+# between queries; any other long-running driver calls retire_live()
+# after materializing the frames it consumed.
+_LIVE_IDS: list = []
 
 
 def _jsc(spark: SparkSession):
@@ -62,18 +76,33 @@ def checkpoint_rotate(
     retire each round's ids when the next round's checkpoint lands.
     """
     spark = df.sparkSession
-    before = _persistent_ids(spark)
-    out = df.localCheckpoint(eager=True)
-    jsc = _jsc(spark)
-    if jsc is None:
-        return out, []
-    jmap = jsc.getPersistentRDDs()
-    new_ids = [i for i in jmap.keySet().toArray() if i not in before]
-    for rid in retire:
-        r = jmap.get(rid)
-        if r is not None:
-            r.unpersist(False)
-    return out, new_ids
+    # Id attribution diffs the context-GLOBAL persistent-RDD set, so a
+    # concurrent checkpoint on the same SparkContext would be
+    # attributed to this caller and later wrongly unpersisted. Fail
+    # loudly instead: the iterative operators are single-driver-thread
+    # by design (the loop is the algorithm).
+    if not _ATTRIBUTION_LOCK.acquire(blocking=False):
+        raise RuntimeError(
+            "checkpoint_rotate: concurrent call on one SparkContext — "
+            "id attribution would cross-attribute checkpoint blocks "
+            "(see operators/ckpt.py safety note); serialize callers "
+            "or key attribution by job group"
+        )
+    try:
+        before = _persistent_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        jsc = _jsc(spark)
+        if jsc is None:
+            return out, []
+        jmap = jsc.getPersistentRDDs()
+        new_ids = [i for i in jmap.keySet().toArray() if i not in before]
+        for rid in retire:
+            r = jmap.get(rid)
+            if r is not None:
+                r.unpersist(False)
+        return out, new_ids
+    finally:
+        _ATTRIBUTION_LOCK.release()
 
 
 def retire_ids(spark: SparkSession, ids) -> None:
@@ -89,10 +118,34 @@ def retire_ids(spark: SparkSession, ids) -> None:
             r.unpersist(False)
 
 
+def note_live(ids) -> None:
+    """Record checkpoint ids that back a frame being RETURNED to the
+    caller (the iterative operators' final round). The ids must stay
+    persisted until the caller materializes the frame — truncated
+    lineage cannot be recomputed — after which `retire_live` (or a
+    global `unpersist_all` sweep) frees them."""
+    _LIVE_IDS.extend(ids)
+
+
+def retire_live(spark: SparkSession) -> int:
+    """Retire every id noted via `note_live`. Call after the consumer
+    has fully materialized (collected/written) the frames it was
+    handed; returns the number retired. Long-running non-bench drivers
+    use this instead of the sledgehammer `unpersist_all`."""
+    ids = list(_LIVE_IDS)
+    _LIVE_IDS.clear()
+    retire_ids(spark, ids)
+    return len(ids)
+
+
 def unpersist_all(spark: SparkSession) -> int:
     """Free every persisted/checkpointed RDD on the context. Harness
     hygiene between independent queries (bench, long-running drivers):
-    no live query may be mid-flight. Returns the number retired."""
+    SEQUENTIAL-ONLY — no live query, stream, or concurrent rep may be
+    mid-flight anywhere on this context, since this frees blocks it
+    does not own (a live lineage-truncated checkpoint dies for good).
+    Returns the number retired."""
+    _LIVE_IDS.clear()  # everything is being swept anyway
     jsc = _jsc(spark)
     if jsc is None:
         return 0

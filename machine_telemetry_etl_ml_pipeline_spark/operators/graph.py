@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ckpt import checkpoint_rotate, retire_ids
+from .ckpt import checkpoint_rotate, note_live, retire_ids
 
 
 def pagerank(
@@ -135,6 +135,10 @@ def pagerank(
             ),
             retire=rank_ids,
         )
-    # the returned plan reads only the FINAL rank checkpoint
+    # the returned plan reads only the FINAL rank checkpoint — record
+    # it for the caller to retire after materializing
     retire_ids(nodes.sparkSession, e_ids + node_ids)
+    note_live(rank_ids)
+    if stats is not None:
+        stats["live_checkpoint_ids"] = list(rank_ids)
     return ranks

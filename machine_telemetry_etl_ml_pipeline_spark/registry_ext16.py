@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .operators.ckpt import checkpoint_rotate, retire_ids
+from .operators.ckpt import checkpoint_rotate, note_live, retire_ids
 from .registry import _t, register
 from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
 
@@ -246,6 +246,10 @@ def graph_label_propagation(spark, sf_dir):
             # old blocks out (operators/ckpt.py); sym stays, the final
             # round's join still reads it.
             labels, lbl_ids = checkpoint_rotate(labels, retire=lbl_ids)
+    # the returned rollup reads sym + the last rotated label
+    # checkpoint — record both for the caller to retire after
+    # materializing (bench's between-query sweep covers them too)
+    note_live(_sym_ids + lbl_ids)
     return labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("size"),
         F.min("node").alias("min_node"),

@@ -434,4 +434,9 @@ def graph_common_neighbors(spark, sf_dir):
     ).limit(20)
     rows = out.collect()  # <=20 rows by construction
     retire_ids(spark, e_ids)
-    return spark.createDataFrame(rows, out.schema)
+    # re-apply the ordering explicitly: parallelize happens to keep
+    # local-list order today, but ordered output should not ride on
+    # that (graph_k_core sets the same pattern)
+    return spark.createDataFrame(rows, out.schema).orderBy(
+        F.col("jaccard").desc(), F.col("cn").desc(), "u", "w"
+    )

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.ckpt import checkpoint_rotate, retire_ids
+from .operators.ckpt import checkpoint_rotate, note_live, retire_ids
 from .registry import _t, register
 from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
 
@@ -256,8 +256,10 @@ def graph_weighted_sssp(spark, sf_dir):
             retire=dist_ids,
         )
     # the histogram below reads only the FINAL distance checkpoint —
-    # the symmetric edge list's last relaxation join already ran
+    # the symmetric edge list's last relaxation join already ran; the
+    # final dist blocks back the returned frame (note_live)
     retire_ids(spark, sym_ids)
+    note_live(dist_ids)
     return (
         dist.groupBy(F.expr("CAST(d DIV 500 AS BIGINT)").alias("dist_band"))
         .agg(

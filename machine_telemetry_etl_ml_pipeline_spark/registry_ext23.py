@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.ckpt import checkpoint_rotate, retire_ids
+from .operators.ckpt import checkpoint_rotate, note_live, retire_ids
 from .registry import _t, register
 from .llm.similarity import dot
 
@@ -266,6 +266,7 @@ def llm_mmr_rerank(spark, sf_dir):
         # next step's anti-join still reads it
         sel, sel_ids = checkpoint_rotate(sel.unionAll(nxt), retire=sel_ids)
     retire_ids(spark, _cand_ids)  # last anti-join is done
+    note_live(sel_ids)  # final greedy panel backs the returned frame
     return sel.select(
         F.col("rank").cast("long").alias("rank"),
         "vec_id",

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.ckpt import checkpoint_rotate, retire_ids
+from .operators.ckpt import checkpoint_rotate, note_live, retire_ids
 from .registry import _t, register
 from .registry_ext2 import _views
 
@@ -236,14 +236,15 @@ def graph_triangle_count(spark, sf_dir):
     aggregates combine via broadcast cross joins. The edge list is
     checkpointed once: the counting plan references it FIVE times
     (e1/e2/e3 + the node and edge counts) and would re-derive the
-    pair-generation build per branch (measured 1.3x on the entry);
-    the 1-row result is collected eagerly so the checkpoint's blocks
-    retire before return (operators/ckpt.py)."""
+    pair-generation build per branch (measured 1.3x on the entry).
+    The lazy plan is returned — the r7 eager collect-and-rebuild
+    cost 20% in the isolated A/B (tools/ab_triangle.py: eager 2.94s
+    vs lazy 2.45s min-of-3 at sf0.1), so the checkpoint's blocks are
+    instead recorded via note_live for the consumer to retire after
+    materializing (bench's between-query sweep covers them too)."""
     e, ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir))
-    out = count_triangles(e)
-    rows = out.collect()
-    retire_ids(spark, ids)
-    return spark.createDataFrame(rows, out.schema)
+    note_live(ids)
+    return count_triangles(e)
 
 
 def count_triangles(edges):
@@ -483,8 +484,11 @@ def bfs_distance_histogram(edges, cap: int = 8):
         dist, dist_ids = checkpoint_rotate(dist.union(new), retire=dist_ids)
         frontier = new.select("node")
     # the returned plan reads only sym + the FINAL dist checkpoint;
-    # the last frontier's blocks are no longer reachable
+    # the last frontier's blocks are no longer reachable. sym/dist
+    # must outlive the return — record them for the caller to retire
+    # once the frame is materialized.
     retire_ids(edges.sparkSession, new_ids)
+    note_live(sym_ids + dist_ids)
     endpoints = sym.select(F.col("u").alias("node")).distinct()
     return (
         endpoints.join(dist, "node", "left")
