@@ -45,6 +45,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext26  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext27  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext28  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext29  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext30  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -147,9 +148,21 @@ _PRIORITY = [
     # r8 additions / rows-only upgrades queue here so the r9 window
     # picks them up first (surface-freeze discipline: new entries
     # land BEHIND the debt-clearing window, never inside it).
-    # --- r7 driver window (all green in CORRECTNESS_r07) ---
+    # added in r8 (registry_ext30): corpus-size-parameterized sign-LSH
+    # twins of the two fixed-bucket scale-killers
+    "llm_semdedup_prune_scaled",
+    "llm_embedding_neardup_scaled",
+    # upgraded in r8 from rows-only to exact oracles (verdict item 5):
+    # hash-threshold sampling re-specs, HLL error-bound verdict, and
+    # the deterministic fake-codec decode — re-queued for fresh driver
+    # rows under the new oracles
     "ext_approx_count_distinct",
+    "ext_sample",
+    "ext_sample_stratified",
     "llm_multimodal_decode",
+    # --- r7 driver window (all green in CORRECTNESS_r07; the four
+    # rows-only upgrades above were removed from this block — their
+    # only listing is now the r9 head) ---
     "ext_dq_rule_report",
     "ext_crosstab",
     "ext_grouping_id",
@@ -167,8 +180,6 @@ _PRIORITY = [
     "llm_embedding_centroids",
     "llm_nearest_centroid_accuracy",
     "llm_vector_quantize",
-    "ext_sample",
-    "ext_sample_stratified",
     "ext_equiheight_histogram",
     "stream_foreach_batch_idempotent",
     "ext_aqe_skew_join",

@@ -79,6 +79,18 @@ def md5_bucket(col, n_digits: int = 2) -> "F.Column":
     return bucket
 
 
+def hex_bucket_sql(h_expr: str, n_digits: int = 2) -> str:
+    """DuckDB twin of md5_bucket, colocated with it so the two stay in
+    lockstep (registry_ext11 carries an older local copy for its
+    already-driver-verified entries): integer in [0, 16^n) from the
+    first n hex digits of an md5 SQL expression."""
+    digit = "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+    out = digit.format(h=h_expr, p=1)
+    for p in range(2, n_digits + 1):
+        out = f"({out} * 16 + {digit.format(h=h_expr, p=p)})"
+    return out
+
+
 def hash_split(
     docs: DataFrame, train_buckets: int = 205, id_col: str = "doc_id"
 ) -> "F.Column":

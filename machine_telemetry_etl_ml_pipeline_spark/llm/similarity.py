@@ -109,6 +109,51 @@ def lsh_bucket_counts(
     )
 
 
+# Coordinate hyperplanes for the ADAPTIVE sign-LSH: up to 16 bits
+# over the 64-dim embedding at stride 4 (1-indexed SQL positions).
+# Fixed order so bit j means the same hyperplane at every corpus size
+# — growing `bits` REFINES buckets (each 2^b bucket splits in two at
+# b+1) instead of reshuffling them.
+ADAPTIVE_SIGN_DIMS: tuple = tuple(range(1, 65, 4))
+
+
+def adaptive_bits_expr(n_col, target_bucket_size: int = 64, max_bits: int = 16):
+    """bits = clamp(ceil(log2(n / target_bucket_size)), 2, max_bits):
+    the corpus-size-derived bucket-count knob (B = 2^bits) that holds
+    expected per-bucket population — and so scored pairs per row —
+    ~constant as n grows. This is the SemDeDup paper's k ∝ n cluster
+    scaling re-expressed for sign-LSH; the fixed-4-bit family
+    (sign_bucket) is quadratic-over-constant-buckets by comparison
+    (measured 11.3x wall at 10x rows, SCALE.md). Pure column
+    arithmetic over a 1-row count aggregate — broadcast it, never
+    collect it. The oracle mirrors the same formula; log2/ceil are
+    IEEE-identical on both engines."""
+    return F.least(
+        F.lit(max_bits),
+        F.greatest(
+            F.lit(2),
+            F.ceil(F.log2(n_col.cast("double") / F.lit(float(target_bucket_size)))).cast(
+                "int"
+            ),
+        ),
+    ).cast("int")
+
+
+def adaptive_sign_bucket(vec_col, bits_col, dims: Sequence[int] = ADAPTIVE_SIGN_DIMS):
+    """Sign-LSH bucket using the first `bits_col` hyperplanes of
+    `dims`: bit j contributes 2^j iff j < bits and vec[dims[j]] > 0.
+    bits rides as a COLUMN (from the broadcast corpus-stats row), so
+    one whole-stage-codegen expression serves every corpus size — no
+    per-size plan rebuild, no UDF."""
+    total = F.lit(0)
+    for j, d in enumerate(dims):
+        bit = F.when(
+            (bits_col > j) & (F.element_at(vec_col, d) > 0), F.lit(2**j)
+        ).otherwise(F.lit(0))
+        total = total + bit
+    return total.cast("int")
+
+
 def random_hyperplanes(
     dim: int, n_planes: int, n_tables: int, seed: int = 7
 ) -> list[list[list[float]]]:

@@ -412,16 +412,41 @@ def ext_max_by(spark, sf_dir):
     )
 
 
-@register("ext_approx_count_distinct", None)  # approximate -> rows-only check
+@register(
+    "ext_approx_count_distinct",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events,
+           true AS users_within_5pct,
+           true AS events_within_5pct
+    FROM events
+    """,
+)
 def ext_approx_count_distinct(spark, sf_dir):
     """HLL approximate distinct — the 100 TB replacement for exact
-    COUNT(DISTINCT) (reference db.py:230). No oracle: HLL estimates
-    are engine-specific by construction; the exact twin is
-    ref_count_distinct."""
+    COUNT(DISTINCT) (reference db.py:230). HLL estimates are
+    engine-specific by construction, so the estimate itself cannot be
+    hash-compared — instead the entry runs BOTH the sketch and the
+    exact count in one aggregate and emits the exact counts plus an
+    error-bound verdict (|approx-exact|/exact <= 5%, five sigma at
+    rsd=0.01): the sketch stays the surface under test, and the
+    oracle now checks a real cross-engine invariant instead of the
+    r2-r7 rows-only row count. Upgraded per the r7 verdict item 5."""
     e = _t(spark, sf_dir, "events")
     return e.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+        F.countDistinct("user_id").alias("eu"),
+        F.countDistinct("event_id").alias("ee"),
+        F.approx_count_distinct("user_id", 0.01).alias("au"),
+        F.approx_count_distinct("event_id", 0.01).alias("ae"),
+    ).select(
+        F.col("eu").cast("long").alias("exact_users"),
+        F.col("ee").cast("long").alias("exact_events"),
+        (
+            F.abs(F.col("au") - F.col("eu")) / F.col("eu").cast("double") <= 0.05
+        ).alias("users_within_5pct"),
+        (
+            F.abs(F.col("ae") - F.col("ee")) / F.col("ee").cast("double") <= 0.05
+        ).alias("events_within_5pct"),
     )
 
 

@@ -115,17 +115,45 @@ def ext_corr_covar(spark, sf_dir):
     )
 
 
-@register("ext_sample", None)  # engine-specific RNG -> rows-only
+_SAMPLE_FRACTION = 0.1
+_SAMPLE_SPACE = 16**7  # md5_bucket(_, 7) range
+_SAMPLE_THR = int(_SAMPLE_FRACTION * _SAMPLE_SPACE)
+
+
+def _sample_bucket_sql() -> str:
+    from .llm.prep import hex_bucket_sql
+
+    return hex_bucket_sql("md5(CAST(event_id AS VARCHAR))", 7)
+
+
+@register(
+    "ext_sample",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE {_sample_bucket_sql()} < {_SAMPLE_THR}
+    """,
+)
 def ext_sample(spark, sf_dir):
-    """Bernoulli sampling with a fixed seed: deterministic within
-    Spark, but sampling RNGs are engine-specific by construction, so
-    the check is rows-only (the driver records the row count; the
-    property that matters — ~10% +- tolerance — is test-asserted)."""
+    """Bernoulli sampling at 10% — re-specced (r7 verdict item 5) from
+    Spark's seeded sample() (engine-specific RNG, rows-only forever)
+    to a HASH-threshold Bernoulli: keep iff md5_bucket(event_id, 7) <
+    0.1 * 16^7. Same statistical contract (each row kept independently
+    w.p. ~0.1), but the draw is a pure function of the key, so the
+    sample is exactly reproducible across runs, engines, partitions,
+    and cluster sizes — which is also the property a 100 TB pipeline
+    wants (a resumed/re-run job re-selects the identical sample; no
+    seed-per-partition coupling). The oracle runs the identical
+    hex-digit arithmetic, upgrading the entry from rows-only to
+    exact."""
+    from .llm.prep import md5_bucket
+
     e = _t(spark, sf_dir, "events")
-    s = e.sample(fraction=0.1, seed=42)
+    s = e.filter(md5_bucket(F.col("event_id"), 7) < F.lit(_SAMPLE_THR))
     return s.agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
     )
 
 

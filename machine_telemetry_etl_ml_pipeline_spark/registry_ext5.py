@@ -912,17 +912,55 @@ def tpch_q18(spark, sf_dir):
     )
 
 
-@register("ext_sample_stratified", None)  # engine-specific RNG -> rows-only
+_STRAT_FRACTIONS = {
+    "click": 0.1,
+    "view": 0.1,
+    "error": 0.5,
+    "purchase": 1.0,
+    "signup": 1.0,
+}
+_STRAT_SPACE = 16**7
+_STRAT_THRS = {k: int(v * _STRAT_SPACE) for k, v in _STRAT_FRACTIONS.items()}
+
+
+def _strat_oracle_sql() -> str:
+    from .llm.prep import hex_bucket_sql
+
+    bucket = hex_bucket_sql("md5(CAST(event_id AS VARCHAR))", 7)
+    cases = " ".join(
+        f"WHEN '{k}' THEN {thr}" for k, thr in sorted(_STRAT_THRS.items())
+    )
+    return f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled
+    FROM events
+    WHERE {bucket} < (CASE event_type {cases} ELSE 0 END)
+    GROUP BY event_type
+    """
+
+
+@register("ext_sample_stratified", _strat_oracle_sql())
 def ext_sample_stratified(spark, sf_dir):
-    """Stratified sampling (sampleBy): per-stratum Bernoulli fractions
-    under one seed — the training-data rebalancing idiom (e.g.
-    downsample dominant event types). RNG is engine-specific by
-    construction -> rows-only; the per-stratum rate property is
-    test-asserted."""
+    """Stratified sampling: per-stratum Bernoulli fractions — the
+    training-data rebalancing idiom (downsample dominant event types,
+    keep all rare ones). Re-specced (r7 verdict item 5) from seeded
+    sampleBy (engine-specific RNG, rows-only forever) to per-stratum
+    HASH thresholds: keep iff md5_bucket(event_id, 7) < frac_k * 16^7
+    for the row's stratum k. Same contract as sampleBy, but the draw
+    is a pure function of the key — reproducible across runs, engines,
+    and cluster sizes (the resume-safe shape a 100 TB rebalance
+    needs), so the oracle runs the identical hex arithmetic and the
+    check is exact. The threshold rides a broadcast CASE over 5
+    literals; no join, no shuffle before the rollup."""
+    from .llm.prep import md5_bucket
+
     e = _t(spark, sf_dir, "events")
-    fractions = {"click": 0.1, "view": 0.1, "error": 0.5, "purchase": 1.0, "signup": 1.0}
-    s = e.sampleBy("event_type", fractions, seed=42)
-    return s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+    thr = F.lit(0)
+    for k, t in sorted(_STRAT_THRS.items()):
+        thr = F.when(F.col("event_type") == k, F.lit(t)).otherwise(thr)
+    s = e.filter(md5_bucket(F.col("event_id"), 7) < thr)
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled")
+    )
 
 
 @register(

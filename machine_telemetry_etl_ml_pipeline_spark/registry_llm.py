@@ -504,12 +504,37 @@ def llm_multimodal_pack(spark, sf_dir):
     )
 
 
-@register("llm_multimodal_decode", None)  # stubbed codec -> rows-only
+@register(
+    "llm_multimodal_decode",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS asset_id,
+           'text' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE unicode(substr(text, 1, 1)) END AS DOUBLE) AS feat_first,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE unicode(substr(text, length(text), 1)) END AS DOUBLE)
+             AS feat_last,
+           CAST(CASE WHEN length(text) = 0 THEN 0
+                     ELSE mod(list_sum(list_transform(string_split(text, ''),
+                                                      c -> unicode(c))), 997)
+                END AS DOUBLE) AS feat_checksum
+    FROM documents
+    """,
+)
 def llm_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas decode over packed assets. The codec
     is a deterministic byte-statistic STUB (llm/multimodal.decode_stub
-    — real image/audio libs absent in this container); the distributed
-    plumbing (schema, batching, partition preservation) is real."""
+    with fake=True — real image/audio libs absent in this container;
+    fake=False is the integration point); the distributed plumbing
+    (schema, batching, partition preservation) is real. Upgraded (r7
+    verdict item 5) from rows-only to an EXACT oracle: the fake
+    feature vector is (n_bytes, first_byte, last_byte, byte_sum mod
+    997) over the UTF-8 payload, which DuckDB reproduces with
+    per-character unicode() arithmetic — valid because the documents
+    corpus is pure ASCII (probed: 0 non-ASCII rows at every SF;
+    code point == byte there), so the whole batch path from pack
+    through Arrow decode is now value-checked per asset."""
     d = _t(spark, sf_dir, "documents")
     assets = mm.pack_assets(d, "doc_id", "text", F.lit("text"))
     decoded = mm.decode_assets(assets, fake=True)
@@ -517,7 +542,9 @@ def llm_multimodal_decode(spark, sf_dir):
         "asset_id",
         "media_type",
         "n_bytes",
-        F.round(F.element_at("features", 4), 4).alias("feat_checksum"),
+        F.element_at("features", 2).alias("feat_first"),
+        F.element_at("features", 3).alias("feat_last"),
+        F.element_at("features", 4).alias("feat_checksum"),
     )
 
 

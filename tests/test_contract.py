@@ -29,14 +29,11 @@ def test_contract_shapes():
     osql = ent.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) == len(REGISTRY)
-    # rows-only entries are the documented four, not silent omissions
+    # r8: the last four rows-only entries were upgraded to exact
+    # oracles (hash-threshold sampling, HLL error-bound verdicts, the
+    # deterministic fake-codec decode) — every entry now carries one
     rows_only = sorted(set(qs) - set(osql))
-    assert rows_only == [
-        "ext_approx_count_distinct",
-        "ext_sample",
-        "ext_sample_stratified",
-        "llm_multimodal_decode",
-    ], rows_only
+    assert rows_only == [], rows_only
 
 
 def test_oracles_reference_known_tables_only():

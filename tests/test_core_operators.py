@@ -83,27 +83,36 @@ def test_stats_all_null_metric(spark):
 
 
 def test_stratified_sample_rates(spark):
-    """sampleBy: per-stratum rates land near the requested fractions
-    (Bernoulli, seed-fixed — loose tolerance)."""
+    """ext_sample_stratified (hash-threshold Bernoulli per stratum):
+    realized per-stratum rates land near the requested fractions, and
+    fraction-1.0 strata keep every row."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import REGISTRY
     from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
 
     e = load_table(spark, "/root/testdata/sf0.01", "events")
-    fractions = {"click": 0.1, "purchase": 1.0}
-    s = e.sampleBy("event_type", fractions, seed=42)
     totals = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
-    got = {r.event_type: r.n for r in s.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r.event_type: r.n_sampled
+        for r in REGISTRY["ext_sample_stratified"].fn(spark, "/root/testdata/sf0.01").collect()
+    }
     assert got.get("purchase") == totals["purchase"]  # fraction 1.0 keeps all
+    assert got.get("signup") == totals["signup"]
     click_rate = got.get("click", 0) / totals["click"]
     assert 0.05 < click_rate < 0.2, click_rate
-    assert "view" not in got  # unlisted strata drop entirely
+    error_rate = got.get("error", 0) / totals["error"]
+    assert 0.4 < error_rate < 0.6, error_rate
 
 
 def test_bernoulli_sample_rate(spark):
-    """sample(fraction=0.1, seed=42): the realized rate must be near
-    10% (the property ext_sample's docstring promises is asserted)."""
+    """ext_sample (hash-threshold Bernoulli): realized rate near the
+    10% target, and re-running selects the IDENTICAL sample (the
+    reproducibility property the hash re-spec buys over seeded RNG)."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import REGISTRY
     from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
 
     e = load_table(spark, "/root/testdata/sf0.01", "events")
     n = e.count()
-    k = e.sample(fraction=0.1, seed=42).count()
-    assert 0.07 < k / n < 0.13, (k, n)
+    r1 = REGISTRY["ext_sample"].fn(spark, "/root/testdata/sf0.01").head()
+    assert 0.07 < r1.n_sampled / n < 0.13, (r1.n_sampled, n)
+    r2 = REGISTRY["ext_sample"].fn(spark, "/root/testdata/sf0.01").head()
+    assert (r1.n_sampled, r1.n_users) == (r2.n_sampled, r2.n_users)
