@@ -40,6 +40,8 @@ import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import plancap
+
 _ATTRIBUTION_LOCK = threading.Lock()
 
 # Checkpoint ids that back a RETURNED lazy frame (the iterative
@@ -91,6 +93,7 @@ def checkpoint_rotate(
     try:
         before = _persistent_ids(spark)
         out = df.localCheckpoint(eager=True)
+        plancap.note(df)  # finalized construction-time plan (no-op unless auditing)
         jsc = _jsc(spark)
         if jsc is None:
             return out, []

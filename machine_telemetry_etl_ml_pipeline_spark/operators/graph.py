@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import plancap
 from .ckpt import checkpoint_rotate, note_live, retire_ids
 
 
@@ -45,11 +46,21 @@ def pagerank(
     if iterations < 1:
         raise ValueError("pagerank requires iterations >= 1")
     spark = nodes.sparkSession
-    n_nodes = nodes.count()
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    n_nodes = n_df.collect()[0][0]
+    plancap.note(n_df)  # construction-time plan (no-op unless auditing)
     teleport = (1.0 - damping) / n_nodes
 
     raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    taken = raw.take(small_graph_threshold + 1) if small_graph_threshold > 0 else []
+    if small_graph_threshold > 0:
+        # limit+collect instead of take(): same CollectLimit execution,
+        # but on THIS handle so the plan audit can capture the edge
+        # build that runs inside it
+        taken_df = raw.limit(small_graph_threshold + 1)
+        taken = taken_df.collect()
+        plancap.note(taken_df)
+    else:
+        taken = []
 
     if small_graph_threshold > 0 and len(taken) <= small_graph_threshold:
         # Driver power iteration over endpoints only. Rank lives ONLY on
@@ -72,12 +83,11 @@ def pagerank(
             ep_df = spark.createDataFrame(
                 [(int(u),) for u in sorted(endpoints)], "node long"
             )
-            members = {
-                r.node
-                for r in nodes.select(F.col("node").cast("long").alias("node"))
-                .join(F.broadcast(ep_df), "node", "left_semi")
-                .collect()
-            }
+            mem_df = nodes.select(F.col("node").cast("long").alias("node")).join(
+                F.broadcast(ep_df), "node", "left_semi"
+            )
+            members = {r.node for r in mem_df.collect()}
+            plancap.note(mem_df)
         else:
             members = set()
         rank = {u: 1.0 / n_nodes for u in members}

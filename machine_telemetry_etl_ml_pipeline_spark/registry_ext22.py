@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators import plancap
 from .operators.ckpt import checkpoint_rotate, note_live, retire_ids
 from .registry import _t, register
 from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
@@ -119,9 +120,11 @@ def graph_k_core(spark, sf_dir):
             .agg(F.count("*").alias("c")),
             retire=deg_ids,
         )
-        st = deg.agg(
+        st_df = deg.agg(
             F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
-        ).collect()[0]
+        )
+        st = st_df.collect()[0]
+        plancap.note(st_df)  # construction-time plan (no-op unless auditing)
         rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
         if i == _PEEL_ROUNDS:
             break

@@ -62,3 +62,34 @@ def test_unpersist_all_sweeps_everything(spark):
     n = unpersist_all(spark)
     assert n >= 2
     assert _persistent(spark) == []
+
+
+def test_plancap_records_finalized_construction_plans(spark):
+    from machine_telemetry_etl_ml_pipeline_spark.operators import plancap
+
+    unpersist_all(spark)
+    df = spark.range(10_000).select("id", (F.col("id") % 5).alias("k"))
+    with plancap.capture() as plans:
+        c1, ids1 = checkpoint_rotate(df.groupBy("k").count())
+        st_df = c1.agg(F.sum("count").alias("s"))
+        st_df.collect()
+        plancap.note(st_df)
+    assert len(plans) == 2
+    # finalized executed plans, not provisional adaptive placeholders
+    assert all("isFinalPlan=true" in p or "*(" in p for p in plans)
+    retire_ids(spark, ids1)
+    unpersist_all(spark)
+
+
+def test_plancap_noop_outside_capture(spark):
+    from machine_telemetry_etl_ml_pipeline_spark.operators import plancap
+
+    df = spark.range(10).agg(F.count("*").alias("n"))
+    df.collect()
+    plancap.note(df)  # must not raise and must record nowhere
+    with plancap.capture() as outer:
+        with plancap.capture() as inner:
+            plancap.note(df)
+        plancap.note(df)
+        assert len(inner) == 1  # nesting restores the previous sink
+        assert len(outer) == 1

@@ -1,11 +1,18 @@
 """Physical-plan audit over the bench headline queries.
 
-For each query: execute through the noop sink, then summarize the
-scale-relevant plan properties — exchanges (shuffles), broadcast vs
-sort-merge joins, filter pushdown, whole-stage-codegen spans, scan
-column pruning. Output is a markdown table (PLANS.md is its checked-in
-snapshot): the audit trail that the declarative plans actually compile
-to the physical shapes SCALE.md claims.
+For each query: construct the frame under `operators/plancap.capture()`
+(recording the finalized executed plan of every construction-time
+action — per-round checkpoint rotations and bounded stats collects in
+the iterative entries), collect the residual frame, then summarize the
+scale-relevant plan properties over ALL of those plans — exchanges
+(shuffles), broadcast vs sort-merge joins, filter pushdown,
+whole-stage-codegen spans, scan column pruning. This is the work a
+timed run actually performs; before the capture hook (r7) the
+iterative entries' construction-time plans were invisible to the tool
+and PLANS.md carried hand-verified starred rows. Output is a markdown
+table (PLANS.md is its checked-in snapshot): the audit trail that the
+declarative plans actually compile to the physical shapes SCALE.md
+claims.
 
     python tools/plan_audit.py [--sf /root/testdata/sf0.01]
 """
@@ -52,14 +59,28 @@ def main() -> None:
 
     print("| query | shuffles | BHJ | SMJ | BNLJ | pushed scans | codegen spans | notes |")
     print("|---|---|---|---|---|---|---|---|")
+    from machine_telemetry_etl_ml_pipeline_spark.operators import plancap
+    from machine_telemetry_etl_ml_pipeline_spark.operators.ckpt import unpersist_all
+
     for name in bench.HEADLINE:
-        df = qs[name](spark, args.sf)
-        # collect, not a noop write: the write executes a CLONED
-        # QueryExecution, leaving this handle's adaptive plan
-        # un-finalized (no codegen markers, provisional join strategy)
-        df.collect()
-        a = audit(df._jdf.queryExecution().executedPlan().toString())
+        with plancap.capture() as constr_plans:
+            df = qs[name](spark, args.sf)
+            # collect, not a noop write: the write executes a CLONED
+            # QueryExecution, leaving this handle's adaptive plan
+            # un-finalized (no codegen markers, provisional join strategy)
+            df.collect()
+        plans = list(constr_plans)
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        parts = [audit(p) for p in plans]
+        a = {
+            k: (any(p[k] for p in parts) if isinstance(parts[0][k], bool)
+                else sum(p[k] for p in parts))
+            for k in parts[0]
+        }
+        unpersist_all(spark)  # entries may leave live final-round checkpoints
         notes = []
+        if len(plans) > 1:
+            notes.append(f"incl. {len(plans) - 1} construction-time plans")
         if a["group_limit"]:
             notes.append("partial WindowGroupLimit")
         if a["take_ordered"]:
