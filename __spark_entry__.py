@@ -46,6 +46,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext27  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext28  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext29  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext30  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext31  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -152,6 +153,10 @@ _PRIORITY = [
     # twins of the two fixed-bucket scale-killers
     "llm_semdedup_prune_scaled",
     "llm_embedding_neardup_scaled",
+    # added in r8 (registry_ext31, verdict item 8): mergeable quantile
+    # sketch + the FULL OUTER stream-stream interval join
+    "ext_approx_quantile_sketch_merge",
+    "stream_stream_join_full_outer",
     # upgraded in r8 from rows-only to exact oracles (verdict item 5):
     # hash-threshold sampling re-specs, HLL error-bound verdict, and
     # the deterministic fake-codec decode — re-queued for fresh driver

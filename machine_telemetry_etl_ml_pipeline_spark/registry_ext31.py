@@ -1,0 +1,242 @@
+"""Thirty-first extension batch (round 8, VERDICT r7 item 8): the two
+smallest unrepresented surface bits, added AFTER the debt window was
+frozen (they sit behind the 50-entry r8 window in `_PRIORITY`, so they
+head the r9 window and re-open zero r8 debt).
+
+1. `ext_approx_quantile_sketch_merge` — a mergeable QUANTILE sketch
+   with the accumulate/combine/estimate lifecycle, the quantile
+   sibling of `ext_approx_top_k_sketch_merge` (registry_ext17.py:1010).
+   OSS Spark 4.1 has no kll_sketch_agg, so the sketch is a log-binned
+   histogram built from integer-only expressions both engines compute
+   bit-identically: bucket = msb*8 + next-3-bits, i.e. the value's
+   power-of-two octave split into 8 sub-ranges — bounded 12.5% max
+   relative error, fixed O(log(range)*8) buckets, trivially mergeable
+   (partial = per-shard bucket counts; combine = sum; estimate =
+   cumulative-rank walk). msb comes from length(bin(x))-1 (both
+   engines print minimal binary), never float log2 (boundary-exact).
+
+2. `stream_stream_join_full_outer` — the FULL OUTER watermarked
+   interval join, closing the stream-stream join matrix
+   (inner: registry_ext5.py:993, left-outer: registry_ext7.py:2006).
+   Null-click rows need the RIGHT-side eviction rule: a purchase p can
+   match clicks with c_ts in [p_ts - 30min, p_ts], so once the global
+   watermark passes p_ts no future click can reach it and the null row
+   emits — the symmetric rule to the left side's c_ts + 30min < wm.
+
+Reference analog: none (large-scale-pipeline extensions; the
+reference's surface is batch SQL over Postgres, project/db.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import _t, register
+
+# --- mergeable quantile sketch (accumulate / combine / estimate) ------------
+
+
+@register(
+    "ext_approx_quantile_sketch_merge",
+    """
+    WITH d AS (
+      SELECT l_suppkey % 8 AS shard,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    b AS (
+      SELECT shard,
+             (length(bin(x)) - 1) * 8
+               + ((x >> (length(bin(x)) - 4)) % 8) AS bucket
+      FROM d
+    ),
+    partial AS (
+      SELECT shard, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY shard, bucket
+    ),
+    combined AS (
+      SELECT bucket, CAST(sum(c) AS BIGINT) AS c FROM partial GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, c, CAST(sum(c) OVER (ORDER BY bucket) AS BIGINT) AS cum
+      FROM combined
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM combined),
+    qs AS (SELECT CAST(q AS DOUBLE) AS q
+           FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+    hit AS (
+      SELECT qs.q, tot.n, min(cum.bucket) AS bucket
+      FROM qs CROSS JOIN tot
+        JOIN cum ON cum.cum >= CAST(ceil(qs.q * tot.n) AS BIGINT)
+      GROUP BY qs.q, tot.n
+    )
+    SELECT q,
+           CAST(bucket AS INTEGER) AS bucket,
+           CAST((8 + bucket % 8) AS BIGINT) << (bucket // 8 - 3)
+             AS est_cents_lb,
+           n,
+           CAST(0.125 AS DOUBLE) AS max_rel_err
+    FROM hit
+    ORDER BY q
+    """,
+)
+def ext_approx_quantile_sketch_merge(spark, sf_dir):
+    """Mergeable quantile sketch over l_extendedprice cents with the
+    full accumulate/combine/estimate lifecycle: per-SHARD partial
+    bucket counts (accumulate — at 100 TB each shard/day keeps its own
+    ≤ ~500-row histogram), summed across shards (combine — a bounded
+    groupBy, the only data-sized work is the one accumulate scan),
+    then quantiles read off the cumulative-rank walk (estimate — a
+    window over the ≤ ~500 merged buckets, driver-scale by
+    construction, so the single-partition sort is bounded, not a
+    scale hazard). Bucketing is integer-only and engine-invariant:
+    msb = length(bin(x)) - 1, bucket = msb*8 + ((x >> (msb-3)) & 7),
+    estimate = the bucket's lower bound (8 + sub) << (msb-3) — a
+    2-decimal-digit-precision KLL stand-in with a PROVEN 12.5% max
+    relative error (bucket width / lower bound = 1/8), emitted as a
+    column so consumers see the bound ride with the estimate. The
+    rank threshold ceil(q*n) is exact below 2^53 rows. Quantile
+    sibling of ext_approx_top_k_sketch_merge; unlike
+    approx_percentile, partials are re-aggregable across time
+    partitions with NO history re-scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_suppkey") % 8).alias("shard"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("x"),
+    )
+    b = d.select(
+        "shard",
+        F.expr(
+            "(length(bin(x)) - 1) * 8"
+            " + (shiftright(x, length(bin(x)) - 4) % 8)"
+        ).alias("bucket"),
+    )
+    partial = b.groupBy("shard", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    combined = partial.groupBy("bucket").agg(F.sum("c").cast("long").alias("c"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = combined.select(
+        "bucket", "c", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    # n from the merged sketch, not a second corpus scan: both cum and
+    # tot hang off the same bucket-groupBy exchange (ReuseExchange), so
+    # the 100 TB accumulate scan runs exactly once
+    tot = combined.agg(F.sum("c").cast("long").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    hit = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(cum, F.col("cum") >= F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .groupBy("q", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return hit.select(
+        "q",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.expr("shiftleft(CAST(8 + bucket % 8 AS BIGINT), CAST(bucket / 8 AS INT) - 3)")
+        .alias("est_cents_lb"),
+        "n",
+        F.lit(0.125).cast("double").alias("max_rel_err"),
+    ).orderBy("q")
+
+
+# --- watermarked FULL OUTER stream-stream interval join ---------------------
+
+
+@register(
+    "stream_stream_join_full_outer",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+             - INTERVAL 2 HOUR AS w
+    )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+    UNION ALL
+    SELECT c.user_id, c.event_id, CAST(NULL AS BIGINT),
+           CAST(floor(epoch(c.ts)) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM c, wm
+    WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+      )
+    UNION ALL
+    SELECT p.user_id, CAST(NULL AS BIGINT), p.event_id,
+           CAST(NULL AS BIGINT), CAST(floor(epoch(p.ts)) AS BIGINT)
+    FROM p, wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM c
+        WHERE c.user_id = p.user_id
+          AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 30 MINUTE
+      )
+    """,
+)
+def stream_stream_join_full_outer(spark, sf_dir):
+    """Watermarked FULL OUTER stream-stream interval join — closes the
+    stream-stream join matrix (inner + left-outer already registered).
+    Matches emit immediately; each side's unmatched rows emit their
+    null row only when the watermark PROVES the other side can no
+    longer match: a click at c_ts once wm > c_ts + 30min (its join
+    window closed), a purchase at p_ts once wm > p_ts (matching clicks
+    have c_ts ∈ [p_ts - 30min, p_ts], all ≤ wm by then) — the
+    asymmetry of the two eviction rules IS the interval condition, and
+    the oracle states both rules against the terminal watermark
+    wm = min(per-side max event time) - 2h, advanced by the final
+    no-data micro-batch the availableNow run executes. Rows newer than
+    the boundary hold their answer for the next batch — correct
+    streaming semantics, not loss. State is user_id-keyed and
+    watermark-bounded on both sides, so executor state at 100 TB is
+    O(events within the 2h + 30min horizon), not O(history)."""
+    import uuid
+
+    from .session import tune_session
+    from .streaming.windows import events_testdata_stream
+
+    tune_session(spark)
+
+    def side(event_type, alias):
+        return (
+            events_testdata_stream(spark, sf_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user_id"),
+                F.col("event_id").alias(f"{alias}_event_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 hours")
+        )
+
+    joined = side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.unix_timestamp("c_ts").cast("long").alias("click_epoch"),
+        F.unix_timestamp("p_ts").cast("long").alias("purchase_epoch"),
+    )
+    name = f"stream_ssfoj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
