@@ -149,6 +149,15 @@ def unpersist_all(spark: SparkSession) -> int:
     does not own (a live lineage-truncated checkpoint dies for good).
     Returns the number retired."""
     _LIVE_IDS.clear()  # everything is being swept anyway
+    try:
+        # drop SQL-cache-manager entries too: persist()-barrier entries
+        # (e.g. graph_label_propagation's round caches) register both
+        # an InMemoryRelation and a persistent RDD — retiring only the
+        # RDD leaves a stale cache entry that silently re-caches on the
+        # next same-plan query.
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001  (Connect sessions: best-effort)
+        pass
     jsc = _jsc(spark)
     if jsc is None:
         return 0

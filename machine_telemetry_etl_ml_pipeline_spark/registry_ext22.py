@@ -98,27 +98,29 @@ def graph_k_core(spark, sf_dir):
     Reference analog: none (extends graph_triangle_count family)."""
     e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
     rows = []
-    deg_ids: list = []
     for i in range(_PEEL_ROUNDS + 1):
-        # ONE degree groupBy per round serves everything: the peel
-        # needs deg for the survivor set anyway, and the round's stats
-        # fall out of it for free — n_nodes = |deg| (every node with
-        # an edge appears), n_edges = sum(c)/2 (the directed list
-        # holds each edge twice). Materializing deg (node-sized) and
-        # collecting the 1-row stats EAGERLY (the accepted
-        # tiny-materialization pattern) is what lets each round's
-        # edge checkpoint rotate out (operators/ckpt.py): a lazy
-        # stats branch would pin all 7 edge-list copies in executor
-        # storage until the final union executed. Before deg was
-        # shared, each round paid a SECOND 2|E| aggregate for stats
-        # and re-derived deg inside the semi-join checkpoint
-        # (measured 1.3x on the whole entry).
-        deg, deg_ids = checkpoint_rotate(
+        # deg is ONE groupBy above the round's CHECKPOINTED edge list,
+        # so it is deliberately NOT materialized: the stats collect and
+        # the survivor semi-join each re-derive it from the checkpoint
+        # (2 jobs per round instead of 3). Collecting the 1-row stats
+        # EAGERLY (the accepted tiny-materialization pattern) is what
+        # lets each round's edge checkpoint rotate out
+        # (operators/ckpt.py): a lazy stats branch would pin all 7
+        # edge-list copies in executor storage until the final union
+        # executed. Isolated A/B (tools/ab_kcore.py, 5 interleaved
+        # reps, cache-manager-clean sweep): recomputing deg beats a
+        # per-round deg CHECKPOINT by ~5% (3.94s vs 4.17s min at
+        # sf0.1) and a per-round deg PERSIST by ~9% — the extra 2|E|
+        # aggregate over a checkpointed, shrinking edge list is cheaper
+        # than either materialization, and 7 block-manager
+        # registrations per run disappear. (The r6-era 1.3x "share
+        # deg" measurement predates per-round edge checkpoints, when
+        # re-deriving deg meant replaying the whole peel chain.)
+        deg = (
             e.select(F.col("u").alias("node"))
             .union(e.select(F.col("v").alias("node")))
             .groupBy("node")
-            .agg(F.count("*").alias("c")),
-            retire=deg_ids,
+            .agg(F.count("*").alias("c"))
         )
         st_df = deg.agg(
             F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
@@ -138,7 +140,7 @@ def graph_k_core(spark, sf_dir):
             .select("u", "v"),
             retire=e_ids,
         )
-    retire_ids(spark, e_ids + deg_ids)  # trajectory is on the driver now
+    retire_ids(spark, e_ids)  # trajectory is on the driver now
     return spark.createDataFrame(
         rows, "peel_round long, n_nodes long, n_edges long"
     ).orderBy("peel_round")

@@ -1,0 +1,185 @@
+"""Isolated A/B for graph_k_core: per-round deg CHECKPOINT (shipped)
+vs deg PERSIST vs deg recompute. Same harness discipline as
+ab_triangle.py (fresh tuned session, warm-up, N interleaved reps,
+block-manager sweep between runs, min-of-reps).
+
+Why these variants: the shipped loop runs 3 jobs per round
+(deg checkpoint, 1-row stats collect, edge checkpoint). deg's lineage
+is one groupBy above an already-checkpointed edge list, so a plain
+`persist()` gives the same single-evaluation sharing between the
+stats collect and the survivor semi-join at 2 jobs per round — the
+eager checkpoint job disappears and the stats collect materializes
+the cache as a side effect. The recompute variant drops deg
+materialization entirely (the semi-join re-derives the groupBy inside
+the edge-checkpoint job) to price the cache itself.
+
+Usage:
+
+    python tools/ab_kcore.py [--sf /root/testdata/sf0.1] [--reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+_K = 2
+_PEEL_ROUNDS = 6
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from machine_telemetry_etl_ml_pipeline_spark.operators.ckpt import (
+        checkpoint_rotate,
+        retire_ids,
+        unpersist_all,
+    )
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext9 import (
+        _copurchase_edges,
+    )
+    from machine_telemetry_etl_ml_pipeline_spark.session import get_spark
+
+    spark = get_spark("ab_kcore")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def _deg(e):
+        return (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("c"))
+        )
+
+    def _peel(e, keep):
+        return (
+            e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+        )
+
+    def shipped(sf_dir: str):
+        """r7/r8 shape: deg checkpointed per round (3 jobs/round)."""
+        e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+        rows = []
+        deg_ids: list = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg, deg_ids = checkpoint_rotate(_deg(e), retire=deg_ids)
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                break
+            keep = deg.where(F.col("c") >= _K).select("node")
+            e, e_ids = checkpoint_rotate(_peel(e, keep), retire=e_ids)
+        retire_ids(spark, e_ids + deg_ids)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
+    def persist_deg(sf_dir: str):
+        """deg persisted per round: the stats collect materializes the
+        cache, the survivor semi-join reuses it (2 jobs/round)."""
+        e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = _deg(e).persist()
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                deg.unpersist(False)
+                break
+            keep = deg.where(F.col("c") >= _K).select("node")
+            e, e_ids = checkpoint_rotate(_peel(e, keep), retire=e_ids)
+            deg.unpersist(False)
+        retire_ids(spark, e_ids)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
+    def recompute_deg(sf_dir: str):
+        """deg never materialized: the semi-join re-derives the groupBy
+        inside the edge-checkpoint job (2 jobs/round, one extra 2|E|
+        aggregate per round)."""
+        e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = _deg(e)
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                break
+            keep = deg.where(F.col("c") >= _K).select("node")
+            e, e_ids = checkpoint_rotate(_peel(e, keep), retire=e_ids)
+        retire_ids(spark, e_ids)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
+    # A fourth variant — per-round .persist() on the EDGE list instead
+    # of localCheckpoint — was tried and is NOT viable: persist caps
+    # EXECUTION (InMemoryRelation substitution at physical planning)
+    # but not the LOGICAL tree, and each peel round references e three
+    # times (deg's union twice + the semi-join probe), so the analyzed
+    # plan grows 3^rounds copies of the base build — 729x at 6 rounds.
+    # Catalyst analysis + plan stringification on that tree OOMs the
+    # driver heap before the first job launches. Checkpoint's lineage
+    # TRUNCATION is what keeps iterative loops with multiplicative
+    # self-reference bounded; a persist chain is only safe when
+    # multiplicity^rounds stays small (graph_label_propagation: 2^3).
+    variants = {
+        "shipped": shipped,
+        "persist_deg": persist_deg,
+        "recompute_deg": recompute_deg,
+    }
+
+    # cross-variant output identity check (cheap SF) before timing
+    ref = None
+    for name, fn in variants.items():
+        got = tuple(map(tuple, fn("/root/testdata/sf0.01").collect()))
+        if ref is None:
+            ref = got
+        elif got != ref:
+            raise SystemExit(f"variant {name} output diverged: {got} != {ref}")
+    unpersist_all(spark)
+    print(f"outputs identical at sf0.01 ({len(ref)} rows)")
+
+    def run_once(fn) -> float:
+        t0 = time.time()
+        fn(args.sf).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        unpersist_all(spark)
+        return dt
+
+    for fn in variants.values():
+        run_once(fn)
+
+    best: dict[str, float] = {}
+    times: dict[str, list[float]] = {k: [] for k in variants}
+    for _ in range(args.reps):
+        for name, fn in variants.items():
+            t = run_once(fn)
+            times[name].append(t)
+            if name not in best or t < best[name]:
+                best[name] = t
+    for name in variants:
+        reps = ", ".join(f"{t:.2f}" for t in times[name])
+        print(f"{name}: min={best[name]:.2f}s  reps=[{reps}]")
+
+
+if __name__ == "__main__":
+    main()
