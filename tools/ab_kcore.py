@@ -130,21 +130,70 @@ def main() -> None:
             rows, "peel_round long, n_nodes long, n_edges long"
         ).orderBy("peel_round")
 
-    # A fourth variant — per-round .persist() on the EDGE list instead
-    # of localCheckpoint — was tried and is NOT viable: persist caps
-    # EXECUTION (InMemoryRelation substitution at physical planning)
-    # but not the LOGICAL tree, and each peel round references e three
-    # times (deg's union twice + the semi-join probe), so the analyzed
-    # plan grows 3^rounds copies of the base build — 729x at 6 rounds.
-    # Catalyst analysis + plan stringification on that tree OOMs the
-    # driver heap before the first job launches. Checkpoint's lineage
-    # TRUNCATION is what keeps iterative loops with multiplicative
-    # self-reference bounded; a persist chain is only safe when
-    # multiplicity^rounds stays small (graph_label_propagation: 2^3).
+    # A per-round .persist() on the EDGE list instead of localCheckpoint
+    # was tried and is NOT viable: persist caps EXECUTION
+    # (InMemoryRelation substitution at physical planning) but not the
+    # LOGICAL tree, and each peel round references e three times (deg's
+    # union twice + the semi-join probe), so the analyzed plan grows
+    # 3^rounds copies of the base build — 729x at 6 rounds. Catalyst
+    # analysis + plan stringification on that tree OOMs the driver heap
+    # before the first job launches. Checkpoint's lineage TRUNCATION is
+    # what keeps iterative loops with multiplicative self-reference
+    # bounded; a persist chain is only safe when multiplicity^rounds
+    # stays small (graph_label_propagation: 2^3).
+
+    def lazy_ckpt_fused(sf_dir: str):
+        """localCheckpoint(eager=False) on each round's edge list: the
+        round's stats collect materializes the checkpoint in the SAME
+        job (lineage still truncates on materialization), halving the
+        job count — 7 collects total instead of 7 collects + 7 eager
+        checkpoint jobs. Id attribution diffs the persistent-RDD set
+        around the collect (blocks appear at materialization, not at
+        the localCheckpoint call); the previous round's blocks retire
+        only after the new round's blocks are live."""
+        jsc = spark.sparkContext._jsc
+
+        def _ids():
+            return set(jsc.getPersistentRDDs().keySet().toArray())
+
+        def _retire(ids):
+            jmap = jsc.getPersistentRDDs()
+            for rid in ids:
+                r = jmap.get(rid)
+                if r is not None:
+                    r.unpersist(False)
+
+        e = (
+            _copurchase_edges(spark, sf_dir)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        prev_ids: set = set()
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = _deg(e)
+            before = _ids()
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            new_ids = _ids() - before  # e's blocks, live as of this job
+            _retire(prev_ids)
+            prev_ids = new_ids
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                _retire(prev_ids)
+                break
+            keep = deg.where(F.col("c") >= _K).select("node")
+            e = _peel(e, keep).localCheckpoint(eager=False)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
     variants = {
         "shipped": shipped,
         "persist_deg": persist_deg,
         "recompute_deg": recompute_deg,
+        "lazy_ckpt_fused": lazy_ckpt_fused,
     }
 
     # cross-variant output identity check (cheap SF) before timing
