@@ -1,0 +1,89 @@
+"""Classify per-query deltas between two bench JSON files.
+
+Every round's verdict asks the same question of BENCH_r{N} vs
+BENCH_r{N-1}: which moves are ambient drift and which need an isolated
+A/B (the r7 triangle-count lesson: a +25% bench move hid a real 20%
+eager-collect cost). This tool mechanizes the first pass:
+
+- estimates the round's AMBIENT DRIFT as the median relative delta
+  over all shared queries (machine-load/JIT noise moves everything
+  roughly together — SCALE.md "Bench-regression re-measure"),
+- classifies each query as within the drift band (median +- band
+  width) or ABOVE/BELOW it,
+- prints the outliers sorted by excess-over-drift, i.e. exactly the
+  list that needs per-query attribution (an isolated A/B via the
+  tools/ab_*.py harness pattern, or a plan diff via
+  tools/plan_audit.py).
+
+Accepts both the raw bench.py output and the driver's BENCH_r{N}.json
+wrapper ({"parsed": {...}}).
+
+    python tools/bench_compare.py OLD.json NEW.json [--band 0.10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def load(path: str) -> dict:
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no 'queries' key (not a bench JSON?)")
+    return d
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument(
+        "--band",
+        type=float,
+        default=0.10,
+        help="half-width of the drift band around the median delta",
+    )
+    args = ap.parse_args()
+
+    old, new = load(args.old), load(args.new)
+    qo, qn = old["queries"], new["queries"]
+    shared = sorted(set(qo) & set(qn))
+    only_old = sorted(set(qo) - set(qn))
+    only_new = sorted(set(qn) - set(qo))
+
+    rel = {n: (qn[n] - qo[n]) / qo[n] for n in shared if qo[n] > 0}
+    deltas = sorted(rel.values())
+    median = deltas[len(deltas) // 2] if deltas else 0.0
+    lo, hi = median - args.band, median + args.band
+
+    out = [
+        (n, qo[n], qn[n], rel[n], rel[n] - median)
+        for n in shared
+        if not (lo <= rel[n] <= hi)
+    ]
+    out.sort(key=lambda r: -abs(r[4]))
+
+    print(
+        f"shared={len(shared)}  total {old.get('value', '?')} -> "
+        f"{new.get('value', '?')}  median-delta={median:+.1%} "
+        f"(ambient-drift estimate)  band=+-{args.band:.0%}"
+    )
+    if only_old:
+        print(f"dropped queries: {', '.join(only_old)}")
+    if only_new:
+        print(f"added queries: {', '.join(only_new)}")
+    if not out:
+        print("all queries within the drift band — nothing to attribute")
+        return
+    print(f"\n{len(out)} queries OUTSIDE the band (need attribution):")
+    print(f"{'query':38s} {'old':>7s} {'new':>7s} {'delta':>8s} {'vs-drift':>9s}")
+    for n, o, v, r, ex in out:
+        print(f"{n:38s} {o:7.2f} {v:7.2f} {r:+8.1%} {ex:+9.1%}")
+
+
+if __name__ == "__main__":
+    main()
