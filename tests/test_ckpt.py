@@ -64,6 +64,30 @@ def test_unpersist_all_sweeps_everything(spark):
     assert _persistent(spark) == []
 
 
+def test_unpersist_all_clears_cache_manager_entries(spark):
+    """The r8 A/B contamination fix: retiring persistent-RDD blocks
+    alone leaves SQL CacheManager ENTRIES alive, and Spark applies
+    cached plans to ANY later query with a matching logical subtree —
+    so a timing harness that persists in run N silently feeds run N+1.
+    unpersist_all must clear both layers."""
+    unpersist_all(spark)
+    df = spark.range(50_000).select((F.col("id") % 7).alias("k")).groupBy("k").count()
+    df.persist()
+    assert df.count() == 7  # materialize the cache
+    assert spark.catalog.isCached is not None  # API guard only
+    # a SEPARATE frame with the same logical plan picks up the cache
+    twin = spark.range(50_000).select((F.col("id") % 7).alias("k")).groupBy("k").count()
+    assert "InMemoryTableScan" in twin._jdf.queryExecution().executedPlan().toString()
+    unpersist_all(spark)
+    twin2 = spark.range(50_000).select((F.col("id") % 7).alias("k")).groupBy("k").count()
+    plan = twin2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan, (
+        "CacheManager entry survived unpersist_all — the A/B "
+        "cross-contamination path is open again"
+    )
+    assert _persistent(spark) == []
+
+
 def test_plancap_records_finalized_construction_plans(spark):
     from machine_telemetry_etl_ml_pipeline_spark.operators import plancap
 

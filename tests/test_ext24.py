@@ -154,3 +154,37 @@ def test_dpp_plan_prunes_partitions(spark):
         assert "dynamicpruning" in plan.lower()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_forest_conv_bytes_match_hex_math(spark):
+    """ml_random_forest_vote parses its 5 bootstrap bytes from ONE
+    conv() of the first 10 md5 hex chars (r8 rewrite); the DuckDB
+    oracle keeps the explicit per-digit hex arithmetic. Pin the
+    bit-identity of the two derivations per (row, tree) so the Spark
+    side can never drift from the oracle's definition silently."""
+    li = _t(spark, SF, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid")
+    )
+    hashed = li.select(
+        F.md5(F.concat(F.col("rid").cast("string"), F.lit(":bag"))).alias("h")
+    ).select(
+        "h",
+        F.conv(F.substr("h", F.lit(1), F.lit(10)), 16, 10).cast("long").alias("hv"),
+    )
+    hexd = "instr('0123456789abcdef', substr(h, {p}, 1)) - 1"
+    mismatches = hashed.agg(
+        *[
+            F.sum(
+                F.when(
+                    F.expr(
+                        f"(({hexd.format(p=2 * t + 1)}) * 16"
+                        f" + ({hexd.format(p=2 * t + 2)}))"
+                        f" != shiftright(hv, {8 * (4 - t)}) % 256"
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias(f"bad{t}")
+            for t in range(5)
+        ]
+    ).collect()[0]
+    assert all(mismatches[f"bad{t}"] == 0 for t in range(5))
