@@ -79,8 +79,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # green at sf0.001 AND sf0.01 oracle-exact with a scale differential
 # (SCALE.md) and 32-vs-7-partition deterministic.
 _PRIORITY = [
-    # --- r8 window head: highest-risk never-checked (iterative
-    # recurrences, MATERIALIZED-CTE oracles, multi-join graph) ---
+    # === r9 window head: the 9-entry driver-row debt (VERDICT r8
+    # items 1-2) — the only entries without a green driver row.
+    # ext_table_checksum re-specced r9 to a representation-proof
+    # int64 checksum (fold mod 2^62 -> BIGINT, registry_ext19.py)
+    # after the r8 hash-only red on its ~2^70 DECIMAL(38,0) output.
+    "ext_table_checksum",
+    "llm_semdedup_prune_scaled",
+    "llm_embedding_neardup_scaled",
+    "ext_approx_quantile_sketch_merge",
+    "stream_stream_join_full_outer",
+    "ext_approx_count_distinct",
+    "ext_sample",
+    "ext_sample_stratified",
+    "llm_multimodal_decode",
+    # --- r9 additions (surface freeze: <=5) queue directly behind
+    # the debt block so they get driver rows in-round ---
+    "ml_model_exact_scoring",
+    # --- r9 window fill: re-confirmation of the OLDEST driver rows
+    # (r1 reference core + r3 TPC-H) on current code — their green
+    # rows are 6-8 rounds old and the shared operator layer has
+    # evolved since; fresh rows maximize information per slot ---
+    "ref_scan_count", "ref_projection_rename", "ref_null_fill",
+    "ref_filter_eq", "ref_filter_range", "ref_filter_ilike",
+    "ref_filter_bounds", "ref_latest_n", "ref_range_scan",
+    "ref_latest_per_key", "ref_top_k_highest_value",
+    "ref_top_k_lowest_value", "ref_nulls_last_sort",
+    "ref_distinct_sorted", "ref_stats_global", "ref_stats_filtered",
+    "ref_count_distinct", "ref_grouped_comparison",
+    "ref_time_features", "ref_label_encoding", "ref_table_counts",
+    "ref_zscore_standardize", "ref_sink_batch_insert",
+    "ref_sink_insert_defaults", "ref_sink_insert_json",
+    "ref_ddl_create_table", "ref_surrogate_ids",
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q4", "tpch_q14",
+    "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q12",
+    "tpch_q19", "tpch_q13",
+    # --- ~50-entry r9 window boundary ---
+    "tpch_q18", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q21",
+    "tpch_q22", "tpch_q2", "tpch_q11", "tpch_q9", "tpch_q20",
+    # --- r8 window (all 49-green; ext_table_checksum rehomed to the
+    # r9 head above — dict.fromkeys dedupe keeps first position) ---
     "graph_k_core",
     "graph_weighted_sssp",
     "ml_gmm_em_1d",

@@ -7,7 +7,9 @@ canonicalization dedup, and graph link prediction.
   validator: two systems holding the same rows produce the same
   checksum regardless of row order or partitioning. 60-bit digests
   (15 hex chars) keep every engine in exact integer range; the sum
-  accumulates in DECIMAL(38,0)/HUGEINT.
+  accumulates in DECIMAL(38,0)/HUGEINT and folds mod 2^62 to a
+  BIGINT so the published value is representation-proof (r9 re-spec
+  after the r8 driver red on the >2^64 DECIMAL output).
 - `ext_bitmap_distinct`: EXACT distinct counting via Spark's bitmap
   aggregate family (bitmap_bucket_number / bitmap_bit_position /
   bitmap_construct_agg / bitmap_count / bitmap_or_agg) — the
@@ -68,7 +70,8 @@ _ROW_CANON_DUCK = (
       FROM events
     )
     SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(d) AS DECIMAL(38,0)) AS checksum
+           CAST(sum(d) % CAST(4611686018427387904 AS HUGEINT) AS BIGINT)
+             AS checksum
     FROM h GROUP BY event_type
     """,
 )
@@ -82,7 +85,15 @@ def ext_table_checksum(spark, sf_dir):
     engine — equal data yields equal checksums, and a single changed
     row changes the sum with probability 1 - 2^-60. The sum
     accumulates in DECIMAL(38,0) (DuckDB: HUGEINT recast) since 2^60
-    x rows passes BIGINT immediately. Scale shape: one
+    x rows passes BIGINT immediately, then FOLDS to int64 range
+    (mod 2^62, emitted BIGINT) so the published checksum is
+    representation-proof: every engine, driver, and hash
+    canonicalizer round-trips a sub-2^62 integer exactly, whereas a
+    ~2^70 DECIMAL(38,0) silently diverges in any float64 or
+    HUGEINT-vs-DECIMAL formatting path (r8 driver red, VERDICT.md).
+    Folding is checksum-neutral: mod is a homomorphism over the sum,
+    and collision probability stays ~2^-62 per changed row. Scale
+    shape: one
     partial-aggregable pass, no shuffle beyond the tiny group rollup —
     THE pattern for verifying a 100 TB copy without sorting it.
     Reference analog: the reference's row-count verification
@@ -97,7 +108,10 @@ def ext_table_checksum(spark, sf_dir):
     )
     return h.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum("d").cast("decimal(38,0)").alias("checksum"),
+        F.expr(
+            "CAST(sum(d) % CAST(4611686018427387904 AS DECIMAL(38,0)) "
+            "AS BIGINT)"
+        ).alias("checksum"),
     )
 
 

@@ -40,7 +40,8 @@ def test_checksum_is_order_insensitive_and_change_sensitive(spark):
                      CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING),
                      CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
                           AS STRING))), 1, 15), 16, 10) AS DECIMAL(38,0)))
-                   AS DECIMAL(38,0)) AS checksum
+                   % CAST(4611686018427387904 AS DECIMAL(38,0))
+                   AS BIGINT) AS checksum
             FROM _chk_ev GROUP BY event_type
             """
         ).collect()
@@ -55,7 +56,8 @@ def test_checksum_is_order_insensitive_and_change_sensitive(spark):
           CAST(user_id AS STRING), event_type,
           CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING),
           CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING))),
-          1, 15), 16, 10) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+          1, 15), 16, 10) AS DECIMAL(38,0)))
+          % CAST(4611686018427387904 AS DECIMAL(38,0)) AS BIGINT) AS checksum
         FROM _chk_ev GROUP BY event_type
         """
     ).collect()
