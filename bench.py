@@ -88,7 +88,11 @@ HEADLINE = [
     # SemDeDup pruning (bucketed pair scoring with precomputed norms).
     "ml_logistic_regression_gd",
     "graph_triangle_count",
-    "llm_semdedup_prune",
+    # r9: headline slot moved to the corpus-size-adaptive twin — the
+    # fixed-16-bucket original is a pinned quadratic (~n^2/16 pairs,
+    # 12.9x wall at 10x rows) kept only as frozen verified surface;
+    # the twin's bit-count grows with n so pair work stays near-linear.
+    "llm_semdedup_prune_scaled",
     # round-5 late batches: the statistics/sketch plans worth tracking —
     # Mann-Whitney's global rank window (the one range-partitioned
     # sorted pass), interval-union merge (two window passes on one

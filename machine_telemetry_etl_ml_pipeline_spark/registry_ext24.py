@@ -388,7 +388,7 @@ def ml_random_forest_vote(spark, sf_dir):
             F.substr(
                 F.md5(F.concat(F.col("rid").cast("string"), F.lit(":bag"))),
                 F.lit(1),
-                F.lit(10),
+                F.lit(2 * _N_TREES),
             ),
             16,
             10,
@@ -396,7 +396,11 @@ def ml_random_forest_vote(spark, sf_dir):
         .cast("long")
         .alias("hv"),
     )
-    bucket = F.expr("shiftright(hv, (4 - t) * 8) % 256")
+    # hv packs _N_TREES bytes big-endian into a signed long; 7 bytes is
+    # the capacity (8 flips the sign bit, and Java shiftright masks the
+    # shift mod 64, so overshoot is silent wrong buckets, not an error).
+    assert _N_TREES <= 7, "hv packs _N_TREES bytes into a signed long"
+    bucket = F.expr(f"shiftright(hv, ({_N_TREES - 1} - t) * 8) % 256")
     mem = hashed.crossJoin(F.broadcast(trees)).select(
         "rid", "q", "y", "t", bucket.alias("bucket")
     )

@@ -32,7 +32,7 @@ ext_grouped_median, ext_decimal_exact, ext_asof_join_forward.
 
 Reference anchor: the reference's text/ETL surface stops at
 per-document feature extraction (/root/reference/project/
-data_processing.py); these extend the same tables the way a
+database_and_model_tools.py); these extend the same tables the way a
 production analytics + training-data platform does. Float-parity
 convention (round-1 memory): ratios rounded to 4dp on both sides;
 counts and money stay integer/decimal-exact.

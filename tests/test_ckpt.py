@@ -74,7 +74,6 @@ def test_unpersist_all_clears_cache_manager_entries(spark):
     df = spark.range(50_000).select((F.col("id") % 7).alias("k")).groupBy("k").count()
     df.persist()
     assert df.count() == 7  # materialize the cache
-    assert spark.catalog.isCached is not None  # API guard only
     # a SEPARATE frame with the same logical plan picks up the cache
     twin = spark.range(50_000).select((F.col("id") % 7).alias("k")).groupBy("k").count()
     assert "InMemoryTableScan" in twin._jdf.queryExecution().executedPlan().toString()

@@ -62,7 +62,7 @@ def main() -> None:
 
     out = [
         (n, qo[n], qn[n], rel[n], rel[n] - median)
-        for n in shared
+        for n in rel
         if not (lo <= rel[n] <= hi)
     ]
     out.sort(key=lambda r: -abs(r[4]))
