@@ -47,6 +47,7 @@ from machine_telemetry_etl_ml_pipeline_spark import registry_ext28  # noqa: E402
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext29  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext30  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_ext31  # noqa: E402,F401  (extends REGISTRY)
+from machine_telemetry_etl_ml_pipeline_spark import registry_ext32  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_llm  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark import registry_udf  # noqa: E402,F401  (extends REGISTRY)
 from machine_telemetry_etl_ml_pipeline_spark.session import tune_session  # noqa: E402
@@ -137,9 +138,8 @@ _PRIORITY = [
     "ml_average_precision",
     "ml_cohens_kappa",
     "ml_cramers_v",
-    # registry_ext19: table checksum, bitmap distinct, Bollinger,
-    # URL canonicalization
-    "ext_table_checksum",
+    # registry_ext19: bitmap distinct, Bollinger, URL canonicalization
+    # (ext_table_checksum rehomed to the r9 head)
     "ext_bitmap_distinct",
     "ext_bollinger_bands",
     "llm_url_canonicalize",
@@ -183,26 +183,10 @@ _PRIORITY = [
     "ml_item_item_cosine",
     "llm_token_budget_fill",
     "ext_interval_arithmetic",
-    # --- 50-entry window boundary (r9 head starts here) ---
-    # r8 additions / rows-only upgrades queue here so the r9 window
-    # picks them up first (surface-freeze discipline: new entries
-    # land BEHIND the debt-clearing window, never inside it).
-    # added in r8 (registry_ext30): corpus-size-parameterized sign-LSH
-    # twins of the two fixed-bucket scale-killers
-    "llm_semdedup_prune_scaled",
-    "llm_embedding_neardup_scaled",
-    # added in r8 (registry_ext31, verdict item 8): mergeable quantile
-    # sketch + the FULL OUTER stream-stream interval join
-    "ext_approx_quantile_sketch_merge",
-    "stream_stream_join_full_outer",
-    # upgraded in r8 from rows-only to exact oracles (verdict item 5):
-    # hash-threshold sampling re-specs, HLL error-bound verdict, and
-    # the deterministic fake-codec decode — re-queued for fresh driver
-    # rows under the new oracles
-    "ext_approx_count_distinct",
-    "ext_sample",
-    "ext_sample_stratified",
-    "llm_multimodal_decode",
+    # --- 50-entry window boundary ---
+    # (the 9 r8-addition / rows-only-upgrade names that queued here
+    # were rehomed to the r9 head — single listing per name keeps the
+    # no-duplicates contract)
     # --- r7 driver window (all green in CORRECTNESS_r07; the four
     # rows-only upgrades above were removed from this block — their
     # only listing is now the r9 head) ---

@@ -201,34 +201,14 @@ def stream_stream_join_full_outer(spark, sf_dir):
     import uuid
 
     from .session import tune_session
-    from .streaming.windows import events_testdata_stream
+    from .streaming.windows import (
+        events_testdata_stream,
+        full_outer_click_purchase_join,
+    )
 
     tune_session(spark)
-
-    def side(event_type, alias):
-        return (
-            events_testdata_stream(spark, sf_dir)
-            .filter(F.col("event_type") == event_type)
-            .select(
-                F.col("user_id").alias(f"{alias}_user_id"),
-                F.col("event_id").alias(f"{alias}_event_id"),
-                F.col("ts").alias(f"{alias}_ts"),
-            )
-            .withWatermark(f"{alias}_ts", "2 hours")
-        )
-
-    joined = side("click", "c").join(
-        side("purchase", "p"),
-        (F.col("c_user_id") == F.col("p_user_id"))
-        & (F.col("p_ts") >= F.col("c_ts"))
-        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
-        F.col("c_event_id").alias("click_id"),
-        F.col("p_event_id").alias("purchase_id"),
-        F.unix_timestamp("c_ts").cast("long").alias("click_epoch"),
-        F.unix_timestamp("p_ts").cast("long").alias("purchase_epoch"),
+    joined = full_outer_click_purchase_join(
+        events_testdata_stream(spark, sf_dir)
     )
     name = f"stream_ssfoj_{uuid.uuid4().hex[:8]}"
     q = (

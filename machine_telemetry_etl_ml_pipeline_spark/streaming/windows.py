@@ -123,6 +123,41 @@ def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str = 
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def full_outer_click_purchase_join(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked FULL OUTER stream-stream interval join: clicks to
+    purchases within [c_ts, c_ts + 30min] per user. Shared by the
+    registry entry (registry_ext31.stream_stream_join_full_outer, fed
+    by events_testdata_stream) and the late-data eviction proof
+    (tests/test_streaming.py, fed by a multi-drain file source), so
+    the proof exercises the shipped join shape. Each side's unmatched
+    rows emit their null row only when the watermark proves no match
+    can arrive: clicks once wm > c_ts + 30min, purchases once
+    wm > p_ts — the asymmetry IS the interval condition."""
+
+    def side(event_type, alias):
+        return events.filter(F.col("event_type") == event_type).select(
+            F.col("user_id").alias(f"{alias}_user_id"),
+            F.col("event_id").alias(f"{alias}_event_id"),
+            F.col("ts").alias(f"{alias}_ts"),
+        ).withWatermark(f"{alias}_ts", watermark)
+
+    return side("click", "c").join(
+        side("purchase", "p"),
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user_id"), F.col("p_user_id")).alias("user_id"),
+        F.col("c_event_id").alias("click_id"),
+        F.col("p_event_id").alias("purchase_id"),
+        F.unix_timestamp("c_ts").cast("long").alias("click_epoch"),
+        F.unix_timestamp("p_ts").cast("long").alias("purchase_epoch"),
+    )
+
+
 def stream_static_join(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static broadcast join (dimension enrichment)."""
     return stream.join(F.broadcast(dim), on=on, how="left")

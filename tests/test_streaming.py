@@ -326,3 +326,93 @@ def test_dynamic_gap_watermark_eviction(spark, tmp_path):
         (2, ep + 480 * 60, ep + 540 * 60, 1),   # view: 60-min dynamic gap
     }
     assert got == want  # and u3's open session was not emitted
+
+
+def test_full_outer_join_watermark_eviction(spark, tmp_path):
+    """Late-data eviction proof for the FULL OUTER stream-stream
+    interval join (the stream_stream_join_full_outer shape, via the
+    shared full_outer_click_purchase_join builder) — the per-side
+    eviction rules under genuinely LATE data, which the availableNow
+    oracle drain can't exercise. Three checkpointed append drains:
+
+      drain 1: u1 click 10:00 + u1 purchase 10:10 -> MATCH emits
+               (no watermark needed); u2 click 10:05 and u3 purchase
+               10:15 stay in state     (watermark after: 08:15)
+      drain 2: u4 click 13:30 AND u6 purchase 13:30 advance wm to
+               11:30 (the global watermark is the MIN over both
+               sides' operators, so BOTH sides must advance — a
+               click-only drain leaves the purchase watermark at
+               08:15 and evicts nothing; verified failure mode) ->
+               u2's click window closed (10:35 < 11:30) -> null-click
+               row; u3's purchase passed (10:15 < 11:30) ->
+               null-purchase row. The ASYMMETRY is visible here: u3's
+               purchase evicts on p_ts itself, u2's click on
+               c_ts + 30min.
+      drain 3: u5 click 18:00 + u7 purchase 18:00 advance wm to
+               16:00 -> u4's null-click and u6's null-purchase emit;
+               u2 purchase 10:00 arrives BELOW the 11:30 horizon ->
+               DROPPED pre-join (in state it would emit a
+               null-purchase row by drain 3's no-data batch, so its
+               total absence is the late-drop proof). u5's click
+               (window open until 18:30 > wm) and u7's purchase
+               (18:00 > wm) stay open and must NOT be emitted.
+    """
+    from datetime import datetime, timedelta, timezone
+
+    from machine_telemetry_etl_ml_pipeline_spark.streaming.windows import (
+        EVENTS_STREAM_SCHEMA,
+        full_outer_click_purchase_join,
+    )
+
+    base = datetime(2025, 1, 1, 10, 0, 0, tzinfo=timezone.utc)
+
+    def mins(m):
+        return base + timedelta(minutes=m)
+
+    src = str(tmp_path / "foj_src")
+    sink = str(tmp_path / "foj_sink")
+    ckpt = str(tmp_path / "foj_ckpt")
+    batches = [
+        [
+            (1, mins(0), 1, "click"),
+            (2, mins(10), 1, "purchase"),
+            (3, mins(5), 2, "click"),
+            (4, mins(15), 3, "purchase"),
+        ],
+        [(5, mins(210), 4, "click"), (8, mins(210), 6, "purchase")],
+        [
+            (6, mins(480), 5, "click"),
+            (9, mins(480), 7, "purchase"),
+            (7, mins(0), 2, "purchase"),
+        ],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [(eid, ts, uid, et, 1.0, "{}") for eid, ts, uid, et in rows],
+            EVENTS_STREAM_SCHEMA,
+        ).write.parquet(f"{src}/b{i}")
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(f"{src}/*")
+        q = (
+            full_outer_click_purchase_join(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (1, 1, 2),        # in-window match
+        (2, 3, None),     # click evicted at wm > c_ts + 30min
+        (3, None, 4),     # purchase evicted at wm > p_ts
+        (4, 5, None),     # second click eviction, next horizon
+        (6, None, 8),     # second purchase eviction, next horizon
+    }
+    # late eid7 dropped; u5's click and u7's purchase stay open
+    assert got == want

@@ -189,11 +189,55 @@ def main() -> None:
             rows, "peel_round long, n_nodes long, n_edges long"
         ).orderBy("peel_round")
 
+    def _peel_anti(e, bad, hint: bool):
+        b_u = bad.withColumnRenamed("node", "u")
+        b_v = bad.withColumnRenamed("node", "v")
+        if hint:
+            b_u, b_v = F.broadcast(b_u), F.broadcast(b_v)
+        return (
+            e.join(b_u, "u", "left_anti").join(b_v, "v", "left_anti").select("u", "v")
+        )
+
+    def _anti_bad(sf_dir: str, hint: bool):
+        """r9 candidate: keep the r8 recompute-deg discipline but apply
+        the survivor filter as two anti-joins on the DROPPED node set
+        (deg < k) instead of two semi-joins on the kept set. Peeling
+        keeps the dropped set small and shrinking, so the anti build
+        side is broadcast-able — the edge list is never shuffled and
+        each round's only exchange is deg's groupBy. `hint` forces the
+        broadcast; hint-free lets AQE flip to broadcast from the deg
+        shuffle's runtime stats (the shape that also holds at cluster
+        scale, where round-0's dropped set might not fit a hint)."""
+        e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = _deg(e)
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                break
+            bad = deg.where(F.col("c") < _K).select("node")
+            e, e_ids = checkpoint_rotate(_peel_anti(e, bad, hint), retire=e_ids)
+        retire_ids(spark, e_ids)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
+    def anti_bad_aqe(sf_dir: str):
+        return _anti_bad(sf_dir, hint=False)
+
+    def anti_bad_hint(sf_dir: str):
+        return _anti_bad(sf_dir, hint=True)
+
     variants = {
         "shipped": shipped,
         "persist_deg": persist_deg,
         "recompute_deg": recompute_deg,
         "lazy_ckpt_fused": lazy_ckpt_fused,
+        "anti_bad_aqe": anti_bad_aqe,
+        "anti_bad_hint": anti_bad_hint,
     }
 
     # cross-variant output identity check (cheap SF) before timing
