@@ -122,10 +122,78 @@ def anomaly_scores(model: PipelineModel, df: DataFrame) -> DataFrame:
     return scored.withColumn("is_anomaly", (F.col("anomaly_score") > threshold).cast("int"))
 
 
+def reference_model_scores(df: DataFrame) -> DataFrame:
+    """MODEL-EXACT scoring with the reference's two PRESENT fitted
+    blobs (M2 + M4), no sklearn/lightgbm required: ml/refmodels.py
+    extracts the fitted parameters from the joblib blobs and replays
+    the published scoring algorithms. Input needs the FEATURE_ORDER
+    columns (database_and_model_tools.py:214-218); adds
+
+      reg_pred       LGBMRegressor predict (regression scaler + 762
+                     trees, best_regressor_v18.pkl)
+      anomaly_score  pyod IForest decision_function (anomaly scaler +
+                     100-tree IsolationForest,
+                     best_anomaly_detector_v18.pkl)
+      is_anomaly     pyod predict (score > stored fitted threshold)
+
+    One Arrow-batched mapInPandas pass; the model arrays load once per
+    Python worker (lru-cached), every output is a pure per-row
+    function, so the shape is the 100 TB batch-inference one —
+    embarrassingly parallel map, no shuffle, broadcast-size model.
+    Registry twin: ml_model_exact_scoring (registry_ext32) proves this
+    exact scoring path bitwise against driver-local scoring through
+    the driver's DuckDB gate."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from . import refmodels
+
+    if not refmodels.available():
+        raise NotImplementedError(
+            "reference model blobs not mounted at " + refmodels.MODEL_DIR
+        )
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("reg_pred", DoubleType()),
+            StructField("anomaly_score", DoubleType()),
+            StructField("is_anomaly", IntegerType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            x = pdf[FEATURE_ORDER].to_numpy(dtype=np.float64)
+            pdf = pdf.copy()
+            pdf["reg_pred"] = refmodels.lgbm_predict(
+                refmodels.load_regressor(),
+                refmodels.scaler_transform(
+                    refmodels.load_scaler("regression_scaler_v18.pkl"), x
+                ),
+            )
+            ano = refmodels.iforest_scores(
+                refmodels.load_iforest(),
+                refmodels.scaler_transform(
+                    refmodels.load_scaler("anomaly_scaler_v18.pkl"), x
+                ),
+            )
+            pdf["anomaly_score"] = ano["pyod_score"]
+            pdf["is_anomaly"] = ano["label"]
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)
+
+
 def sklearn_iforest_scores(df: DataFrame, features: list[str] | None = None) -> DataFrame:
-    """Exact-parity path for the reference's pyod IForest (M4): score a
-    broadcast sklearn model with an Arrow-batched pandas_udf. Gated on
-    sklearn availability (absent in this container)."""
+    """Refit-parity path for an IForest via a broadcast sklearn model
+    and an Arrow-batched pandas_udf; gated on sklearn availability
+    (absent in this container). Since r9, `reference_model_scores`
+    scores the reference's ACTUAL fitted blobs with no sklearn at all
+    — prefer it; this stays as the refit path for environments that
+    want a model trained on their own sample."""
     try:
         from sklearn.ensemble import IsolationForest  # noqa: F401
     except ImportError as e:  # pragma: no cover - env without sklearn

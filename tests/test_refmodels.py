@@ -154,3 +154,45 @@ def test_spark_path_matches_driver_scoring_bitwise(spark):
         assert r.reg_pred == d.reg_pred  # bitwise, not approx
         assert r.anomaly_score == d.anomaly_score
         assert r.is_anomaly == int(d.is_anomaly)
+
+
+def test_reference_model_scores_pipeline(spark):
+    """The M2/M4 pipeline entry point (ml/pipeline.reference_model_scores)
+    scores arbitrary FEATURE_ORDER frames — including the reference's
+    own smoke row — bitwise-identically to driver-local scoring."""
+    import pandas as pd
+
+    from machine_telemetry_etl_ml_pipeline_spark.ml.pipeline import (
+        SMOKE_FEATURES,
+        reference_model_scores,
+    )
+    from machine_telemetry_etl_ml_pipeline_spark.schemas import FEATURE_ORDER
+
+    # the smoke row + a grid of perturbed rows, across 4 partitions
+    base = [SMOKE_FEATURES[f] for f in FEATURE_ORDER]
+    rows = [tuple([float(i)] + base) for i in range(12)]
+    for i in range(1, 12):
+        rows[i] = tuple(
+            [float(i)] + [v * (1 + 0.03 * i * ((j % 3) - 1)) for j, v in enumerate(base)]
+        )
+    df = spark.createDataFrame(rows, ["row_id"] + FEATURE_ORDER).repartition(4)
+    got = {r.row_id: r for r in reference_model_scores(df).collect()}
+    assert len(got) == 12
+
+    # driver-local replay through the same refmodels functions
+    x = np.array([r[1:] for r in rows], dtype=np.float64)
+    reg = rm.lgbm_predict(
+        rm.load_regressor(),
+        rm.scaler_transform(rm.load_scaler("regression_scaler_v18.pkl"), x),
+    )
+    ano = rm.iforest_scores(
+        rm.load_iforest(),
+        rm.scaler_transform(rm.load_scaler("anomaly_scaler_v18.pkl"), x),
+    )
+    for i in range(12):
+        assert got[float(i)].reg_pred == reg[i]  # bitwise
+        assert got[float(i)].anomaly_score == ano["pyod_score"][i]
+        assert got[float(i)].is_anomaly == int(ano["label"][i])
+    # the undisturbed smoke row scores as a typical inlier
+    assert got[0.0].is_anomaly in (0, 1)
+    assert pd.notna(got[0.0].reg_pred)
