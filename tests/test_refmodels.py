@@ -196,3 +196,30 @@ def test_reference_model_scores_pipeline(spark):
     # the undisturbed smoke row scores as a typical inlier
     assert got[0.0].is_anomaly in (0, 1)
     assert pd.notna(got[0.0].reg_pred)
+
+
+def test_classifier_scalers_extract_exactly():
+    """M3's scaler half: the two PRESENT classifier scalers (their
+    model blobs are in .MISSING_LARGE_BLOBS) extract with the same
+    closed unpickler. Redundancy anchors: identical 10-feature order
+    across all four scalers, and the two binary classifiers' training
+    sample counts PARTITION the full 7200-row training set (fault+idle
+    3632, active+maintenance 3568) — stored facts, not our reading."""
+    names = [
+        "regression_scaler_v18.pkl",
+        "anomaly_scaler_v18.pkl",
+        "classifier_fault_idle_scaler_v18.pkl",
+        "classifier_active_maint_scaler_v18.pkl",
+    ]
+    scalers = {n: rm.load_scaler(n) for n in names}
+    orders = {tuple(s["features"]) for s in scalers.values()}
+    assert len(orders) == 1  # one canonical FEATURE_ORDER everywhere
+    for s in scalers.values():
+        expect = np.where(s["var"] == 0.0, 1.0, np.sqrt(s["var"]))
+        assert np.array_equal(s["scale"], expect)
+    assert (
+        scalers["classifier_fault_idle_scaler_v18.pkl"]["n_samples_seen"]
+        + scalers["classifier_active_maint_scaler_v18.pkl"]["n_samples_seen"]
+        == 7200
+    )
+    assert scalers["regression_scaler_v18.pkl"]["n_samples_seen"] == 5760  # 80% split
