@@ -97,6 +97,9 @@ _PRIORITY = [
     # --- r9 additions (surface freeze: <=5) queue directly behind
     # the debt block so they get driver rows in-round ---
     "ml_model_exact_scoring",
+    "ml_kfold_cv",
+    "ml_conformal_interval",
+    "llm_sequence_packing",
     # --- r9 window fill: re-confirmation of the OLDEST driver rows
     # (r1 reference core + r3 TPC-H) on current code — their green
     # rows are 6-8 rounds old and the shared operator layer has
