@@ -100,6 +100,7 @@ _PRIORITY = [
     "ml_kfold_cv",
     "ml_conformal_interval",
     "llm_sequence_packing",
+    "ml_rolling_origin_backtest",
     # --- r9 window fill: re-confirmation of the OLDEST driver rows
     # (r1 reference core + r3 TPC-H) on current code — their green
     # rows are 6-8 rounds old and the shared operator layer has

@@ -156,3 +156,42 @@ def test_sequence_packing_matches_bruteforce(spark):
         assert r.efficiency == pytest.approx(
             sum(ws) / (bins * 512.0), abs=1e-4
         )
+
+
+def test_rolling_origin_backtest_is_leakage_safe_and_exact(spark):
+    import pyspark.sql.functions as F
+
+    rows = {r.test_day: r for r in _run(spark, "ml_rolling_origin_backtest").collect()}
+    assert len(rows) == 4
+    ev = (
+        _t(spark, SF, "events")
+        .select(
+            F.to_date("ts").cast("string").alias("day"),
+            F.hour("ts").cast("long").alias("x"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+        )
+        .toPandas()
+    )
+    days = sorted(ev.day.unique())
+    assert list(rows) == days[-4:]
+    for d, r in rows.items():
+        tr = ev[ev.day < d]  # STRICTLY earlier — the leakage-safety line
+        te = ev[ev.day == d]
+        assert r.n_train == len(tr) and r.n_test == len(te)
+        # closed-form slope/intercept in exact python ints
+        n = len(tr)
+        sx, sy = int(tr.x.sum()), int(tr.y.sum())
+        sxx = int((tr.x.astype(object) * tr.x.astype(object)).sum())
+        sxy = int((tr.x.astype(object) * tr.y.astype(object)).sum())
+        b1 = round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6)
+        assert r.b1_e6 == b1
+        b0 = round((sy * 1_000_000 - b1 * sx) / n)
+        assert r.b0_e6 == b0
+        res = te.y.to_numpy(np.int64) * 1_000_000 - (b0 + b1 * te.x.to_numpy(np.int64))
+        ssr = sum(int(v) * int(v) for v in res)
+        assert r.rmse_cents == pytest.approx(
+            round(np.sqrt(ssr / len(te)) / 1e6, 4), abs=1e-9
+        )
+    # expanding window: training size strictly grows across folds
+    sizes = [rows[d].n_train for d in days[-4:]]
+    assert sizes == sorted(sizes) and sizes[0] > 0
