@@ -102,15 +102,56 @@ def distinct_values(df: DataFrame, col: str) -> DataFrame:
     return df.select(col).distinct().orderBy(col)
 
 
+_MICRO = 1000000  # fixed-point scale for exact AVG: 6dp > the 4dp output
+
+
+def exact_avg(col: str, round_to: int = 4):
+    """round(avg(col), round_to), engine- and order-invariant at every
+    SF. Two divergence channels in the naive round(avg(double), k),
+    both observed live on ref_grouped_comparison at sf0.1:
+
+    1. avg(double) sums in engine-specific order; when a group's mean
+       sits within an ulp of a .00005 boundary the last-bit sum
+       difference flips the 4th decimal (56.2087 vs 56.2088). Armor:
+       fixed-point each value to micro-units (one bit-identical IEEE
+       multiply + half-up round per row), sum in DECIMAL(38,0) —
+       exact, order-free — so both engines divide IDENTICAL operands.
+    2. round(x, k>0) itself is not cross-engine stable even on
+       IDENTICAL doubles: Spark rounds the SHORTEST DECIMAL REPR
+       (BigDecimal.valueOf -> Double.toString), DuckDB the binary
+       value, and they disagree whenever x's shortest repr lands
+       exactly on the .00005 boundary the binary value sits just
+       below (49.1913 vs 49.1912 — hit on the first re-spec attempt).
+       Armor: round to an INTEGER count of 10^-k units instead —
+       integer-boundary rounding has no repr ambiguity (for |x|<2^52
+       every n.5 is exactly representable, so shortest-repr and
+       binary rounding agree, and HALF_UP == away-from-zero on both
+       engines) — then divide by 10^k once for display: a small
+       integer over a power of ten, the same nearest double on both
+       engines.
+
+    DuckDB mirror (k=4): round(CAST(sum(CAST(round(col * 1000000.0)
+    AS BIGINT)) AS DOUBLE) / (count(col) * 100)) / 10000.0."""
+    assert 0 <= round_to <= 6, "exact_avg fixed-point carries 6dp"
+    sub = _MICRO // 10**round_to  # micro-units per output unit, per row
+    m = F.round(F.col(col) * F.lit(float(_MICRO))).cast("decimal(38,0)")
+    units = F.round(
+        F.sum(m).cast("double") / (F.count(F.col(col)) * F.lit(sub))
+    )
+    return units / F.lit(float(10**round_to))
+
+
 def stats(df: DataFrame, metrics: Sequence[str], round_to: int = 4) -> DataFrame:
     """Ungrouped scalar aggregate: COUNT(*) + MIN/MAX/AVG per metric
-    (reference get_telemetry_stats, project/db.py:209-233)."""
+    (reference get_telemetry_stats, project/db.py:209-233). AVG rides
+    the exact fixed-point path (exact_avg); MIN/MAX pass a single
+    stored double through and need no armor."""
     aggs = [F.count(F.lit(1)).alias("n")]
     for m in metrics:
         aggs += [
             F.round(F.min(m), round_to).alias(f"min_{m}"),
             F.round(F.max(m), round_to).alias(f"max_{m}"),
-            F.round(F.avg(m), round_to).alias(f"avg_{m}"),
+            exact_avg(m, round_to).alias(f"avg_{m}"),
         ]
     return df.agg(*aggs)
 
@@ -125,9 +166,10 @@ def grouped_stats(
 ) -> DataFrame:
     """GROUP BY comparison aggregate with ordered output
     (reference get_machine_comparison_stats, project/db.py:368-387).
-    Hash aggregate: Spark does partial (map-side) + final automatically."""
+    Hash aggregate: Spark does partial (map-side) + final automatically;
+    the fixed-point AVG numerator is partial-aggregable the same way."""
     aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.round(F.avg(c), round_to).alias(f"avg_{c}") for c in avg_cols]
+    aggs += [exact_avg(c, round_to).alias(f"avg_{c}") for c in avg_cols]
     aggs += [F.round(F.max(c), round_to).alias(f"max_{c}") for c in max_cols]
     out = df.groupBy(key).agg(*aggs)
     if order_by is not None:

@@ -312,25 +312,36 @@ def ref_distinct_sorted(spark, sf_dir):
     return distinct_values(_t(spark, sf_dir, "events"), "user_id")
 
 
+_EXACT_AVG_VALUE_SQL = (
+    "round(CAST(sum(CAST(round(value * 1000000.0) AS BIGINT)) AS DOUBLE)"
+    " / (count(value) * 100)) / 10000.0"
+)
+
 @register(
     "ref_stats_global",
-    """
+    f"""
     SELECT count(*) AS n, round(min(value), 4) AS min_value,
-           round(max(value), 4) AS max_value, round(avg(value), 4) AS avg_value
+           round(max(value), 4) AS max_value,
+           {_EXACT_AVG_VALUE_SQL} AS avg_value
     FROM events
     """,
 )
 def ref_stats_global(spark, sf_dir):
     """Ungrouped scalar aggregate (reference get_telemetry_stats,
-    project/db.py:209-233)."""
+    project/db.py:209-233). AVG is the exact fixed-point formula
+    (operators/core.exact_avg) — a plain round(avg(double), 4) flips
+    the 4th decimal whenever the engines' summation orders differ by
+    an ulp near a .00005 boundary (seen on the grouped sibling at
+    sf0.1)."""
     return stats(_t(spark, sf_dir, "events"), ["value"])
 
 
 @register(
     "ref_stats_filtered",
-    """
+    f"""
     SELECT count(*) AS n, round(min(value), 4) AS min_value,
-           round(max(value), 4) AS max_value, round(avg(value), 4) AS avg_value
+           round(max(value), 4) AS max_value,
+           {_EXACT_AVG_VALUE_SQL} AS avg_value
     FROM events WHERE user_id = 2
     """,
 )
@@ -356,15 +367,22 @@ def ref_count_distinct(spark, sf_dir):
 
 @register(
     "ref_grouped_comparison",
-    """
-    SELECT user_id, count(*) AS n, round(avg(value), 4) AS avg_value,
+    f"""
+    SELECT user_id, count(*) AS n,
+           {_EXACT_AVG_VALUE_SQL} AS avg_value,
            round(max(value), 4) AS max_value
     FROM events GROUP BY user_id
     """,
 )
 def ref_grouped_comparison(spark, sf_dir):
     """GROUP BY comparison stats (reference get_machine_comparison_stats,
-    project/db.py:368-387). Partial (map-side) + final hash aggregate."""
+    project/db.py:368-387). Partial (map-side) + final hash aggregate.
+    AVG rides the exact fixed-point path: the round(avg(double), 4)
+    spec this entry carried through r8 diverged at sf0.1 (one group's
+    true mean within an ulp of a .00005 boundary — Spark 56.2087,
+    DuckDB 56.2088), the r5 silently-transits-DOUBLE class surfacing
+    at a bigger SF. With the integer micro-unit numerator both engines
+    round IDENTICAL doubles at every SF."""
     return grouped_stats(
         _t(spark, sf_dir, "events"), "user_id", avg_cols=["value"], max_cols=["value"]
     )

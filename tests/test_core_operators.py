@@ -82,15 +82,53 @@ def test_stats_all_null_metric(spark):
     assert s.n == 2 and s.avg_v is None
 
 
+def test_exact_avg_knife_edge_is_integer_math(spark):
+    """exact_avg pins the .00005-boundary behavior round(avg(double),4)
+    cannot: a group whose true mean lands EXACTLY on the boundary
+    (here 2.00005 = micro-sum 4000100 over n=2) must round HALF_UP to
+    2.0001 by construction — the fixed-point numerator and the
+    integer-unit rounding make that the only possible answer, where
+    the naive spec's answer depends on summation order and on whether
+    the engine rounds the shortest decimal repr or the binary value
+    (both divergence channels observed live at sf0.1, operators/core
+    exact_avg docstring). Nulls are excluded from numerator AND
+    denominator like avg()."""
+    df = spark.createDataFrame(
+        [("a", 2.0000), ("a", 2.0001), ("b", 1.0), ("b", None)],
+        "k string, v double",
+    )
+    g = {r.k: r.avg_v for r in grouped_stats(df, "k", avg_cols=["v"]).collect()}
+    assert g == {"a": 2.0001, "b": 1.0}
+    # brute-force integer reference over random micro-grids: the
+    # operator must equal round-half-up(sum_micro / (n*100)) / 1e4
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        ("g", round(rng.uniform(0, 300), 6))
+        for _ in range(200)
+    ]
+    got = grouped_stats(
+        spark.createDataFrame(rows, "k string, v double"), "k", avg_cols=["v"]
+    ).head().avg_v
+    micro = [round(v * 1000000) for _, v in rows]
+    units = (2 * sum(micro) + len(micro) * 100) // (2 * len(micro) * 100)
+    assert got == units / 10000.0
+
+
 def test_stratified_sample_rates(spark):
     """ext_sample_stratified (hash-threshold Bernoulli per stratum):
     realized per-stratum rates land near the requested fractions, and
     fraction-1.0 strata keep every row."""
+    from machine_telemetry_etl_ml_pipeline_spark import registry_ext5  # noqa: F401  (registers the entry)
     from machine_telemetry_etl_ml_pipeline_spark.registry import REGISTRY
     from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
 
     e = load_table(spark, "/root/testdata/sf0.01", "events")
-    totals = {r.event_type: r.n for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    totals = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
     got = {
         r.event_type: r.n_sampled
         for r in REGISTRY["ext_sample_stratified"].fn(spark, "/root/testdata/sf0.01").collect()
@@ -107,6 +145,7 @@ def test_bernoulli_sample_rate(spark):
     """ext_sample (hash-threshold Bernoulli): realized rate near the
     10% target, and re-running selects the IDENTICAL sample (the
     reproducibility property the hash re-spec buys over seeded RNG)."""
+    from machine_telemetry_etl_ml_pipeline_spark import registry_ext4  # noqa: F401  (registers the entry)
     from machine_telemetry_etl_ml_pipeline_spark.registry import REGISTRY
     from machine_telemetry_etl_ml_pipeline_spark.sources.catalog import load_table
 

@@ -231,6 +231,81 @@ def main() -> None:
     def anti_bad_hint(sf_dir: str):
         return _anti_bad(sf_dir, hint=True)
 
+    def sym_partitioned(sf_dir: str):
+        """r9 candidate 2: ZERO data-sized exchanges per round. The
+        loop state is the SYMMETRIZED list (node, other), checkpointed
+        hash-partitioned on node — localCheckpoint captures the
+        physical outputPartitioning into LogicalRDD, BUT ONLY with AQE
+        OFF during the checkpoint call (under AQE the captured plan is
+        AdaptiveSparkPlanExec and the partitioning degrades to
+        UnknownPartitioning — probed on this build). With the
+        partitioning captured, deg's groupBy(node) needs NO exchange
+        (EnsureRequirements sees the source already satisfies the
+        distribution), the survivor filter is two broadcast semi-joins
+        (node side map-local, other side broadcast), and filters
+        preserve the partitioning into the NEXT round's checkpoint —
+        so after the one up-front repartition the peel never shuffles
+        the edge list OR the degree table again. Costs: 2x checkpoint
+        bytes per round (sym is 2|E|), and the AQE toggle around each
+        checkpoint call."""
+        jsc = spark.sparkContext._jsc
+
+        def _ids():
+            return set(jsc.getPersistentRDDs().keySet().toArray())
+
+        def _retire(ids):
+            jmap = jsc.getPersistentRDDs()
+            for rid in ids:
+                r = jmap.get(rid)
+                if r is not None:
+                    r.unpersist(False)
+
+        def _ckpt_noaqe(df):
+            before = _ids()
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                out = df.localCheckpoint(eager=True)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", "true")
+            return out, list(_ids() - before)
+
+        e = _copurchase_edges(spark, sf_dir).select("u", "v")
+        sym, s_ids = _ckpt_noaqe(
+            e.select(F.col("u").alias("node"), F.col("v").alias("other"))
+            .union(e.select(F.col("v").alias("node"), F.col("u").alias("other")))
+            .repartition(32, "node")
+        )
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = sym.groupBy("node").agg(F.count("*").alias("c"))
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                break
+            keep = deg.where(F.col("c") >= _K).select("node")
+            nxt = (
+                sym.join(
+                    F.broadcast(keep.withColumnRenamed("node", "n1")),
+                    F.col("node") == F.col("n1"),
+                    "left_semi",
+                )
+                .join(
+                    F.broadcast(keep.withColumnRenamed("node", "n2")),
+                    F.col("other") == F.col("n2"),
+                    "left_semi",
+                )
+                .select("node", "other")
+            )
+            sym, new_ids = _ckpt_noaqe(nxt)
+            _retire(s_ids)
+            s_ids = new_ids
+        _retire(s_ids)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
     variants = {
         "shipped": shipped,
         "persist_deg": persist_deg,
@@ -238,6 +313,7 @@ def main() -> None:
         "lazy_ckpt_fused": lazy_ckpt_fused,
         "anti_bad_aqe": anti_bad_aqe,
         "anti_bad_hint": anti_bad_hint,
+        "sym_partitioned": sym_partitioned,
     }
 
     # cross-variant output identity check (cheap SF) before timing
