@@ -312,3 +312,30 @@ def test_bfs_histogram_matches_python_walk(spark, raw, cap):
         d = dist.get(node, -1)
         hist[d] = hist.get(d, 0) + 1
     assert got == hist
+
+
+@given(
+    vals=st.lists(
+        # 6dp-quantized positives: the operator's own fixed-point grid,
+        # so the Python integer reference is exact by construction
+        st.integers(min_value=0, max_value=300_000_000).map(lambda m: m / 1e6),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_avg_matches_integer_reference(spark, vals):
+    """exact_avg == round-half-up(sum_micro / (n*100)) / 1e4 computed in
+    pure Python integers — the engine-invariance contract (operators/
+    core.exact_avg): fixed-point numerator, integer-unit rounding.
+    Positive domain only: the integer reference below is half-toward-
+    +inf while both engines round half-away-from-zero (they agree with
+    each other on negatives, not with this formula)."""
+    from machine_telemetry_etl_ml_pipeline_spark.operators.core import exact_avg
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(exact_avg("v").alias("a")).head().a
+    micro = [round(v * 1_000_000) for v in vals]
+    n = len(vals)
+    units = (2 * sum(micro) + n * 100) // (2 * n * 100)
+    assert got == units / 10000.0
