@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators import plancap
 from .operators.ckpt import checkpoint_rotate, note_live, retire_ids
 from .registry import _t, register
 from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
@@ -380,48 +381,54 @@ def ml_gbt_stumps(spark, sf_dir):
     Scale shape per round: one partial-aggregable groupBy collapses
     the facts to |distinct q| candidate rows (50 here; quantile-binned
     to 256 at 100 TB), the cumsum/argmax run on candidates only, and
-    the 1-row stump broadcasts back — residuals never materialize as
-    state, they are re-derived in the same scan that aggregates the
-    next round (at 100 TB you cache the (q, cents) projection once
-    across rounds)."""
+    the 1-row stump comes back to the DRIVER as plain literals for the
+    next round's expressions (the bounded-1-row-collect pattern of the
+    k-core stats loop — model parameters, not data). The fully-lazy
+    alternative (each stage a broadcast SUBPLAN re-embedded by every
+    later stage and again by the final projection) was A/B-measured
+    r9 at 3.85s vs 2.45s for this shape (tools/ab_gbt.py, interleaved
+    min-of-reps): ReuseExchange does not dedupe the repeated parameter
+    subtrees across broadcast boundaries, so the lazy tree re-derives
+    early aggregates up to 4x. Residuals still never materialize —
+    each round's scan derives them from literals in the same pass that
+    aggregates the next fit (at 100 TB you cache the (q, cents)
+    projection once across rounds)."""
     li = _t(spark, sf_dir, "lineitem")
     y = li.select(
         F.col("l_quantity").cast("long").alias("q"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
     )
-    t0 = y.agg(
+    t0_df = y.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.col("cents").cast(_DEC)).alias("s"),
     )
-    base = t0.select(F.expr("s div n").alias("f0"), "n")
-    r1 = y.crossJoin(F.broadcast(base)).select(
-        "q", (F.col("cents") - F.col("f0")).alias("r")
-    )
-    b1 = _fit_stump_exact(r1).select(
-        F.col("t").alias("t1"),
-        F.col("w_lo").alias("w1_lo"),
-        F.col("w_hi").alias("w1_hi"),
-    )
-    r2 = r1.crossJoin(F.broadcast(b1)).select(
+    t0 = t0_df.collect()[0]
+    plancap.note(t0_df)  # construction-time plan (no-op unless auditing)
+    f0 = int(t0["s"]) // int(t0["n"])  # trunc == floor: cents sums > 0
+    r1 = y.select("q", (F.col("cents") - F.lit(f0)).alias("r"))
+    b1_df = _fit_stump_exact(r1)
+    b1 = b1_df.collect()[0]
+    plancap.note(b1_df)
+    t1, w1_lo, w1_hi = int(b1["t"]), int(b1["w_lo"]), int(b1["w_hi"])
+    r2 = r1.select(
         "q",
         (
             F.col("r")
-            - F.when(F.col("q") <= F.col("t1"), F.col("w1_lo")).otherwise(
-                F.col("w1_hi")
+            - F.when(F.col("q") <= F.lit(t1), F.lit(w1_lo)).otherwise(
+                F.lit(w1_hi)
             )
         ).alias("r"),
     )
-    b2 = _fit_stump_exact(r2).select(
-        F.col("t").alias("t2"),
-        F.col("w_lo").alias("w2_lo"),
-        F.col("w_hi").alias("w2_hi"),
-    )
-    r3 = r2.crossJoin(F.broadcast(b2)).select(
+    b2_df = _fit_stump_exact(r2)
+    b2 = b2_df.collect()[0]
+    plancap.note(b2_df)
+    t2, w2_lo, w2_hi = int(b2["t"]), int(b2["w_lo"]), int(b2["w_hi"])
+    r3 = r2.select(
         "q",
         (
             F.col("r")
-            - F.when(F.col("q") <= F.col("t2"), F.col("w2_lo")).otherwise(
-                F.col("w2_hi")
+            - F.when(F.col("q") <= F.lit(t2), F.lit(w2_lo)).otherwise(
+                F.lit(w2_hi)
             )
         ).alias("r"),
     )
@@ -429,20 +436,14 @@ def ml_gbt_stumps(spark, sf_dir):
         F.sum((F.col("r") * F.col("r")).cast(_DEC)).alias("sse"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
-    return (
-        base.select("f0")
-        .crossJoin(F.broadcast(b1))
-        .crossJoin(F.broadcast(b2))
-        .crossJoin(F.broadcast(fin))
-        .select(
-            "f0",
-            "t1",
-            "w1_lo",
-            "w1_hi",
-            "t2",
-            "w2_lo",
-            "w2_hi",
-            "n",
-            (F.col("sse").cast("double") / F.col("n")).alias("mse"),
-        )
+    return fin.select(
+        F.lit(f0).cast("long").alias("f0"),
+        F.lit(t1).cast("long").alias("t1"),
+        F.lit(w1_lo).cast("long").alias("w1_lo"),
+        F.lit(w1_hi).cast("long").alias("w1_hi"),
+        F.lit(t2).cast("long").alias("t2"),
+        F.lit(w2_lo).cast("long").alias("w2_lo"),
+        F.lit(w2_hi).cast("long").alias("w2_hi"),
+        "n",
+        (F.col("sse").cast("double") / F.col("n")).alias("mse"),
     )

@@ -1,17 +1,19 @@
-"""Isolated A/B for ml_gbt_stumps: shipped fully-lazy chain (one
-action, ReuseExchange dedupes the repeated 1-row parameter subtrees)
-vs eager materialization of the per-round stump parameters.
+"""Isolated A/B for ml_gbt_stumps: the r1-r8 fully-lazy chain (one
+action; correctness of its cost model rests on Catalyst's
+ReuseExchange serving every repeated 1-row parameter subtree from one
+execution) vs eager materialization of the per-round stump parameters.
 
-Why: the shipped plan embeds base/b1/b2 as broadcast SUBPLANS inside
-each successive residual stage AND again in the final projection, so
-correctness of its cost model rests entirely on Catalyst's
-ReuseExchange serving every repeat from one execution. PLANS.md shows
-11 exchanges / 19 codegen spans for what is logically 4 scans of a
-2-column projection — this A/B prices that reuse against (a) driver
-literals (collect each 1-row stump, fold values into the next stage's
-expressions — the bounded-1-row-collect pattern k-core's stats loop
-already uses) and (b) 1-row localCheckpoints (executor-side
-truncation, no driver round-trip).
+The lazy plan embedded base/b1/b2 as broadcast SUBPLANS inside each
+successive residual stage AND again in the final projection — 11
+exchanges / 19 codegen spans for what is logically 4 scans of a
+2-column projection. Measured r9 (this tool, interleaved min-of-reps
+at sf0.1): lazy_chain 3.85s vs collect_literals 2.45s vs ckpt_params
+2.9s — ReuseExchange does NOT dedupe across the broadcast boundaries,
+the lazy tree re-derives early aggregates up to 4x. SHIPPED since r9:
+collect_literals (the bounded-1-row-collect pattern of the k-core
+stats loop — the collected rows are model parameters, not data);
+`shipped` below calls the registry entry so the A/B keeps guarding
+whatever is live.
 
 Usage:
     python tools/ab_gbt.py [--sf /root/testdata/sf0.1] [--reps 3]
@@ -51,6 +53,68 @@ def main() -> None:
 
     def shipped(sf_dir: str):
         return REGISTRY["ml_gbt_stumps"].fn(spark, sf_dir)
+
+    def lazy_chain(sf_dir: str):
+        """The r1-r8 shape: every stage a lazy 1-row frame, re-embedded
+        as a broadcast subplan by later stages and the final select."""
+        y = _y(sf_dir)
+        t0 = y.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("cents").cast(_DEC)).alias("s"),
+        )
+        base = t0.select(F.expr("s div n").alias("f0"), "n")
+        r1 = y.crossJoin(F.broadcast(base)).select(
+            "q", (F.col("cents") - F.col("f0")).alias("r")
+        )
+        b1 = _fit_stump_exact(r1).select(
+            F.col("t").alias("t1"),
+            F.col("w_lo").alias("w1_lo"),
+            F.col("w_hi").alias("w1_hi"),
+        )
+        r2 = r1.crossJoin(F.broadcast(b1)).select(
+            "q",
+            (
+                F.col("r")
+                - F.when(F.col("q") <= F.col("t1"), F.col("w1_lo")).otherwise(
+                    F.col("w1_hi")
+                )
+            ).alias("r"),
+        )
+        b2 = _fit_stump_exact(r2).select(
+            F.col("t").alias("t2"),
+            F.col("w_lo").alias("w2_lo"),
+            F.col("w_hi").alias("w2_hi"),
+        )
+        r3 = r2.crossJoin(F.broadcast(b2)).select(
+            "q",
+            (
+                F.col("r")
+                - F.when(F.col("q") <= F.col("t2"), F.col("w2_lo")).otherwise(
+                    F.col("w2_hi")
+                )
+            ).alias("r"),
+        )
+        fin = r3.agg(
+            F.sum((F.col("r") * F.col("r")).cast(_DEC)).alias("sse"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        return (
+            base.select("f0")
+            .crossJoin(F.broadcast(b1))
+            .crossJoin(F.broadcast(b2))
+            .crossJoin(F.broadcast(fin))
+            .select(
+                "f0",
+                "t1",
+                "w1_lo",
+                "w1_hi",
+                "t2",
+                "w2_lo",
+                "w2_hi",
+                "n",
+                (F.col("sse").cast("double") / F.col("n")).alias("mse"),
+            )
+        )
 
     def _y(sf_dir: str):
         li = load_table(spark, sf_dir, "lineitem")
@@ -202,6 +266,7 @@ def main() -> None:
 
     variants = {
         "shipped": shipped,
+        "lazy_chain": lazy_chain,
         "collect_literals": collect_literals,
         "ckpt_params": ckpt_params,
     }
