@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .operators import plancap
 from .operators.ckpt import checkpoint_rotate, note_live, retire_ids
 from .registry import _t, register
 from .registry_ext2 import _views
@@ -341,62 +342,63 @@ def ml_logistic_regression_gd(spark, sf_dir):
     gradient uses sigmoid(0) = 0.5 exactly. At 100 TB caching the
     standardized projection between iterations is a knob; A/B-measured
     round 7, an explicit checkpoint was 1.2x SLOWER at bench scale
-    (the per-step scans stay fused with the parquet read and the
-    broadcast stats exchange is reused), so the lazy chain ships."""
+    (eager job overhead). Since r9 each step's 1-row gradient comes
+    back to the DRIVER and the weights ride the next scan as literals:
+    the r9 gbt A/B showed ReuseExchange does not dedupe 1-row
+    parameter subtrees nested inside different broadcast builds, and
+    the lazy weight chain here paid the same tax at lower multiplicity
+    (tools/ab_logistic.py: 1.25s lazy vs 0.90s literals, identical
+    trajectory — the collected values ARE the 1e-9-rounded walk, so
+    cross-engine parity is untouched). Weight updates run in driver
+    Python doubles — the same IEEE ops the old 1-row Spark projection
+    applied."""
     li = _t(spark, sf_dir, "lineitem")
-    stats = li.agg(
+    st_df = li.agg(
         F.round(F.avg("l_quantity"), 9).alias("m1"),
         F.round(F.stddev_pop("l_quantity"), 9).alias("s1"),
         F.round(F.avg("l_discount"), 9).alias("m2"),
         F.round(F.stddev_pop("l_discount"), 9).alias("s2"),
         F.count("*").cast("double").alias("n"),
     )
-    d = li.crossJoin(F.broadcast(stats)).select(
+    st = st_df.collect()[0]
+    plancap.note(st_df)  # construction-time plan (no-op unless auditing)
+    n = float(st["n"])
+    d = li.select(
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
-        ((F.col("l_quantity") - F.col("m1")) / F.col("s1")).alias("x1"),
-        ((F.col("l_discount") - F.col("m2")) / F.col("s2")).alias("x2"),
-        "n",
+        ((F.col("l_quantity") - F.lit(float(st["m1"]))) / F.lit(float(st["s1"]))).alias("x1"),
+        ((F.col("l_discount") - F.lit(float(st["m2"]))) / F.lit(float(st["s2"]))).alias("x2"),
     )
     # step 1: sigmoid(0) = 0.5 exactly
-    g = d.agg(
-        F.round(F.sum(F.lit(0.5) - F.col("y")) / F.max("n"), 9).alias("g0"),
-        F.round(F.sum((F.lit(0.5) - F.col("y")) * F.col("x1")) / F.max("n"), 9).alias("ga"),
-        F.round(F.sum((F.lit(0.5) - F.col("y")) * F.col("x2")) / F.max("n"), 9).alias("gb"),
+    g_df = d.agg(
+        F.round(F.sum(F.lit(0.5) - F.col("y")) / F.lit(n), 9).alias("g0"),
+        F.round(F.sum((F.lit(0.5) - F.col("y")) * F.col("x1")) / F.lit(n), 9).alias("ga"),
+        F.round(F.sum((F.lit(0.5) - F.col("y")) * F.col("x2")) / F.lit(n), 9).alias("gb"),
     )
-    w = g.select(
-        (F.lit(-0.5) * F.col("g0")).alias("w0"),
-        (F.lit(-0.5) * F.col("ga")).alias("wa"),
-        (F.lit(-0.5) * F.col("gb")).alias("wb"),
-    )
+    g = g_df.collect()[0]
+    plancap.note(g_df)
+    w0, wa, wb = -0.5 * g["g0"], -0.5 * g["ga"], -0.5 * g["gb"]
     for _ in range(2):
-        dd = d.crossJoin(F.broadcast(w))
-        z = F.col("w0") + F.col("wa") * F.col("x1") + F.col("wb") * F.col("x2")
+        z = F.lit(w0) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        g = dd.agg(
-            F.round(F.sum(p - F.col("y")) / F.max("n"), 9).alias("g0"),
-            F.round(F.sum((p - F.col("y")) * F.col("x1")) / F.max("n"), 9).alias("ga"),
-            F.round(F.sum((p - F.col("y")) * F.col("x2")) / F.max("n"), 9).alias("gb"),
-            F.first("w0").alias("pw0"),
-            F.first("wa").alias("pwa"),
-            F.first("wb").alias("pwb"),
+        g_df = d.agg(
+            F.round(F.sum(p - F.col("y")) / F.lit(n), 9).alias("g0"),
+            F.round(F.sum((p - F.col("y")) * F.col("x1")) / F.lit(n), 9).alias("ga"),
+            F.round(F.sum((p - F.col("y")) * F.col("x2")) / F.lit(n), 9).alias("gb"),
         )
-        w = g.select(
-            (F.col("pw0") - F.lit(0.5) * F.col("g0")).alias("w0"),
-            (F.col("pwa") - F.lit(0.5) * F.col("ga")).alias("wa"),
-            (F.col("pwb") - F.lit(0.5) * F.col("gb")).alias("wb"),
-        )
-    dd = d.crossJoin(F.broadcast(w))
-    z = F.col("w0") + F.col("wa") * F.col("x1") + F.col("wb") * F.col("x2")
+        g = g_df.collect()[0]
+        plancap.note(g_df)
+        w0, wa, wb = w0 - 0.5 * g["g0"], wa - 0.5 * g["ga"], wb - 0.5 * g["gb"]
+    z = F.lit(w0) + F.lit(wa) * F.col("x1") + F.lit(wb) * F.col("x2")
     pred_y = F.when(F.round(z, 9) > 0, 1.0).otherwise(0.0)
-    pred = dd.agg(
+    pred = d.agg(
         F.sum(F.when(pred_y == F.col("y"), 1).otherwise(0)).cast("long").alias("n_correct"),
-        F.max("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_rows"),
     )
     zero = F.lit(0.0)
-    return w.crossJoin(pred).select(
-        (F.round(F.col("w0"), 6) + zero).alias("w_intercept"),
-        (F.round(F.col("wa"), 6) + zero).alias("w_qty"),
-        (F.round(F.col("wb"), 6) + zero).alias("w_disc"),
+    return pred.select(
+        (F.round(F.lit(w0), 6) + zero).alias("w_intercept"),
+        (F.round(F.lit(wa), 6) + zero).alias("w_qty"),
+        (F.round(F.lit(wb), 6) + zero).alias("w_disc"),
         "n_correct",
         "n_rows",
     )
