@@ -386,7 +386,7 @@ def ml_gbt_stumps(spark, sf_dir):
     k-core stats loop — model parameters, not data). The fully-lazy
     alternative (each stage a broadcast SUBPLAN re-embedded by every
     later stage and again by the final projection) was A/B-measured
-    r9 at 3.85s vs 2.45s for this shape (tools/ab_gbt.py, interleaved
+    r9 at 1.98s vs 1.10s for this shape (tools/ab_gbt.py, interleaved
     min-of-reps): ReuseExchange does not dedupe the repeated parameter
     subtrees across broadcast boundaries, so the lazy tree re-derives
     early aggregates up to 4x. Residuals still never materialize —

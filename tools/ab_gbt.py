@@ -7,8 +7,8 @@ The lazy plan embedded base/b1/b2 as broadcast SUBPLANS inside each
 successive residual stage AND again in the final projection — 11
 exchanges / 19 codegen spans for what is logically 4 scans of a
 2-column projection. Measured r9 (this tool, interleaved min-of-reps
-at sf0.1): lazy_chain 3.85s vs collect_literals 2.45s vs ckpt_params
-2.9s — ReuseExchange does NOT dedupe across the broadcast boundaries,
+at sf0.1): lazy_chain 1.98s vs collect_literals 1.10s vs ckpt_params
+1.61s — ReuseExchange does NOT dedupe across the broadcast boundaries,
 the lazy tree re-derives early aggregates up to 4x. SHIPPED since r9:
 collect_literals (the bounded-1-row-collect pattern of the k-core
 stats loop — the collected rows are model parameters, not data);
