@@ -335,52 +335,52 @@ def ml_gmm_em_1d(spark, sf_dir):
     third iterative-optimizer family next to gradient descent
     (ml_logistic_regression_gd) and Lloyd's (ml_kmeans_lloyd). Each
     iteration is ONE partial-aggregable scan: the E-step
-    responsibility is a per-row closed form of the broadcast 5-value
-    parameter row; the M-step reduces to five moment sums whose
-    ratios are rounded to 1e-9 (the pinned-trajectory doctrine —
-    identical parameter walk both engines despite partition-order
-    float sums and libm-exp ulps; the shared 1/sqrt(2*pi) pdf factor
-    is cancelled analytically rather than trusted to libm). At 100 TB
-    you'd cache the standardized projection across the 3 scans; the
-    per-iteration shuffle is a 5-cell aggregate. Final parameters
-    ship on the 1e-6 grid. Reference analog: none (extends the
-    SQL-native iterative-ML family)."""
+    responsibility is a per-row closed form of the 5-value parameter
+    row; the M-step reduces to five moment sums whose ratios are
+    rounded to 1e-9 (the pinned-trajectory doctrine — identical
+    parameter walk both engines despite partition-order float sums
+    and libm-exp ulps; the shared 1/sqrt(2*pi) pdf factor is
+    cancelled analytically rather than trusted to libm). Since r9
+    each round's 1-row parameter aggregate comes back to the DRIVER
+    and rides the next round's E-step as literals — the gbt/logistic
+    multiplicity doctrine (SCALE.md): the lazy parameter chain nested
+    the `stats` standardization aggregate and every earlier round
+    inside each broadcast build, and ReuseExchange does not dedupe
+    across those boundaries (tools/ab_gmm.py: 1.22s lazy vs 1.10s
+    literals at sf0.1, all interleaved reps strictly ordered,
+    identical output — the collected values ARE the 1e-9-rounded
+    walk, so cross-engine parity is untouched). At 100 TB you'd cache
+    the standardized projection across the 3 scans; the per-iteration
+    shuffle is a 5-cell aggregate and the parameters are still 1 row.
+    Final parameters ship on the 1e-6 grid. Reference analog: none
+    (extends the SQL-native iterative-ML family)."""
     cents = F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
     orders = _t(spark, sf_dir, "orders")
-    stats = orders.select(cents.alias("p")).agg(
+    st_df = orders.select(cents.alias("p")).agg(
         F.round(F.avg("p"), 9).alias("m"),
         F.round(F.stddev_pop("p"), 9).alias("s"),
         F.count("*").cast("double").alias("n"),
     )
-    d = orders.crossJoin(F.broadcast(stats)).select(
-        ((cents - F.col("m")) / F.col("s")).alias("x"), "n"
-    )
-    params = None  # broadcast 1-row frame (wgt, mu1, v1, mu2, v2)
-    wgt, mu1, v1, mu2, v2 = (
-        F.lit(0.5),
-        F.lit(-1.0),
-        F.lit(1.0),
-        F.lit(1.0),
-        F.lit(1.0),
-    )
-    for i in range(3):
-        if params is not None:
-            d_it = d.crossJoin(F.broadcast(params))
-            wgt, mu1, v1, mu2, v2 = (
-                F.col("wgt"),
-                F.col("mu1"),
-                F.col("v1"),
-                F.col("mu2"),
-                F.col("v2"),
-            )
-        else:
-            d_it = d
+    st = st_df.collect()[0]
+    plancap.note(st_df)  # construction-time plan (no-op unless auditing)
+    m, s, n = float(st["m"]), float(st["s"]), float(st["n"])
+    d = orders.select(((cents - F.lit(m)) / F.lit(s)).alias("x"))
+    wgt, mu1, v1, mu2, v2 = 0.5, -1.0, 1.0, 1.0, 1.0
+    for _ in range(3):
         x = F.col("x")
-        p1 = wgt * F.exp(-(x - mu1) * (x - mu1) / (2 * v1)) / F.sqrt(v1)
-        p2 = (1 - wgt) * F.exp(-(x - mu2) * (x - mu2) / (2 * v2)) / F.sqrt(v2)
+        p1 = (
+            F.lit(wgt)
+            * F.exp(-(x - F.lit(mu1)) * (x - F.lit(mu1)) / (2 * F.lit(v1)))
+            / F.sqrt(F.lit(v1))
+        )
+        p2 = (
+            (1 - F.lit(wgt))
+            * F.exp(-(x - F.lit(mu2)) * (x - F.lit(mu2)) / (2 * F.lit(v2)))
+            / F.sqrt(F.lit(v2))
+        )
         r = (p1 / (p1 + p2)).alias("r")
-        agg = d_it.select(r, x.alias("x"), "n").agg(
-            F.round(F.sum("r") / F.max("n"), 9).alias("wgt"),
+        agg = d.select(r, x.alias("x")).agg(
+            F.round(F.sum("r") / F.lit(n), 9).alias("wgt"),
             F.round(F.sum(F.col("r") * F.col("x")) / F.sum("r"), 9).alias("mu1"),
             F.round(
                 F.sum(F.col("r") * F.col("x") * F.col("x")) / F.sum("r")
@@ -399,13 +399,21 @@ def ml_gmm_em_1d(spark, sf_dir):
                 9,
             ).alias("v2"),
         )
-        params = agg
-    n_rows = stats.select(F.col("n").cast("long").alias("n_rows"))
-    return params.crossJoin(F.broadcast(n_rows)).select(
-        (F.round(F.col("wgt"), 6) + 0).alias("weight1"),
-        (F.round(F.col("mu1"), 6) + 0).alias("mu1"),
-        (F.round(F.col("v1"), 6) + 0).alias("var1"),
-        (F.round(F.col("mu2"), 6) + 0).alias("mu2"),
-        (F.round(F.col("v2"), 6) + 0).alias("var2"),
-        "n_rows",
+        row = agg.collect()[0]
+        plancap.note(agg)
+        wgt, mu1, v1, mu2, v2 = (
+            float(row["wgt"]),
+            float(row["mu1"]),
+            float(row["v1"]),
+            float(row["mu2"]),
+            float(row["v2"]),
+        )
+    zero = F.lit(0.0)
+    return spark.range(1).select(
+        (F.round(F.lit(wgt), 6) + zero).alias("weight1"),
+        (F.round(F.lit(mu1), 6) + zero).alias("mu1"),
+        (F.round(F.lit(v1), 6) + zero).alias("var1"),
+        (F.round(F.lit(mu2), 6) + zero).alias("mu2"),
+        (F.round(F.lit(v2), 6) + zero).alias("var2"),
+        F.lit(int(n)).cast("long").alias("n_rows"),
     )
