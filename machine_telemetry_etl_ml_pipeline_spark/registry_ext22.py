@@ -95,6 +95,17 @@ def graph_k_core(spark, sf_dir):
     shape GraphX's peeling iteration shuffles. The fixed round cap
     (not run-to-fixpoint) keeps the plan static and SF-independent;
     peel depth beyond 6 is cut off identically on both engines.
+    Early exit (r9): the peel only ever REMOVES edges, so if a
+    round's (n_nodes, n_edges) equals the previous round's, the
+    survivor set is literally unchanged (a subset with equal
+    cardinality is the same set) and every later round's stats are
+    identical — they are filled driver-side and no further jobs run.
+    The fixpoint test is FREE (the per-round 1-row stats collect IS
+    the output) and the emitted trajectory is bit-identical; at
+    sf0.1 the graph converges at round 4, skipping 2 of 6 rounds
+    (tools/ab_kcore.py early_exit: 3.87s vs 4.04s min, every
+    interleaved rep pairwise faster). At 100 TB the same test stops
+    paying for converged rounds regardless of where the cap sits.
     Reference analog: none (extends graph_triangle_count family)."""
     e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
     rows = []
@@ -129,6 +140,15 @@ def graph_k_core(spark, sf_dir):
         plancap.note(st_df)  # construction-time plan (no-op unless auditing)
         rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
         if i == _PEEL_ROUNDS:
+            break
+        if i > 0 and rows[i][1:] == rows[i - 1][1:]:
+            # monotone fixpoint: nothing was removed this round, so
+            # every remaining round's stats are identical — fill them
+            # without running jobs (docstring: early exit)
+            rows.extend(
+                (j, rows[i][1], rows[i][2])
+                for j in range(i + 1, _PEEL_ROUNDS + 1)
+            )
             break
         keep = deg.where(F.col("c") >= _K).select("node")
         # localCheckpoint per round: the lineage-capping discipline of

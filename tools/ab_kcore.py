@@ -37,6 +37,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--variants",
+        default="",
+        help="comma-separated subset of variant names to run (default all)",
+    )
     args = ap.parse_args()
 
     from machine_telemetry_etl_ml_pipeline_spark.operators.ckpt import (
@@ -306,6 +311,38 @@ def main() -> None:
             rows, "peel_round long, n_nodes long, n_edges long"
         ).orderBy("peel_round")
 
+    def early_exit(sf_dir: str):
+        """recompute_deg + monotone fixpoint break: the peel only ever
+        REMOVES edges, so if round i's (n_nodes, n_edges) equals round
+        i-1's, the survivor set is literally unchanged (subset with
+        equal cardinality) and every later round's stats are identical
+        — fill them driver-side and stop running jobs. The test is
+        FREE: the per-round 1-row stats collect is already the entry's
+        output. Output is bit-identical (all PEEL_ROUNDS+1 rows still
+        emitted)."""
+        e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = _deg(e)
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                break
+            if i > 0 and rows[i][1:] == rows[i - 1][1:]:
+                rows.extend(
+                    (j, rows[i][1], rows[i][2])
+                    for j in range(i + 1, _PEEL_ROUNDS + 1)
+                )
+                break
+            keep = deg.where(F.col("c") >= _K).select("node")
+            e, e_ids = checkpoint_rotate(_peel(e, keep), retire=e_ids)
+        retire_ids(spark, e_ids)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
     variants = {
         "shipped": shipped,
         "persist_deg": persist_deg,
@@ -314,7 +351,14 @@ def main() -> None:
         "anti_bad_aqe": anti_bad_aqe,
         "anti_bad_hint": anti_bad_hint,
         "sym_partitioned": sym_partitioned,
+        "early_exit": early_exit,
     }
+    if args.variants:
+        wanted = args.variants.split(",")
+        missing = [n for n in wanted if n not in variants]
+        if missing:
+            raise SystemExit(f"unknown variants: {missing}")
+        variants = {n: variants[n] for n in wanted}
 
     # cross-variant output identity check (cheap SF) before timing
     ref = None
@@ -346,6 +390,8 @@ def main() -> None:
             if name not in best or t < best[name]:
                 best[name] = t
     for name in variants:
+        if name not in best:
+            continue  # --reps 0: identity pre-check only
         reps = ", ".join(f"{t:.2f}" for t in times[name])
         print(f"{name}: min={best[name]:.2f}s  reps=[{reps}]")
 
