@@ -353,14 +353,24 @@ def ml_random_forest_vote(spark, sf_dir):
     (correct = max(posL, negL) + max(posR, negR), a total
     (correct DESC, threshold) order — no Gini floats, unlike the
     single ml_decision_stump), and each row is scored by the
-    majority of the 5 votes. Training is one (tree, q) grid aggregate
-    (5x the per-value table, trees unrolled as a dimension, not a
-    loop); inference folds the broadcast 1-row ARRAY model per row —
+    majority of the 5 votes. Training is ONE per-q pass of 2x5
+    CONDITIONAL aggregates (sum(when(in_bag_t, ...)) per tree) over
+    the un-expanded base, unpivoted to the (tree, q) grid only after
+    aggregation — since r9; the r1-r8 shape cross-joined the 5-row
+    tree dimension first (5x row expansion through the hash-agg;
+    tools/ab_forest.py: 3.13s -> 2.46s min at sf0.1, every
+    interleaved rep pairwise faster, identical output — zero-count
+    (t, q) rows are dropped post-unpivot to reproduce the exact
+    candidate set, since a zero row would tie its cum-neighbor's
+    score and could steal the argmax via the threshold tiebreak).
+    Inference folds the broadcast 1-row ARRAY model per row —
     no per-row grouping (the synthetic (orderkey, linenumber) pair is
     not unique), no inference shuffle at all.
     No RNG anywhere, so the ensemble is reproducible across engines,
     runs and cluster sizes. Scale: per-value table is
-    |distinct q| x 5 rows; everything else is partial-aggregable.
+    |distinct q| x 5 rows; everything else is partial-aggregable, and
+    the conditional-aggregate pass keeps map-side work linear in BASE
+    rows at any tree count.
     Reference analog: the reference bags LightGBM/XGBoost
     (project/database_and_model_tools.py:126-164); this is the
     engine-native ensemble shape."""
@@ -369,19 +379,17 @@ def ml_random_forest_vote(spark, sf_dir):
         F.col("l_quantity").alias("q"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
-    trees = spark.range(_N_TREES).select(F.col("id").cast("int").alias("t"))
     # tree t's bootstrap byte = byte t of the ONE md5 per row (hex
     # positions 2t+1, 2t+2): 5x fewer hashes than md5(rid:t) per tree.
     # The 5 bytes are parsed ONCE per base row — conv() of the first 10
     # hex chars into a 40-bit BIGINT — and each tree's byte is a shift/
-    # mask after the 5x expansion, instead of 2 instr+substr string ops
-    # per expanded row (10 per base row). Bit-identical to the hex math
-    # (verified over all 6M sf0.1 rids) and ~10% on the whole entry
-    # (isolated A/B, 5 interleaved reps: 2.90s vs 3.27s min at sf0.1);
-    # the DuckDB oracle keeps the explicit hex arithmetic, so the
-    # equality is cross-checked on every gate run.
+    # mask, instead of 2 instr+substr string ops per (row, tree)
+    # membership test. Bit-identical to the hex math (verified over
+    # all 6M sf0.1 rids; that r8 A/B measured 2.90s vs 3.27s min at
+    # sf0.1 on the then-current expanded-grid shape); the DuckDB
+    # oracle keeps the explicit hex arithmetic, so the equality is
+    # cross-checked on every gate run.
     hashed = li.select(
-        "rid",
         "q",
         "y",
         F.conv(
@@ -400,13 +408,43 @@ def ml_random_forest_vote(spark, sf_dir):
     # the capacity (8 flips the sign bit, and Java shiftright masks the
     # shift mod 64, so overshoot is silent wrong buckets, not an error).
     assert _N_TREES <= 7, "hv packs _N_TREES bytes into a signed long"
-    bucket = F.expr(f"shiftright(hv, ({_N_TREES - 1} - t) * 8) % 256")
-    mem = hashed.crossJoin(F.broadcast(trees)).select(
-        "rid", "q", "y", "t", bucket.alias("bucket")
-    )
-    bag = mem.where((F.col("bucket") % 3) != 0)
-    pv = bag.groupBy("t", "q").agg(
-        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("pos")
+    aggs = []
+    for t in range(_N_TREES):
+        in_bag = (
+            F.expr(f"shiftright(hv, ({_N_TREES - 1} - {t}) * 8) % 256") % 3
+        ) != 0
+        aggs.append(
+            F.sum(F.when(in_bag, 1).otherwise(0)).cast("long").alias(f"n{t}")
+        )
+        aggs.append(
+            F.sum(F.when(in_bag, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias(f"pos{t}")
+        )
+    pvw = hashed.groupBy("q").agg(*aggs)
+    pv = (
+        pvw.select(
+            "q",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).cast("int").alias("t"),
+                            F.col(f"n{t}").alias("n"),
+                            F.col(f"pos{t}").alias("pos"),
+                        )
+                        for t in range(_N_TREES)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.t").alias("t"),
+            "q",
+            F.col("s.n").alias("n"),
+            F.col("s.pos").alias("pos"),
+        )
+        .where(F.col("n") > 0)  # reproduce the expanded-grid candidate set
     )
     tt = pv.groupBy("t").agg(
         F.sum("n").alias("nt"), F.sum("pos").alias("post")
