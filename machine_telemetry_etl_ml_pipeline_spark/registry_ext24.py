@@ -126,9 +126,21 @@ def llm_keyword_rake(spark, sf_dir):
     so the float sum has one tree on both engines); corpus top-15
     under a total (score DESC, phrase) order. Identical phrases score
     identically by construction, so min(score) == max(score) per
-    group — min() is just the deterministic pick. Scale: one explode
-    (O(tokens)), vocabulary-bounded word stats, phrase stats bounded
-    by segments <= tokens; no pairwise anything. Reference analog:
+    group — min() is just the deterministic pick. Since r9 each
+    segment is collected ONCE into a sorted word array right after
+    the boundary window — the groupBy needs no exchange because
+    hashpartitioning(doc_id) from the window already satisfies
+    ClusteredDistribution(doc_id, seg_id) — word stats come from
+    re-exploding the (already length-filtered) arrays, and phrase
+    text + the position-ordered score fold are ONE pass: array_join
+    plus an in-order F.aggregate (the identical left-to-right IEEE
+    sum the old ROWS window produced at its last row). The r1-r8
+    shape consumed the token-level member frame three times across
+    two (doc, seg)-keyed passes plus their join (tools/ab_rake.py:
+    2.03s -> 1.56s min at sf0.1, every interleaved rep pairwise
+    faster, identical output). Scale: one explode (O(tokens)),
+    vocabulary-bounded word stats, phrase stats bounded by
+    segments <= tokens; no pairwise anything. Reference analog:
     none (extends llm_tfidf_topk_terms with phrase-level extraction)."""
     w_all = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     words = (
@@ -158,44 +170,51 @@ def llm_keyword_rake(spark, sf_dir):
         ),
     )
     pw = seg.where(F.col("brk") == 0).select("doc_id", "seg_id", "w", "pos")
-    plen = (
+    segs = (
         pw.groupBy("doc_id", "seg_id")
-        .agg(F.count("*").cast("long").alias("n_words"))
-        .where(F.col("n_words") <= _MAX_PHRASE)
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("pws"))
+        .where(F.size("pws") <= _MAX_PHRASE)
+        .select(
+            "doc_id",
+            "seg_id",
+            F.transform(F.col("pws"), lambda s: s["w"]).alias("ws"),
+        )
     )
-    member = pw.join(plen, ["doc_id", "seg_id"])
-    wstat = member.groupBy("w").agg(
-        F.count("*").cast("long").alias("freq"),
-        F.sum("n_words").cast("long").alias("degree"),
+    wstat = (
+        segs.select(F.explode("ws").alias("w"), F.size("ws").alias("n_words"))
+        .groupBy("w")
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("n_words").cast("long").alias("degree"),
+        )
     )
-    scored = member.join(wstat, "w").select(
-        "doc_id",
-        "seg_id",
-        "pos",
-        (F.col("degree").cast("double") / F.col("freq")).alias("wscore"),
+    occ = segs.select("doc_id", "seg_id", F.posexplode("ws").alias("i", "w")).join(
+        F.broadcast(wstat), "w"
     )
-    wf = (
-        Window.partitionBy("doc_id", "seg_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    folded = scored.select(
-        "doc_id",
-        "seg_id",
-        F.sum("wscore").over(wf).alias("score"),
-        F.row_number()
-        .over(Window.partitionBy("doc_id", "seg_id").orderBy(F.desc("pos")))
-        .alias("rn_last"),
-    ).where(F.col("rn_last") == 1)
-    ptext = member.groupBy("doc_id", "seg_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+    phrases = (
+        occ.groupBy("doc_id", "seg_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "i",
+                        "w",
+                        (F.col("degree").cast("double") / F.col("freq")).alias(
+                            "wscore"
+                        ),
+                    )
+                )
+            ).alias("sws")
+        )
+        .select(
+            F.array_join(F.transform(F.col("sws"), lambda s: s["w"]), " ").alias(
+                "phrase"
             ),
-            " ",
-        ).alias("phrase")
+            F.aggregate(
+                F.col("sws"), F.lit(0.0), lambda acc, s: acc + s["wscore"]
+            ).alias("score"),
+        )
     )
-    phrases = folded.join(ptext, ["doc_id", "seg_id"]).select("phrase", "score")
     return (
         phrases.groupBy("phrase")
         .agg(
