@@ -188,3 +188,58 @@ def test_forest_conv_bytes_match_hex_math(spark):
         ]
     ).collect()[0]
     assert all(mismatches[f"bad{t}"] == 0 for t in range(5))
+
+
+def test_forest_cond_agg_grid_matches_expanded_grid(spark):
+    """ml_random_forest_vote trains from per-q CONDITIONAL aggregates
+    unpivoted to the (tree, q) grid (r9 rewrite). Pin the grid against
+    the r1-r8 expanded construction (cross-join the tree dimension,
+    filter the bag, groupBy(t, q)) — including the subtlety that
+    zero-count (t, q) cells must be ABSENT, not zero rows, or a tied
+    cum-score could steal the argmax via the threshold tiebreak."""
+    li = _t(spark, SF, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    hashed = li.select(
+        "rid",
+        "q",
+        "y",
+        F.conv(
+            F.substr(
+                F.md5(F.concat(F.col("rid").cast("string"), F.lit(":bag"))),
+                F.lit(1),
+                F.lit(10),
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    # old expanded-grid construction
+    trees = spark.range(5).select(F.col("id").cast("int").alias("t"))
+    mem = hashed.crossJoin(F.broadcast(trees)).select(
+        "q", "y", "t", F.expr("shiftright(hv, (4 - t) * 8) % 256").alias("bucket")
+    )
+    old = {
+        (r["t"], float(r["q"])): (r["n"], r["pos"])
+        for r in mem.where((F.col("bucket") % 3) != 0)
+        .groupBy("t", "q")
+        .agg(F.count("*").alias("n"), F.sum("y").alias("pos"))
+        .collect()
+    }
+    # new conditional-aggregate construction (mirrors the entry)
+    aggs = []
+    for t in range(5):
+        in_bag = (F.expr(f"shiftright(hv, (4 - {t}) * 8) % 256") % 3) != 0
+        aggs.append(F.sum(F.when(in_bag, 1).otherwise(0)).alias(f"n{t}"))
+        aggs.append(F.sum(F.when(in_bag, F.col("y")).otherwise(0)).alias(f"pos{t}"))
+    new = {}
+    for r in hashed.groupBy("q").agg(*aggs).collect():
+        for t in range(5):
+            if r[f"n{t}"] > 0:
+                new[(t, float(r["q"]))] = (r[f"n{t}"], r[f"pos{t}"])
+    assert new == old  # equal keys AND values: any zero cell the
+    # unpivot failed to drop would appear as a key absent from `old`
