@@ -584,20 +584,65 @@ def llm_url_domain_stats(spark, sf_dir):
 )
 def ext_equiheight_histogram(spark, sf_dir):
     """Equi-HEIGHT (equi-depth) decile histogram — the optimizer-stats
-    companion to the equi-width ext_histogram: exact decile boundaries
-    (Spark percentile == DuckDB quantile_cont, the interpolation pair
-    llm_length_bands_by_source proved), then bucket = how many rounded
-    boundaries the value exceeds, computed against the 1-row broadcast
-    boundary array — no second sort, no global window. Values are
-    integer cents so bucket edges can't sit on a float ulp. At 100 TB
-    the exact percentile aggregate becomes approx_percentile; the
-    assignment side is unchanged."""
+    companion to the equi-width ext_histogram: exact decile boundaries,
+    then bucket = how many rounded boundaries the value exceeds,
+    computed against a literal boundary array — no second sort per
+    row. Values are integer cents so bucket edges can't sit on a float
+    ulp. Since r9 the boundaries come from a VALUE ROLLUP + cumulative
+    -rank walk instead of Spark's exact percentile() aggregate: that
+    aggregate buffers a per-partition counts map of every distinct
+    value with NO spill path, and the full 10x sweep caught it OOMing
+    the executor JVM at 60M rows x ~10M distinct cents (BufferHolder
+    .grow heap death — the r9 sweep's one real at-scale find). The
+    rollup shape is spill-safe end to end: groupBy(cents) is partial-
+    aggregable, the cumulative count is one ORDER BY cents window over
+    the |distinct|-sized rollup (external sort, spills; the documented
+    exact-rank cost, same as ml_conformal_interval), and the 18 order
+    statistics come back in one bounded 1-row collect. Interpolation
+    replays percentile()'s own formula bitwise — pos = p*(n-1) and
+    lo + (hi-lo)*(pos-floor(pos)) in IEEE doubles (integer cents are
+    exact), Python's doubles being the same arithmetic — so the DuckDB
+    quantile_cont oracle is unchanged and still passes. At 100 TB the
+    exact walk becomes approx_percentile; the assignment side is
+    unchanged."""
+    import math
+
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     base = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
-    qs = [F.round(F.percentile("cents", F.lit(p / 10)), 4) for p in range(1, 10)]
-    bounds = base.agg(F.array(*qs).alias("bs"))
-    assigned = base.crossJoin(F.broadcast(bounds)).select(
-        F.size(F.filter(F.col("bs"), lambda b: F.col("cents") > b))
+    n = base.count()  # bounded driver scalar (multiplicity doctrine)
+    poss = [(p / 10) * (n - 1) for p in range(1, 10)]
+    idx = sorted({i for pos in poss for i in (int(math.floor(pos)), min(int(math.floor(pos)) + 1, n - 1))})
+    cum = (
+        base.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cents",
+            F.sum("cnt")
+            .over(
+                Window.orderBy("cents").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("cum"),
+        )
+    )
+    row = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= k + 1, F.col("cents"))).alias(f"v{k}")
+            for k in idx
+        ]
+    ).collect()[0]
+    at = {k: float(row[f"v{k}"]) for k in idx}
+    bs = []
+    for pos in poss:
+        k = int(math.floor(pos))
+        lo, hi = at[k], at[min(k + 1, n - 1)]
+        bs.append(lo + (hi - lo) * (pos - k))  # percentile()'s formula
+    bounds = F.array(*[F.round(F.lit(b), 4) for b in bs])
+    assigned = base.select(
+        F.size(F.filter(bounds, lambda b: F.col("cents") > b))
         .cast("long")
         .alias("bucket"),
         "cents",
