@@ -101,6 +101,19 @@ _PRIORITY = [
     "ml_conformal_interval",
     "llm_sequence_packing",
     "ml_rolling_origin_backtest",
+    # --- entries whose IMPLEMENTATION changed this round (collect-to-
+    # literals: gbt/logistic/gmm; k-core monotone early exit; forest
+    # conditional-aggregate training; RAKE segment arrays; the
+    # equi-depth histogram's OOM-fix rollup re-spec) — their existing
+    # green rows are from the old code, so they queue for fresh rows
+    # ahead of the old-row re-confirmations ---
+    "ml_gbt_stumps",
+    "ml_logistic_regression_gd",
+    "ml_gmm_em_1d",
+    "graph_k_core",
+    "ml_random_forest_vote",
+    "llm_keyword_rake",
+    "ext_equiheight_histogram",
     # --- r9 window fill: re-confirmation of the OLDEST driver rows
     # (r1 reference core + r3 TPC-H) on current code — their green
     # rows are 6-8 rounds old and the shared operator layer has
