@@ -597,49 +597,69 @@ def ext_equiheight_histogram(spark, sf_dir):
     rollup shape is spill-safe end to end: groupBy(cents) is partial-
     aggregable, the cumulative count is one ORDER BY cents window over
     the |distinct|-sized rollup (external sort, spills; the documented
-    exact-rank cost, same as ml_conformal_interval), and the 18 order
-    statistics come back in one bounded 1-row collect. Interpolation
-    replays percentile()'s own formula bitwise — pos = p*(n-1) and
-    lo + (hi-lo)*(pos-floor(pos)) in IEEE doubles (integer cents are
-    exact), Python's doubles being the same arithmetic — so the DuckDB
-    quantile_cont oracle is unchanged and still passes. At 100 TB the
-    exact walk becomes approx_percentile; the assignment side is
-    unchanged."""
+    exact-rank cost, same as ml_conformal_interval), and since r10 the
+    row count n rides the SAME pass — a whole-frame window total next
+    to the running one — with the decile ranks floor(p*(n-1))+1
+    expressed against the n column, so the 18 order statistics AND n
+    come back in ONE bounded 1-row collect (one lineitem scan; the r9
+    shape paid a separate base.count() job first, ADVICE r9).
+    Interpolation lo + (hi-lo)*(pos-floor(pos)) replays DuckDB
+    quantile_cont's formula (the oracle) in IEEE doubles; Spark's
+    retired percentile() computes the algebraically-equal
+    (ceil-pos)*lo + (pos-floor)*hi, up to 1 ulp apart, and the
+    round(...,4) grid absorbs that difference (integer cents keep the
+    inputs themselves exact). At 100 TB the exact walk becomes
+    approx_percentile; the assignment side is unchanged."""
     import math
 
     from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
     base = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
-    n = base.count()  # bounded driver scalar (multiplicity doctrine)
-    poss = [(p / 10) * (n - 1) for p in range(1, 10)]
-    idx = sorted({i for pos in poss for i in (int(math.floor(pos)), min(int(math.floor(pos)) + 1, n - 1))})
+    ordered = Window.orderBy("cents")
     cum = (
         base.groupBy("cents")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
             "cents",
             F.sum("cnt")
+            .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+            F.sum("cnt")
             .over(
-                Window.orderBy("cents").rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
+                ordered.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
                 )
             )
-            .alias("cum"),
+            .alias("n"),
         )
     )
-    row = cum.agg(
-        *[
-            F.min(F.when(F.col("cum") >= k + 1, F.col("cents"))).alias(f"v{k}")
-            for k in idx
-        ]
-    ).collect()[0]
-    at = {k: float(row[f"v{k}"]) for k in idx}
+    # rank of the lo/hi order statistics for decile p, as expressions
+    # over the in-frame total n: pos = (p/10)*(n-1) (same JVM double
+    # arithmetic the driver-side replay below uses), lo rank =
+    # floor(pos)+1, hi rank = min(floor(pos)+1, n-1)+1. cum is
+    # monotone in cents, so min(cents where cum >= rank) IS the
+    # rank-th order statistic.
+    aggs = []
+    for p in range(1, 10):
+        k = F.floor(F.lit(p / 10) * (F.col("n") - F.lit(1)).cast("double"))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= k + 1, F.col("cents"))).alias(f"lo{p}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.least(k + 2, F.col("n")), F.col("cents"))
+            ).alias(f"hi{p}")
+        )
+    aggs.append(F.min("n").alias("n"))
+    row = cum.agg(*aggs).collect()[0]
+    n = int(row["n"])
     bs = []
-    for pos in poss:
+    for p in range(1, 10):
+        pos = (p / 10) * (n - 1)
         k = int(math.floor(pos))
-        lo, hi = at[k], at[min(k + 1, n - 1)]
-        bs.append(lo + (hi - lo) * (pos - k))  # percentile()'s formula
+        lo, hi = float(row[f"lo{p}"]), float(row[f"hi{p}"])
+        bs.append(lo + (hi - lo) * (pos - k))  # quantile_cont's formula
     bounds = F.array(*[F.round(F.lit(b), 4) for b in bs])
     assigned = base.select(
         F.size(F.filter(bounds, lambda b: F.col("cents") > b))
