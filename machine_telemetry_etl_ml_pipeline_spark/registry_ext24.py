@@ -188,8 +188,13 @@ def llm_keyword_rake(spark, sf_dir):
             F.sum("n_words").cast("long").alias("degree"),
         )
     )
+    # no broadcast hint on wstat: AQE picks broadcast at runtime while
+    # the vocabulary is small but degrades to a shuffle join instead of
+    # OOMing if real text blows past the threshold (ADVICE r9; the
+    # hint-vs-AQE A/B is a dead heat at sf0.1 — tools/ab_rake_hint.py:
+    # 1.38s vs 1.40s min over 4 interleaved reps, identical output)
     occ = segs.select("doc_id", "seg_id", F.posexplode("ws").alias("i", "w")).join(
-        F.broadcast(wstat), "w"
+        wstat, "w"
     )
     phrases = (
         occ.groupBy("doc_id", "seg_id")
