@@ -63,250 +63,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate verifies a ~50-entry prefix of
-# queries() per round. Rotate the window each round: r1 covered the
-# reference + ext core, r2 TPC-H Q1/3/4/6/14 + LLM suite + UDFs, r3
-# completed TPC-H 22/22 + round-2/3 LLM ops + streaming surfaces, r4
-# went 50/50 green, r5 checked 50 never-checked entries (49 green;
-# the 1 red was an oracle float bug, re-proven green in r6), r6 and
-# r7 each went 50/50 green on their never-checked batches. The r8
-# window below = EXACTLY the 50 entries that have never had a driver
-# CORRECTNESS row (the r6 ext18-ext28 batches + r7's
-# ext_variant_roundtrip — the full debt ledger, SCALE.md), ordered
-# highest-risk first: iterative graph/ML recurrences with
-# MATERIALIZED-CTE oracles (k-core, SSSP, GMM-EM, HMM, forest, MMR),
-# then the remaining batches in registration order. A green r8 run
-# drives verification debt to ZERO: every one of the 385 registered
-# entries will then have a driver row. Every window entry is locally
-# green at sf0.001 AND sf0.01 oracle-exact with a scale differential
-# (SCALE.md) and 32-vs-7-partition deterministic.
+# queries() per round. Since r9 every one of the 394 registered
+# entries has a green driver row (verification debt is zero), so the
+# standing rotation policy is: (1) entries whose IMPLEMENTATION
+# changed this round queue first — their existing green rows are
+# from the old code; (2) any new registrations queue next (prove-at-
+# creation); (3) the window fills with the entries holding the
+# OLDEST driver rows, oldest-first, to drive the median row age down
+# (VERDICT r9 item 2). The r10 fill = the 21 r1-era join/setop/
+# window/scalar/streaming rows + the r2-era TPC-H q4/q6/q14, LLM
+# suite, subquery and UDF rows (the stalest 65; boundary lands
+# inside the r2 block). Every window entry is locally green at
+# sf0.001 AND sf0.01 oracle-exact and 32-vs-7-partition
+# deterministic; names are listed ONCE (tests/test_contract.py
+# enforces no duplicates — the r9 close-out broke that by leaving 7
+# stale second listings in place, fixed here).
 _PRIORITY = [
-    # === r9 window head: the 9-entry driver-row debt (VERDICT r8
-    # items 1-2) — the only entries without a green driver row.
-    # ext_table_checksum re-specced r9 to a representation-proof
-    # int64 checksum (fold mod 2^62 -> BIGINT, registry_ext19.py)
-    # after the r8 hash-only red on its ~2^70 DECIMAL(38,0) output.
-    "ext_table_checksum",
-    "llm_semdedup_prune_scaled",
-    "llm_embedding_neardup_scaled",
-    "ext_approx_quantile_sketch_merge",
-    "stream_stream_join_full_outer",
-    "ext_approx_count_distinct",
-    "ext_sample",
-    "ext_sample_stratified",
-    "llm_multimodal_decode",
-    # --- r9 additions (surface freeze: <=5) queue directly behind
-    # the debt block so they get driver rows in-round ---
-    "ml_model_exact_scoring",
-    "ml_kfold_cv",
-    "ml_conformal_interval",
-    "llm_sequence_packing",
-    "ml_rolling_origin_backtest",
-    # --- entries whose IMPLEMENTATION changed this round (collect-to-
-    # literals: gbt/logistic/gmm; k-core monotone early exit; forest
-    # conditional-aggregate training; RAKE segment arrays; the
-    # equi-depth histogram's OOM-fix rollup re-spec) — their existing
-    # green rows are from the old code, so they queue for fresh rows
-    # ahead of the old-row re-confirmations ---
-    "ml_gbt_stumps",
-    "ml_logistic_regression_gd",
-    "ml_gmm_em_1d",
-    "graph_k_core",
-    "ml_random_forest_vote",
-    "llm_keyword_rake",
+    # === r10 window head: entries whose implementation changed this
+    # round — ext_equiheight_histogram folds the row count n into the
+    # rollup/order-statistics pass (one lineitem scan instead of a
+    # separate count() job, ADVICE r9); llm_keyword_rake drops the
+    # forced broadcast hint on the word-stats join in favor of AQE's
+    # runtime choice (ADVICE r9; dead-heat A/B tools/ab_rake_hint.py).
     "ext_equiheight_histogram",
-    # --- r9 window fill: re-confirmation of the OLDEST driver rows
-    # (r1 reference core + r3 TPC-H) on current code — their green
-    # rows are 6-8 rounds old and the shared operator layer has
-    # evolved since; fresh rows maximize information per slot ---
-    "ref_scan_count", "ref_projection_rename", "ref_null_fill",
-    "ref_filter_eq", "ref_filter_range", "ref_filter_ilike",
-    "ref_filter_bounds", "ref_latest_n", "ref_range_scan",
-    "ref_latest_per_key", "ref_top_k_highest_value",
-    "ref_top_k_lowest_value", "ref_nulls_last_sort",
-    "ref_distinct_sorted", "ref_stats_global", "ref_stats_filtered",
-    "ref_count_distinct", "ref_grouped_comparison",
-    "ref_time_features", "ref_label_encoding", "ref_table_counts",
-    "ref_zscore_standardize", "ref_sink_batch_insert",
-    "ref_sink_insert_defaults", "ref_sink_insert_json",
-    "ref_ddl_create_table", "ref_surrogate_ids",
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q4", "tpch_q14",
-    "tpch_q5", "tpch_q7", "tpch_q8", "tpch_q10", "tpch_q12",
-    "tpch_q19", "tpch_q13",
-    # --- ~50-entry r9 window boundary ---
-    "tpch_q18", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q21",
-    "tpch_q22", "tpch_q2", "tpch_q11", "tpch_q9", "tpch_q20",
-    # --- r8 window (all 49-green; ext_table_checksum rehomed to the
-    # r9 head above — dict.fromkeys dedupe keeps first position) ---
-    "graph_k_core",
-    "graph_weighted_sssp",
-    "ml_gmm_em_1d",
-    "ml_hmm_forward",
-    "ml_random_forest_vote",
-    "llm_mmr_rerank",
-    "graph_clustering_coefficient",
-    "graph_degree_assortativity",
-    "graph_common_neighbors",
-    "ml_churn_labels_point_in_time",
-    "ext_holt_winters_seasonal",
-    "ext_variant_roundtrip",
-    # --- r8 window: remaining never-checked, registration order ---
-    # registry_ext18: linear interpolation + ML-eval metrics
-    "ext_interpolate_linear",
-    "ml_average_precision",
-    "ml_cohens_kappa",
-    "ml_cramers_v",
-    # registry_ext19: bitmap distinct, Bollinger, URL canonicalization
-    # (ext_table_checksum rehomed to the r9 head)
-    "ext_bitmap_distinct",
-    "ext_bollinger_bands",
-    "llm_url_canonicalize",
-    # registry_ext20: Kendall tau-b, Theil-Sen, Z-order, code
-    # detection, embedding outliers
-    "ml_kendall_tau",
-    "ml_theil_sen_slope",
-    "ext_zorder_cluster",
-    "llm_code_detect",
-    "llm_embedding_outliers",
-    # registry_ext21: RFM, ABC, ANOVA, MCC, Brier
-    "ext_rfm_segmentation",
-    "ext_abc_classification",
-    "ml_anova_oneway",
-    "ml_matthews_corrcoef",
-    "ml_brier_score",
-    # registry_ext23-24: readability, RAKE, lang-ID confusion, DPP
-    "llm_readability_flesch",
     "llm_keyword_rake",
-    "llm_langid_confusion",
-    "ext_dynamic_partition_pruning",
-    # registry_ext25: LOO target encoding, span corruption,
-    # fertility, learning curve
-    "ml_target_encoding_loo",
-    "llm_span_corruption",
-    "llm_tokenizer_fertility",
-    "ml_learning_curve",
-    # registry_ext26: DID, CUPED, McNemar, cross-lingual overlap
-    "ml_diff_in_diff",
-    "ml_cuped_adjustment",
-    "ml_mcnemar_test",
-    "llm_crosslingual_ngram_overlap",
-    # registry_ext27: SPRT, winsorized mean, inter-arrival stats,
-    # preference pairs, blocked fuzzy linkage
-    "ml_sprt_stopping",
-    "ml_winsorized_mean",
-    "ext_interarrival_stats",
-    "llm_preference_pairs",
-    "ext_entity_blocking_fuzzy",
-    # registry_ext28: item-item CF, token-budget fill, intervals
-    "ml_item_item_cosine",
-    "llm_token_budget_fill",
-    "ext_interval_arithmetic",
-    # --- 50-entry window boundary ---
-    # (the 9 r8-addition / rows-only-upgrade names that queued here
-    # were rehomed to the r9 head — single listing per name keeps the
-    # no-duplicates contract)
-    # --- r7 driver window (all green in CORRECTNESS_r07; the four
-    # rows-only upgrades above were removed from this block — their
-    # only listing is now the r9 head) ---
-    "ext_dq_rule_report",
-    "ext_crosstab",
-    "ext_grouping_id",
-    "ext_topn_other",
-    "ext_percent_change_wow",
-    "ext_bitwise_agg",
-    "ext_benford_screen",
-    "ext_skew_metrics",
-    "ext_grouped_zscore",
-    "ext_distinct_subset",
-    "ext_posexplode",
-    "ext_month_boundaries",
-    "ext_higher_order_funcs",
-    "llm_chunk_dedup_stats",
-    "llm_embedding_centroids",
-    "llm_nearest_centroid_accuracy",
-    "llm_vector_quantize",
-    "ext_equiheight_histogram",
-    "stream_foreach_batch_idempotent",
-    "ext_aqe_skew_join",
-    "graph_label_propagation",
-    "ml_gbt_stumps",
-    "ml_kaplan_meier",
-    "ext_skyline_pareto",
-    "ext_seasonal_dow_index",
-    "ext_offset_clause",
-    "ext_union_by_name",
-    "ext_asof_join_nearest",
-    "ext_mode_aggregate",
-    "ml_quantile_pinball_eval",
-    "ml_isotonic_regression",
-    "ext_snapshot_diff_cdc",
-    "llm_bpe_merge_iterate",
-    "ml_ols_inference",
-    "ext_approx_top_k_sketch_merge",
-    "stream_python_datasource",
-    "stream_session_dynamic_gap",
-    "ext_map_higher_order",
-    "ml_subsample_ci",
-    "ext_asof_join_tolerance",
-    "ml_gini_lorenz",
-    "ml_text_classifier_e2e",
-    "ml_markov_transition_matrix",
-    "ml_mutual_information",
-    "ext_sequence_pattern_vshape",
-    "ext_resample_ohlc",
-    # --- r6 driver window (all 50 green in CORRECTNESS_r06) ---
-    "ext_decimal_exact",
-    "ext_session_variables",
-    "ext_execute_immediate",
-    "ext_sql_scripting",
-    "ext_sql_scripting_loop",
-    "stream_chained_window_agg",
-    "ext_source_text",
-    "ext_source_binaryfile",
-    "ext_merge_schema_evolution",
-    "ml_logistic_regression_gd",
-    "ml_kmeans_lloyd",
-    "ml_pca_power_iteration",
-    "graph_triangle_count",
-    "graph_bfs_distances",
-    "ml_roc_auc",
-    "ml_calibration_bins",
-    "ml_ridge_regression_normal_eq",
-    "ml_ks_drift",
-    "ml_psi_drift_bins",
-    "ml_ndcg_at_k",
-    "ext_count_min_sketch",
-    "ml_spearman_corr",
-    "ml_lift_gains",
-    "ml_ab_ztest_conversion",
-    "ml_welch_ttest",
-    "ml_mann_whitney_u",
-    "ml_decision_stump",
-    "ml_decision_tree_depth2",
-    "ml_confusion_matrix",
-    "ext_holt_linear",
-    "ext_cusum_changepoint",
-    "ext_autocorrelation",
-    "ext_interval_merge",
-    "llm_semdedup_prune",
-    "llm_quota_sample_by_source",
-    "ext_shard_balance_report",
-    "llm_embedding_norm_stats",
-    "llm_zipf_topk_terms",
-    "llm_url_domain_stats",
-    "llm_weighted_sample",
-    "llm_hashed_features",
-    "llm_multimodal_audio_energy",
-    "ext_sql_pipe_syntax",
-    "ext_collation_ci",
-    "ext_lateral_column_alias",
-    "ext_identifier_clause",
-    "ext_bucketed_join_colocated",
-    "ext_bloom_prefilter_join",
-    "ext_incremental_join_view",
-    "ext_conditional_reset_cumsum",
-    # r1-r5 driver-green entries follow in registry registration
-    # order (their green rows persist; the local exact-bar sweep
-    # re-checks all of them each round).
+    # --- r10 additions (surface freeze: <=5) queue behind the
+    # changed-implementation block ---
+    # --- r10 window fill: the 21 stalest driver rows (r1-era
+    # join/setop/window/scalar/streaming families; every later round
+    # left them past the boundary), oldest-first ---
+    "ext_join_left_order_counts", "ext_join_semi", "ext_join_anti",
+    "ext_join_theta", "ext_union_all", "ext_union_distinct",
+    "ext_intersect", "ext_except", "ext_rollup",
+    "ext_cube", "ext_window_rank", "ext_window_lag_lead",
+    "ext_percentiles", "ext_max_by", "ext_scalar_string",
+    "ext_scalar_date", "ext_explode_wordcount", "ext_json_extract",
+    "ext_tumbling_window", "ext_sliding_window", "ext_session_windows",
+    # --- then the r2-era rows (TPC-H q6/q4/q14 + LLM suite +
+    # subqueries + UDF surface), in their r2 window order ---
+    "ext_scalar_math", "ext_window_running", "tpch_q6",
+    "tpch_q4", "tpch_q14", "llm_dedup_exact_stats",
+    "llm_minhash_signatures", "llm_lsh_candidate_pairs", "llm_ngram_jaccard",
+    "llm_simhash", "llm_cosine_topk", "llm_ann_lsh_topk",
+    "llm_ann_multiprobe_topk", "llm_embedding_neardup", "llm_language_id",
+    "llm_token_counts", "llm_quality_score", "llm_pipeline_end_to_end",
+    "llm_multimodal_pack", "ext_scalar_subquery", "ext_correlated_subquery",
+    "ext_in_subquery", "udf_pandas_scalar", "udf_apply_in_pandas",
+    "udf_python_row", "ext_window_distribution", "ext_window_first_last",
+    # --- ~50-entry r10 window boundary ---
+    "ext_window_range_frame", "ext_array_functions", "ext_map_functions",
+    "ext_regexp_functions", "ext_date_format", "ext_pivot",
+    "ext_unpivot", "ext_grouping_sets", "ext_string_agg",
+    "ext_corr_covar", "ext_union_missing_cols", "ext_join_revenue_by_nation",
+    "stream_tumbling_counts", "ml_kmeans_anomaly", "ml_gbt_regression_eval",
+    "ml_gbt_classifier_eval", "ext_source_jsonl",
+    # --- r3-era rows follow (next-stalest: TPC-H tail, r3 LLM ops,
+    # streaming + warehouse surfaces), for the r11 rotation ---
+    "ext_salted_agg", "tpch_q2", "tpch_q5",
+    "tpch_q7", "tpch_q8", "tpch_q9",
+    "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q20", "tpch_q21", "tpch_q22",
+    "llm_pack_sequences", "llm_source_mix", "llm_quality_filter_by_lang",
+    "llm_decontaminate", "llm_unigram_logprob", "llm_dedup_keep_first",
+    "llm_dedup_keep_best", "llm_chunk_documents", "llm_train_test_split",
+    "ext_recursive_cte", "ext_variant_json", "ext_sql_udf",
+    "udf_python_udtf", "ext_compact_small_files", "ext_dynamic_partition_overwrite",
+    "ext_source_csv_corrupt", "ext_manifest_pruned_scan", "ext_source_orc",
+    "stream_session_counts", "stream_sliding_counts", "stream_static_join",
+    "stream_dedup_within_watermark", "ext_merge_upsert", "ext_funnel_conversion",
+    "ext_cohort_retention", "ext_gap_islands", "ext_scd2_history",
+    "ext_salted_join",
+    # r4+ driver-green entries follow in registry registration order
+    # (their newer rows persist; the local exact-bar sweep re-checks
+    # all 394 each round).
 ]
 
 
