@@ -182,6 +182,27 @@ def main() -> None:
     # sums exactly the round-1 queries for a like-for-like comparison.
     r1_set = HEADLINE[:14]
     r1_total = round(sum(per_query[n] for n in r1_set if n in per_query), 3)
+
+    # Embed the ambient-drift classification against the latest
+    # recorded round directly in the artifact (VERDICT r9 item 8): the
+    # driver-vs-local spread (~±10-25% on same code) otherwise lets
+    # ambient read as regression at suite level. Outliers listed here
+    # are the exact set needing per-query attribution (tools/ab_*.py).
+    compare = None
+    try:
+        import glob as _glob
+
+        from tools.bench_compare import classify, load as _load_bench
+
+        prior = sorted(_glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if prior:
+            compare = {
+                "vs": os.path.basename(prior[-1]),
+                **classify(_load_bench(prior[-1]), {"queries": per_query}),
+            }
+    except Exception as exc:  # the classification must never fail the bench
+        compare = {"error": str(exc)}
+
     print(
         json.dumps(
             {
@@ -193,6 +214,7 @@ def main() -> None:
                 "r1_subset_wall_sec": r1_total,
                 "queries": per_query,
                 "sf": sf,
+                "compare_to_prev": compare,
             }
         )
     )

@@ -37,6 +37,39 @@ def load(path: str) -> dict:
     return d
 
 
+def classify(old: dict, new: dict, band: float = 0.10) -> dict:
+    """Median-delta ambient-drift estimate + out-of-band outliers,
+    as a JSON-serializable dict (bench.py embeds this block in its
+    output so the classification travels WITH the artifact —
+    VERDICT r9 item 8)."""
+    qo, qn = old["queries"], new["queries"]
+    shared = sorted(set(qo) & set(qn))
+    rel = {n: (qn[n] - qo[n]) / qo[n] for n in shared if qo[n] > 0}
+    deltas = sorted(rel.values())
+    median = deltas[len(deltas) // 2] if deltas else 0.0
+    lo, hi = median - band, median + band
+    out = [
+        {
+            "query": n,
+            "old_sec": qo[n],
+            "new_sec": qn[n],
+            "delta_pct": round(100 * rel[n], 1),
+            "vs_drift_pct": round(100 * (rel[n] - median), 1),
+        }
+        for n in rel
+        if not (lo <= rel[n] <= hi)
+    ]
+    out.sort(key=lambda r: -abs(r["vs_drift_pct"]))
+    return {
+        "shared": len(shared),
+        "dropped": sorted(set(qo) - set(qn)),
+        "added": sorted(set(qn) - set(qo)),
+        "ambient_drift_median_pct": round(100 * median, 1),
+        "band_pct": round(100 * band, 1),
+        "outside_band": out,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
