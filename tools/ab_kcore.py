@@ -343,6 +343,62 @@ def main() -> None:
             rows, "peel_round long, n_nodes long, n_edges long"
         ).orderBy("peel_round")
 
+    def fold2x(sf_dir: str):
+        """r10 candidate (the last obvious mechanism, VERDICT r9 item
+        6): fold degree-compute + BOTH endpoint filters into a
+        2-exchange, ZERO-JOIN round. Pass 1: per-node degree via a
+        count() window over the symmetrized (node, other) list
+        partitioned by node (no aggregation collapse, no adjacency
+        arrays — hub-safe, windows spill), filter deg >= k in place.
+        Pass 2: group the surviving DIRECTED rows by the canonical
+        (least, greatest) pair — an undirected edge whose BOTH
+        endpoints were kept appears exactly twice (once from each
+        endpoint's directed row), one kept endpoint appears once — so
+        count = 2 IS the both-endpoints-kept test, no keep-set join at
+        all. The shape never broadcasts and never shuffles a build
+        side: at cluster scale it holds even when round-0's keep set
+        is too big for a broadcast (the semi-join shapes degrade to
+        shuffle joins there = 3 exchanges of the edge list). Early
+        exit + recompute-deg stats discipline identical to shipped."""
+        from pyspark.sql.window import Window
+
+        e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = _deg(e)
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                break
+            if i > 0 and rows[i][1:] == rows[i - 1][1:]:
+                rows.extend(
+                    (j, rows[i][1], rows[i][2])
+                    for j in range(i + 1, _PEEL_ROUNDS + 1)
+                )
+                break
+            directed = e.select(F.col("u").alias("node"), F.col("v").alias("other")).union(
+                e.select(F.col("v").alias("node"), F.col("u").alias("other"))
+            )
+            kept = directed.withColumn(
+                "c", F.count("*").over(Window.partitionBy("node"))
+            ).where(F.col("c") >= _K)
+            nxt = (
+                kept.groupBy(
+                    F.least("node", "other").alias("u"),
+                    F.greatest("node", "other").alias("v"),
+                )
+                .agg(F.count("*").alias("n2"))
+                .where(F.col("n2") == 2)
+                .select("u", "v")
+            )
+            e, e_ids = checkpoint_rotate(nxt, retire=e_ids)
+        retire_ids(spark, e_ids)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
     variants = {
         "shipped": shipped,
         "persist_deg": persist_deg,
@@ -352,6 +408,7 @@ def main() -> None:
         "anti_bad_hint": anti_bad_hint,
         "sym_partitioned": sym_partitioned,
         "early_exit": early_exit,
+        "fold2x": fold2x,
     }
     if args.variants:
         wanted = args.variants.split(",")
