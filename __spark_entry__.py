@@ -70,55 +70,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # from the old code; (2) any new registrations queue next (prove-at-
 # creation); (3) the window fills with the entries holding the
 # OLDEST driver rows, oldest-first, to drive the median row age down
-# (VERDICT r9 item 2). The r10 fill = the 21 r1-era join/setop/
-# window/scalar/streaming rows + the r2-era TPC-H q4/q6/q14, LLM
-# suite, subquery and UDF rows (the stalest 65; boundary lands
-# inside the r2 block). Every window entry is locally green at
+# (VERDICT r9 item 2). The r11 fill = the 46 r3-era rows (TPC-H
+# tail, r3 LLM prep, recursive CTE/variant/UDTF, operational
+# sources/writes, r3 streaming, warehouse analytics) + 4 r4-era
+# rows; the r10 window (re-verified last round) rotates behind the
+# boundary. Every window entry is locally green at
 # sf0.001 AND sf0.01 oracle-exact and 32-vs-7-partition
 # deterministic; names are listed ONCE (tests/test_contract.py
 # enforces no duplicates — the r9 close-out broke that by leaving 7
 # stale second listings in place, fixed here).
 _PRIORITY = [
-    # === r10 window head: entries whose implementation changed this
-    # round — ext_equiheight_histogram folds the row count n into the
-    # rollup/order-statistics pass (one lineitem scan instead of a
-    # separate count() job, ADVICE r9); llm_keyword_rake drops the
-    # forced broadcast hint on the word-stats join in favor of AQE's
-    # runtime choice (ADVICE r9; dead-heat A/B tools/ab_rake_hint.py).
-    "ext_equiheight_histogram",
-    "llm_keyword_rake",
-    # --- r10 additions (surface freeze: <=5) queue behind the
-    # changed-implementation block ---
-    # --- r10 window fill: the 21 stalest driver rows (r1-era
-    # join/setop/window/scalar/streaming families; every later round
-    # left them past the boundary), oldest-first ---
-    "ext_join_left_order_counts", "ext_join_semi", "ext_join_anti",
-    "ext_join_theta", "ext_union_all", "ext_union_distinct",
-    "ext_intersect", "ext_except", "ext_rollup",
-    "ext_cube", "ext_window_rank", "ext_window_lag_lead",
-    "ext_percentiles", "ext_max_by", "ext_scalar_string",
-    "ext_scalar_date", "ext_explode_wordcount", "ext_json_extract",
-    "ext_tumbling_window", "ext_sliding_window", "ext_session_windows",
-    # --- then the r2-era rows (TPC-H q6/q4/q14 + LLM suite +
-    # subqueries + UDF surface), in their r2 window order ---
-    "ext_scalar_math", "ext_window_running", "tpch_q6",
-    "tpch_q4", "tpch_q14", "llm_dedup_exact_stats",
-    "llm_minhash_signatures", "llm_lsh_candidate_pairs", "llm_ngram_jaccard",
-    "llm_simhash", "llm_cosine_topk", "llm_ann_lsh_topk",
-    "llm_ann_multiprobe_topk", "llm_embedding_neardup", "llm_language_id",
-    "llm_token_counts", "llm_quality_score", "llm_pipeline_end_to_end",
-    "llm_multimodal_pack", "ext_scalar_subquery", "ext_correlated_subquery",
-    "ext_in_subquery", "udf_pandas_scalar", "udf_apply_in_pandas",
-    "udf_python_row", "ext_window_distribution", "ext_window_first_last",
-    # --- ~50-entry r10 window boundary ---
-    "ext_window_range_frame", "ext_array_functions", "ext_map_functions",
-    "ext_regexp_functions", "ext_date_format", "ext_pivot",
-    "ext_unpivot", "ext_grouping_sets", "ext_string_agg",
-    "ext_corr_covar", "ext_union_missing_cols", "ext_join_revenue_by_nation",
-    "stream_tumbling_counts", "ml_kmeans_anomaly", "ml_gbt_regression_eval",
-    "ml_gbt_classifier_eval", "ext_source_jsonl",
-    # --- r3-era rows follow (next-stalest: TPC-H tail, r3 LLM ops,
-    # streaming + warehouse surfaces), for the r11 rotation ---
+    # === r11 window head: entries whose implementation changed this
+    # round queue first (their green rows are from old code). r11 made
+    # no engine-code changes to registered entries so far; if one lands
+    # it goes here. New registrations (freeze: <=5) queue next.
+    # --- r11 window fill: the r3-era rows — the stalest driver rows
+    # after the r10 rotation (TPC-H tail, r3 LLM prep ops, recursive
+    # CTE/variant/UDTF, operational sources/writes, r3 streaming rows,
+    # warehouse analytics), oldest-row-first per VERDICT r10 item 2 ---
     "ext_salted_agg", "tpch_q2", "tpch_q5",
     "tpch_q7", "tpch_q8", "tpch_q9",
     "tpch_q10", "tpch_q11", "tpch_q12",
@@ -135,9 +104,39 @@ _PRIORITY = [
     "stream_dedup_within_watermark", "ext_merge_upsert", "ext_funnel_conversion",
     "ext_cohort_retention", "ext_gap_islands", "ext_scd2_history",
     "ext_salted_join",
-    # r4+ driver-green entries follow in registry registration order
-    # (their newer rows persist; the local exact-bar sweep re-checks
-    # all 394 each round).
+    # --- then the next-stalest r4-era rows to fill the ~50 window ---
+    "ext_gap_fill_ffill", "ext_rolling_median", "llm_novel_ngram_ratio",
+    "ext_session_dynamic_gap",
+    # --- ~50-entry r11 window boundary ---
+    # --- r4+ driver-green rows continue (newer rows persist; the
+    # local exact-bar sweep re-checks all 394 each round) ---
+    "llm_tfidf_topk_terms", "llm_winnowing_fingerprints",
+    # --- the r10 window (freshest rows, verified last round) rotates
+    # to the back of the explicit list: r10 changed-implementation
+    # pair, then the r1/r2-era families re-verified in r10 ---
+    "ext_equiheight_histogram", "llm_keyword_rake",
+    "ext_join_left_order_counts", "ext_join_semi", "ext_join_anti",
+    "ext_join_theta", "ext_union_all", "ext_union_distinct",
+    "ext_intersect", "ext_except", "ext_rollup",
+    "ext_cube", "ext_window_rank", "ext_window_lag_lead",
+    "ext_percentiles", "ext_max_by", "ext_scalar_string",
+    "ext_scalar_date", "ext_explode_wordcount", "ext_json_extract",
+    "ext_tumbling_window", "ext_sliding_window", "ext_session_windows",
+    "ext_scalar_math", "ext_window_running", "tpch_q6",
+    "tpch_q4", "tpch_q14", "llm_dedup_exact_stats",
+    "llm_minhash_signatures", "llm_lsh_candidate_pairs", "llm_ngram_jaccard",
+    "llm_simhash", "llm_cosine_topk", "llm_ann_lsh_topk",
+    "llm_ann_multiprobe_topk", "llm_embedding_neardup", "llm_language_id",
+    "llm_token_counts", "llm_quality_score", "llm_pipeline_end_to_end",
+    "llm_multimodal_pack", "ext_scalar_subquery", "ext_correlated_subquery",
+    "ext_in_subquery", "udf_pandas_scalar", "udf_apply_in_pandas",
+    "udf_python_row", "ext_window_distribution", "ext_window_first_last",
+    "ext_window_range_frame", "ext_array_functions", "ext_map_functions",
+    "ext_regexp_functions", "ext_date_format", "ext_pivot",
+    "ext_unpivot", "ext_grouping_sets", "ext_string_agg",
+    "ext_corr_covar", "ext_union_missing_cols", "ext_join_revenue_by_nation",
+    "stream_tumbling_counts", "ml_kmeans_anomaly", "ml_gbt_regression_eval",
+    "ml_gbt_classifier_eval", "ext_source_jsonl",
 ]
 
 

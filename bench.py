@@ -203,21 +203,30 @@ def main() -> None:
     except Exception as exc:  # the classification must never fail the bench
         compare = {"error": str(exc)}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "reps": reps,
-                "agg": "min",
-                "r1_subset_wall_sec": r1_total,
-                "queries": per_query,
-                "sf": sf,
-                "compare_to_prev": compare,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "reps": reps,
+        "agg": "min",
+        "r1_subset_wall_sec": r1_total,
+        "queries": per_query,
+        "sf": sf,
+        "compare_to_prev": compare,
+    }
+    # In-tree twin of the driver artifact (VERDICT r10 item 4): the
+    # driver's BENCH_r10.json kept only the tail of stdout and lost
+    # 12/48 timings + the r1-subset line. Writing the full ledger to
+    # the repo BEFORE printing guarantees every timing survives any
+    # stdout truncation; the file is committed at round close-out.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_local.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:  # a read-only checkout must not fail the bench
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

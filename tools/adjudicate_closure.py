@@ -7,10 +7,13 @@ the SAME oracle SQL once per copy — the `documents` view restricted
 to one copy's doc_id range — and merges the per-copy results.
 
 The factorization is EXACT, not approximate: the replica is built
-with cross-copy candidate pairs == 0 (verified at build by
-make_lowdensity_replica.py's prune pass), so the LSH band graph is a
-disjoint union of per-copy graphs, and connected components of a
-disjoint union are the union of per-copy components:
+with cross-copy candidate pairs == 0 (verified unconditionally at
+build by make_lowdensity_replica.py's post-prune check, and
+RE-CHECKED HERE at adjudication time before any oracle runs — a
+dense or stale target dir aborts with a precondition error instead
+of producing confusing value-mismatch FAILs), so the LSH band graph
+is a disjoint union of per-copy graphs, and connected components of
+a disjoint union are the union of per-copy components:
 
 - llm_dedup_components / llm_dedup_keep_best: per-copy rows are the
   full-corpus rows for that copy's docs verbatim (labels are global
@@ -22,8 +25,11 @@ The Spark side is NOT factored: the engine's queries() run over the
 FULL 10x replica exactly as the gate would run them. Comparison uses
 tools/check.py's canonicalization (type-faithful, order-insensitive).
 
+`--offset`/`--copies` default from the replica's MANIFEST.json
+(written by the builder); the flags override for manifest-less dirs.
+
     python tools/adjudicate_closure.py [--sf /tmp/sf1.0ld]
-        [--offset 5000] [--copies 10] [names...]
+        [--offset N] [--copies N] [names...]
 """
 
 from __future__ import annotations
@@ -87,11 +93,31 @@ def oracle_by_copy(sql: str, doc_path: str, offset: int, copies: int, name: str)
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/tmp/sf1.0ld")
-    ap.add_argument("--offset", type=int, default=5000)
-    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--offset", type=int, default=None)
+    ap.add_argument("--copies", type=int, default=None)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     names = args.names or CLOSURE_ENTRIES
+
+    # offset/copies come from the builder's manifest (ADVICE r10: the
+    # old hard-coded --offset 5000 silently coupled to the builder's
+    # max(doc_id)+1); explicit flags override, and a manifest-less dir
+    # with no flags is an error rather than a guess.
+    manifest = {}
+    mpath = os.path.join(args.sf, "MANIFEST.json")
+    if os.path.exists(mpath):
+        import json
+
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+    offset = args.offset if args.offset is not None else manifest.get("offset")
+    copies = args.copies if args.copies is not None else manifest.get("copies")
+    if offset is None or copies is None:
+        sys.exit(
+            f"no MANIFEST.json under {args.sf} and --offset/--copies not given; "
+            "rebuild the replica with tools/make_lowdensity_replica.py "
+            "(it writes the manifest) or pass both flags explicitly"
+        )
 
     import __spark_entry__ as ent
     from machine_telemetry_etl_ml_pipeline_spark.session import get_spark
@@ -102,6 +128,35 @@ def main() -> None:
 
     spark = get_spark("adjudicate_closure")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Precondition check (ADVICE r10): the per-copy factorization is
+    # exact ONLY if the band graph has zero cross-copy candidate
+    # pairs. Measure it on the TARGET dir before running any oracle —
+    # pointing at the dense replica or a stale build must abort here,
+    # not surface as value-mismatch FAILs hours later.
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_from_docs,
+    )
+
+    t0 = time.time()
+    cross = (
+        lsh_candidate_pairs(
+            minhash_from_docs(spark.read.parquet(f"{args.sf}/documents.parquet"))
+        )
+        .filter((F.col("a") / offset).cast("long") != (F.col("b") / offset).cast("long"))
+        .count()
+    )
+    if cross != 0:
+        sys.exit(
+            f"PRECONDITION FAILED: {cross} cross-copy candidate pairs at "
+            f"{args.sf} (offset {offset}) — the per-copy factorization is "
+            "invalid here. This is not a low-density cipher replica (or it "
+            "is stale); rebuild with tools/make_lowdensity_replica.py."
+        )
+    print(f"precondition: cross-copy candidate pairs == 0 ({time.time()-t0:.0f}s)", flush=True)
     qs, oracles = ent.queries(), ent.oracle_sql()
     rc = 0
     for name in names:
@@ -112,7 +167,7 @@ def main() -> None:
         srows = [tuple(r) for r in sdf.collect()]
         t_spark = time.time() - t0
         ocols, orows = oracle_by_copy(
-            oracles[name], doc_path, args.offset, args.copies, name
+            oracles[name], doc_path, offset, copies, name
         )
         sc, sr = canon_rows(scols, srows)
         oc, orr = canon_rows(ocols, orows)

@@ -168,10 +168,46 @@ def build(spark, src: str, out: str, copies: int) -> int:
     import shutil
 
     shutil.rmtree(f"{out}/documents.tmp.parquet")
-    n = spark.read.parquet(f"{out}/documents.parquet").count()
+    pruned = spark.read.parquet(f"{out}/documents.parquet")
+    n = pruned.count()
+    # UNCONDITIONAL re-verification of the central invariant (ADVICE
+    # r10): the prune argument ("removing docs can only remove pairs")
+    # is sound, but the adjudication's per-copy factorization rests on
+    # cross-copy == 0, so measure it on the corpus actually shipped —
+    # every build, not just --verify runs.
+    cross_after = (
+        lsh_candidate_pairs(minhash_from_docs(pruned))
+        .filter((F.col("a") / offset).cast("long") != (F.col("b") / offset).cast("long"))
+        .count()
+    )
+    assert cross_after == 0, (
+        f"post-prune cross-copy candidate pairs = {cross_after} (expected 0); "
+        "replica is NOT factorable — do not adjudicate against it"
+    )
+    # machine-readable manifest so downstream tools (adjudicate_closure)
+    # read the build's offset/copies instead of trusting flag defaults
+    import json
+
+    with open(os.path.join(out, "MANIFEST.json"), "w") as fh:
+        json.dump(
+            {
+                "kind": "lowdensity_cipher_replica",
+                "src": src,
+                "copies": copies,
+                "offset": offset,
+                "rotations": ROTATIONS[:copies],
+                "documents_rows": n,
+                "pruned_docs": n_bad,
+                "cross_copy_candidate_pairs_after_prune": cross_after,
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
     print(
         f"documents: {n} rows ({copies} cipher copies, offset {offset}, "
-        f"{n_bad} rotation-coincident docs pruned)"
+        f"{n_bad} rotation-coincident docs pruned, "
+        f"post-prune cross-copy pairs {cross_after})"
     )
     return offset
 
