@@ -95,6 +95,11 @@ def main() -> None:
     ap.add_argument("--sf", default="/tmp/sf1.0ld")
     ap.add_argument("--offset", type=int, default=None)
     ap.add_argument("--copies", type=int, default=None)
+    ap.add_argument(
+        "--check-only",
+        action="store_true",
+        help="exit after the factorability precondition (no oracles run)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     names = args.names or CLOSURE_ENTRIES
@@ -157,6 +162,8 @@ def main() -> None:
             "is stale); rebuild with tools/make_lowdensity_replica.py."
         )
     print(f"precondition: cross-copy candidate pairs == 0 ({time.time()-t0:.0f}s)", flush=True)
+    if args.check_only:
+        sys.exit(0)
     qs, oracles = ent.queries(), ent.oracle_sql()
     rc = 0
     for name in names:
