@@ -118,6 +118,11 @@ HEADLINE = [
     "ml_hmm_forward",
     "llm_keyword_rake",
     "ml_random_forest_vote",
+    # round-11: the r10-changed order-statistics path — the single
+    # rollup pass that folds the row count into the decile/percentile
+    # scan (the r9 OOM fix minus a scan). Tracked so the one-scan
+    # shape is plan-audited and can't regress silently.
+    "ext_equiheight_histogram",
 ]
 
 

@@ -1,0 +1,66 @@
+"""One-command round close-out (VERDICT r10 item 1: make the
+artifact refresh a STANDING step, not a per-round memory).
+
+Runs, in order, stopping on the first failure:
+
+1. full correctness sweep — every registered entry vs its DuckDB
+   oracle at sf0.001 AND sf0.01 (`tools/check.py`; the driver gate's
+   local replication);
+2. the pytest suite;
+3. physical-plan audit with `--write` — regenerates PLANS.md's table
+   in place so the checked-in plan snapshot postdates every engine
+   change this round;
+4. the bench at sf0.1 — which also writes `BENCH_local.json`, the
+   in-tree twin of the driver artifact (truncation armor,
+   VERDICT r10 item 4).
+
+Steps 3-4 want an otherwise-idle machine (bench timings feed the
+round ledger); run closeout alone.
+
+    python tools/closeout.py [--skip-sweep] [--skip-pytest]
+        [--skip-plans] [--skip-bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(tag: str, cmd: list[str]) -> None:
+    print(f"==> {tag}: {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    rc = subprocess.call(cmd, cwd=REPO)
+    print(f"<== {tag}: rc={rc} ({time.time() - t0:.0f}s)", flush=True)
+    if rc != 0:
+        sys.exit(f"closeout FAILED at {tag}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    for step in ("sweep", "pytest", "plans", "bench"):
+        ap.add_argument(f"--skip-{step}", action="store_true")
+    args = ap.parse_args()
+
+    py = sys.executable
+    if not args.skip_sweep:
+        run(
+            "sweep",
+            [py, "tools/check.py", "--sf", "/root/testdata/sf0.01", "--sf", "/root/testdata/sf0.001"],
+        )
+    if not args.skip_pytest:
+        run("pytest", [py, "-m", "pytest", "tests/", "-x", "-q"])
+    if not args.skip_plans:
+        run("plans", [py, "tools/plan_audit.py", "--write"])
+    if not args.skip_bench:
+        run("bench", [py, "bench.py"])
+    print("closeout: all steps green", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,7 +14,12 @@ table (PLANS.md is its checked-in snapshot): the audit trail that the
 declarative plans actually compile to the physical shapes SCALE.md
 claims.
 
-    python tools/plan_audit.py [--sf /root/testdata/sf0.01]
+    python tools/plan_audit.py [--sf /root/testdata/sf0.01] [--write]
+
+`--write` splices the regenerated table into PLANS.md in place
+(header and notes prose are preserved) — the standing close-out step
+(VERDICT r10 item 1): regenerate whenever engine code changed so the
+checked-in plan snapshot always postdates the last operator change.
 """
 
 from __future__ import annotations
@@ -44,9 +49,26 @@ def audit(plan: str) -> dict:
     }
 
 
+def splice_plans_md(table_lines: list[str]) -> str:
+    """Replace the markdown table block in PLANS.md (first `| query |`
+    header line through the last contiguous `|` row) with
+    `table_lines`, preserving the prose above and below."""
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    lines = open(path).read().splitlines()
+    start = next(i for i, l in enumerate(lines) if l.startswith("| query |"))
+    end = start
+    while end < len(lines) and lines[end].startswith("|"):
+        end += 1
+    out = lines[:start] + table_lines + lines[end:]
+    with open(path, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+    return path
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--write", action="store_true", help="splice the table into PLANS.md")
     args = ap.parse_args()
 
     import bench
@@ -57,8 +79,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = ent.queries()
 
-    print("| query | shuffles | BHJ | SMJ | BNLJ | pushed scans | codegen spans | notes |")
-    print("|---|---|---|---|---|---|---|---|")
+    table = [
+        "| query | shuffles | BHJ | SMJ | BNLJ | pushed scans | codegen spans | notes |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for line in table:
+        print(line, flush=True)
     from machine_telemetry_etl_ml_pipeline_spark.operators import plancap
     from machine_telemetry_etl_ml_pipeline_spark.operators.ckpt import unpersist_all
 
@@ -87,10 +113,15 @@ def main() -> None:
             notes.append("TakeOrderedAndProject")
         if a["cartesian"]:
             notes.append("CARTESIAN (bad)")
-        print(
+        row = (
             f"| {name} | {a['exchanges']} | {a['bhj']} | {a['smj']} | {a['bnlj']} "
             f"| {a['pushed']} | {a['codegen']} | {', '.join(notes)} |"
         )
+        table.append(row)
+        print(row, flush=True)
+
+    if args.write:
+        print(f"wrote {splice_plans_md(table)}")
 
 
 if __name__ == "__main__":
