@@ -200,12 +200,22 @@ def main() -> None:
         from tools.bench_compare import classify, load as _load_bench
 
         prior = sorted(_glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
-        if prior:
-            compare = {
-                "vs": os.path.basename(prior[-1]),
-                **classify(_load_bench(prior[-1]), {"queries": per_query}),
-            }
-    except Exception as exc:  # the classification must never fail the bench
+        # newest loadable baseline wins: a truncated driver artifact
+        # yields a partial tail-recovered baseline (flagged in the
+        # output); one with NOTHING recoverable is skipped for the
+        # next-newest rather than silently dropping the comparison.
+        for p in reversed(prior):
+            try:
+                compare = {
+                    "vs": os.path.basename(p),
+                    **classify(_load_bench(p), {"queries": per_query}),
+                }
+                break
+            except ValueError:
+                continue
+    except BaseException as exc:  # noqa: BLE001 — the classification must
+        # never fail the bench (r11: a SystemExit from the loader did
+        # exactly that, killing the artifact before the JSON line)
         compare = {"error": str(exc)}
 
     payload = {

@@ -15,8 +15,13 @@ eager-collect cost). This tool mechanizes the first pass:
   tools/ab_*.py harness pattern, or a plan diff via
   tools/plan_audit.py).
 
-Accepts both the raw bench.py output and the driver's BENCH_r{N}.json
-wrapper ({"parsed": {...}}).
+Accepts the raw bench.py output, the driver's BENCH_r{N}.json wrapper
+({"parsed": {...}}), and — since r11 — a TRUNCATED driver wrapper
+({"parsed": null, "tail": "..."}, the BENCH_r10.json failure mode):
+per-query timings are recovered by regex from the surviving tail
+(the region before the embedded compare block, whose old_sec/new_sec
+pairs would otherwise pollute the extraction), marked
+`recovered_from_tail` so a partial baseline is visible downstream.
 
     python tools/bench_compare.py OLD.json NEW.json [--band 0.10]
 """
@@ -25,16 +30,44 @@ from __future__ import annotations
 
 import argparse
 import json
+import re
+
+# non-query numeric keys that appear in bench output / the driver
+# wrapper / the embedded compare block — excluded from tail recovery
+_SCALARS = frozenset(
+    {
+        "value", "sf", "reps", "n", "rc", "cpus", "r1_subset_wall_sec",
+        "shared", "band_pct", "ambient_drift_median_pct",
+        "old_sec", "new_sec", "delta_pct", "vs_drift_pct",
+    }
+)
 
 
 def load(path: str) -> dict:
     with open(path) as f:
         d = json.load(f)
-    if "parsed" in d and isinstance(d["parsed"], dict):
+    if isinstance(d.get("parsed"), dict):
         d = d["parsed"]
-    if "queries" not in d:
-        raise SystemExit(f"{path}: no 'queries' key (not a bench JSON?)")
-    return d
+    if "queries" in d:
+        return d
+    tail = d.get("tail")
+    if isinstance(tail, str):
+        seg = tail.split('"compare_to_prev"')[0]
+        qs = {
+            k: float(v)
+            for k, v in re.findall(
+                r'"([A-Za-z_][A-Za-z0-9_]*)":\s*([0-9]+(?:\.[0-9]+)?)\b', seg
+            )
+            if k not in _SCALARS
+        }
+        if qs:
+            out: dict = {"queries": qs, "recovered_from_tail": True}
+            for k in ("value", "r1_subset_wall_sec", "sf"):
+                m = re.search(rf'"{k}":\s*([0-9.]+)', seg)
+                if m:
+                    out[k] = float(m.group(1))
+            return out
+    raise ValueError(f"{path}: no recoverable 'queries' (not a bench JSON?)")
 
 
 def classify(old: dict, new: dict, band: float = 0.10) -> dict:
@@ -61,6 +94,11 @@ def classify(old: dict, new: dict, band: float = 0.10) -> dict:
     ]
     out.sort(key=lambda r: -abs(r["vs_drift_pct"]))
     return {
+        **(
+            {"baseline_recovered_from_tail": True}
+            if old.get("recovered_from_tail")
+            else {}
+        ),
         "shared": len(shared),
         "dropped": sorted(set(qo) - set(qn)),
         "added": sorted(set(qn) - set(qo)),
