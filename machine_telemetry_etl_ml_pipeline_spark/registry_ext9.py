@@ -592,8 +592,9 @@ def ext_equiheight_histogram(spark, sf_dir):
     -rank walk instead of Spark's exact percentile() aggregate: that
     aggregate buffers a per-partition counts map of every distinct
     value with NO spill path, and the full 10x sweep caught it OOMing
-    the executor JVM at 60M rows x ~10M distinct cents (BufferHolder
-    .grow heap death — the r9 sweep's one real at-scale find). The
+    the executor JVM at 6M rows x 583k distinct cents (BufferHolder
+    .grow heap death — the r9 sweep's one real at-scale find; row
+    count corrected r11, see SCALE.md's r10 bookkeeping note). The
     rollup shape is spill-safe end to end: groupBy(cents) is partial-
     aggregable, the cumulative count is one ORDER BY cents window over
     the |distinct|-sized rollup (external sort, spills; the documented
