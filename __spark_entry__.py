@@ -81,18 +81,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # stale second listings in place, fixed here).
 _PRIORITY = [
     # === r11 window head: entries whose implementation changed this
-    # round queue first (their green rows are from old code). r11 made
-    # no engine-code changes to registered entries so far; if one lands
-    # it goes here. New registrations (freeze: <=5) queue next.
+    # round queue first (their green rows are from old code) — the
+    # four TPC-H money sums moved to exact integer units after the
+    # r11 100x probe (60M lineitem rows) caught round(sum(double),4)
+    # order-divergence flipping their 4dp hashes one grid step:
+    # q6/q17 on 1-row global sums, q8 on ~15e9 yearly totals, q9 on
+    # nation-year profit groups. Each is oracle-exact at all six SFs
+    # (0.001/0.01/0.1/10x/30x/100x) + 32-vs-7 deterministic on the
+    # new shape; the channel and armor are documented in SCALE.md.
+    "tpch_q6", "tpch_q8", "tpch_q9", "tpch_q17",
     # --- r11 window fill: the r3-era rows — the stalest driver rows
     # after the r10 rotation (TPC-H tail, r3 LLM prep ops, recursive
     # CTE/variant/UDTF, operational sources/writes, r3 streaming rows,
     # warehouse analytics), oldest-row-first per VERDICT r10 item 2 ---
     "ext_salted_agg", "tpch_q2", "tpch_q5",
-    "tpch_q7", "tpch_q8", "tpch_q9",
-    "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q18", "tpch_q19",
+    "tpch_q7", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q15",
+    "tpch_q16", "tpch_q18", "tpch_q19",
     "tpch_q20", "tpch_q21", "tpch_q22",
     "llm_pack_sequences", "llm_source_mix", "llm_quality_filter_by_lang",
     "llm_decontaminate", "llm_unigram_logprob", "llm_dedup_keep_first",
@@ -122,7 +127,7 @@ _PRIORITY = [
     "ext_percentiles", "ext_max_by", "ext_scalar_string",
     "ext_scalar_date", "ext_explode_wordcount", "ext_json_extract",
     "ext_tumbling_window", "ext_sliding_window", "ext_session_windows",
-    "ext_scalar_math", "ext_window_running", "tpch_q6",
+    "ext_scalar_math", "ext_window_running",
     "tpch_q4", "tpch_q14", "llm_dedup_exact_stats",
     "llm_minhash_signatures", "llm_lsh_candidate_pairs", "llm_ngram_jaccard",
     "llm_simhash", "llm_cosine_topk", "llm_ann_lsh_topk",

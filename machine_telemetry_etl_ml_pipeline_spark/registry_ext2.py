@@ -559,7 +559,9 @@ def tpch_q3(spark, sf_dir):
 @register(
     "tpch_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -569,8 +571,22 @@ def tpch_q3(spark, sf_dir):
 )
 def tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecast-revenue (pure scan+filter+agg: every predicate
-    pushes into the parquet scan)."""
+    pushes into the parquet scan). Money math rides integer units
+    (r11): `round(sum(price * discount), 4)` on raw doubles is
+    order-divergent — the r11 100x probe caught Spark and DuckDB one
+    4dp grid step apart (…598.91 vs …598.9099) summing ~8.5M products
+    into ONE row, the documented round(double,4) channel surfacing
+    only at that accumulation depth (1x/10x/30x all hashed equal).
+    Armor = the repo's integer-cents doctrine: price->cents and
+    discount->integer percent are each exact (2dp decimals), their
+    product is an exact BIGINT in 1e-4-dollar units, the sum
+    accumulates order-insensitively in DECIMAL(38,0) (ANSI-safe; DuckDB
+    promotes to HUGEINT), and the one display division of an exactly-
+    representable <2^53 integer by 10000.0 is the same IEEE op on both
+    engines — no round() anywhere, bitwise-equal at every SF."""
     li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    pct = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -578,7 +594,11 @@ def tpch_q6(spark, sf_dir):
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 25)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+        .agg(
+            (F.sum((cents * pct).cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            )
+        )
     )
 
 

@@ -254,11 +254,13 @@ def tpch_q7(spark, sf_dir):
     "tpch_q8",
     """
     SELECT o_year,
-           round(sum(CASE WHEN nation = 'NATION_9' THEN volume ELSE 0 END), 4) AS nation_volume,
-           round(sum(volume), 4) AS total_volume
+           CAST(sum(CASE WHEN nation = 'NATION_9' THEN volume_u ELSE 0 END) AS DOUBLE)
+             / 10000.0 AS nation_volume,
+           CAST(sum(volume_u) AS DOUBLE) / 10000.0 AS total_volume
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS volume_u,
              n2.n_name AS nation
       FROM part
         JOIN lineitem ON p_partkey = l_partkey
@@ -280,7 +282,12 @@ def tpch_q8(spark, sf_dir):
     """TPC-H Q8 market-share shape (8-way join). Parity note: the
     share is emitted as separate numerator/denominator sums — a rounded
     quotient of two large float sums is exactly the half-boundary trap
-    (round-1 memory), while each sum rounds stably at 4dp."""
+    (round-1 memory). Since r11 each sum rides integer 1e-4-dollar
+    units (cents x (100 - pct), exact BIGINT per row, DECIMAL(38,0)
+    accumulation, one display division): the r11 100x probe caught
+    round(sum(double),4) itself diverging one grid step on the ~15e9
+    yearly totals — the documented order-divergent-sum channel, which
+    integer units close at every scale."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
@@ -304,16 +311,25 @@ def tpch_q8(spark, sf_dir):
         .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
     return (
         joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
-        .withColumn("volume", vol)
+        .withColumn("volume_u", vol_u)
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_9", F.col("volume")).otherwise(0.0)), 4
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_9", F.col("volume_u"))
+                    .otherwise(F.lit(0))
+                    .cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(10000.0)
             ).alias("nation_volume"),
-            F.round(F.sum("volume"), 4).alias("total_volume"),
+            (F.sum(F.col("volume_u").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias(
+                "total_volume"
+            ),
         )
         .orderBy("o_year")
     )
@@ -1478,7 +1494,8 @@ def tpch_q16(spark, sf_dir):
 @register(
     "tpch_q17",
     """
-    SELECT round(sum(l1.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT CAST(sum(CAST(round(l1.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / 700.0 AS avg_yearly
     FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
     WHERE p_brand = 'Brand#11'
       AND l1.l_quantity < (
@@ -1491,7 +1508,16 @@ def tpch_q17(spark, sf_dir):
     """TPC-H Q17 small-quantity-order: correlated scalar AVG per part.
     Expressed as an explicit pre-aggregated join (the decorrelation
     Catalyst performs anyway): one partial-aggregable avg per part,
-    broadcast-joined back — never a per-row subquery execution."""
+    broadcast-joined back — never a per-row subquery execution. The
+    revenue sum rides integer cents (r11): round(sum(double)/7, 4)
+    landed one 4dp step apart across engines at the 100x probe
+    (…802.0001 vs …801.9999 — an order-divergent ~4.6e11-cent sum
+    straddling the grid); exact cents in DECIMAL(38,0) then ONE
+    display division by 700.0 (an exactly-representable <2^53 integer
+    over the same IEEE op) is bitwise-equal on both engines, no
+    round() anywhere. The correlated half-avg predicate compares raw
+    doubles on both sides unchanged — quantity sums are small
+    integers, exact in double at any scale."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -1502,7 +1528,13 @@ def tpch_q17(spark, sf_dir):
         .join(avg_qty.withColumnRenamed("l_partkey", "p_partkey"), "p_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg"))
     )
-    return joined.agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    return joined.agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long").cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(700.0)
+        ).alias("avg_yearly")
+    )
 
 
 @register(
@@ -1720,11 +1752,13 @@ def tpch_q11(spark, sf_dir):
 @register(
     "tpch_q9",
     """
-    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+    SELECT nation, o_year, CAST(sum(amount_u) AS DOUBLE) / 10000.0 AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity AS amount
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                    * CAST(round(l_quantity) AS BIGINT) AS amount_u
       FROM lineitem
         JOIN part     ON p_partkey = l_partkey
         JOIN supplier ON s_suppkey = l_suppkey
@@ -1744,7 +1778,15 @@ def tpch_q9(spark, sf_dir):
     nation x year rollup, descending-year sort) is Q9's. part (2k rows
     filtered to ~13%), supplier (100) and nation (25) broadcast; the
     only shuffles are the lineitem-orders fact-fact join and the final
-    aggregation."""
+    aggregation. Profit rides integer 1e-4-dollar units (r11): every
+    input is an exact small decimal (prices 2dp -> cents, discount 2dp
+    -> pct, quantity integral — all verified on the testdata), so
+    amount_u = cents x (100-pct) - 60 x retail_cents x qty is an exact
+    BIGINT per row; round(sum(double),4) on the raw expression
+    diverged one 4dp step per nation-year at the r11 100x probe (the
+    order-divergent-sum channel on ~2e9-dollar groups), while the
+    DECIMAL(38,0) sum + one display division is bitwise-equal at
+    every scale."""
     p = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%red%"))
@@ -1756,9 +1798,11 @@ def tpch_q9(spark, sf_dir):
         "l_partkey", "l_suppkey", "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity")
+    amount_u = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.lit(60) * F.round(F.col("p_retailprice") * 100).cast("long") * F.round(
+        F.col("l_quantity")
+    ).cast("long")
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
@@ -1767,10 +1811,14 @@ def tpch_q9(spark, sf_dir):
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
-            amount.alias("amount"),
+            amount_u.alias("amount_u"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
+        .agg(
+            (F.sum(F.col("amount_u").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias(
+                "sum_profit"
+            )
+        )
         .orderBy("nation", F.desc("o_year"))
     )
 
