@@ -90,6 +90,15 @@ _PRIORITY = [
     # (0.001/0.01/0.1/10x/30x/100x) + 32-vs-7 deterministic on the
     # new shape; the channel and armor are documented in SCALE.md.
     "tpch_q6", "tpch_q8", "tpch_q9", "tpch_q17",
+    # The r11 100x LEDGER SWEEP (extending the ~30-entry probe toward
+    # the full registry) then caught two more: ext_approx_count_distinct
+    # OOM'd at 100x (multi-distinct Expand shape -> rewritten as two
+    # single-distinct aggregates + 1-row crossJoin panel) and
+    # ext_bucketed_join_colocated's round(sum(money),2) sat one 2dp step
+    # off across engines at ~12M terms/group (-> integer-units armor).
+    # Both re-proved: oracle-exact at sf0.001/0.01/0.1 AND 100x,
+    # 32-vs-7 deterministic.
+    "ext_approx_count_distinct", "ext_bucketed_join_colocated",
     # --- r11 window fill: the r3-era rows — the stalest driver rows
     # after the r10 rotation (TPC-H tail, r3 LLM prep ops, recursive
     # CTE/variant/UDTF, operational sources/writes, r3 streaming rows,
