@@ -99,6 +99,11 @@ _PRIORITY = [
     # Both re-proved: oracle-exact at sf0.001/0.01/0.1 AND 100x,
     # 32-vs-7 deterministic.
     "ext_approx_count_distinct", "ext_bucketed_join_colocated",
+    # ...and a third: ext_incremental_rollup's round(sum(totalprice),4)
+    # diverged at ~1.5e10/group, where the 4dp grid is ~50 ULPs — the
+    # channel is magnitude-to-grid ratio, not term count (only ~60k
+    # terms/group). Integer-cents armor; same re-proof protocol.
+    "ext_incremental_rollup",
     # --- r11 window fill: the r3-era rows — the stalest driver rows
     # after the r10 rotation (TPC-H tail, r3 LLM prep ops, recursive
     # CTE/variant/UDTF, operational sources/writes, r3 streaming rows,

@@ -245,7 +245,8 @@ def graph_pagerank(spark, sf_dir):
     SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_epoch,
            o_orderstatus,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS sum_total
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_total
     FROM orders
     GROUP BY 1, 2
     """,
@@ -259,17 +260,27 @@ def ext_incremental_rollup(spark, sf_dir):
     every measure kept is re-aggregable (count, sum; avg is derived at
     read time as sum/count, never stored). Both partial aggregations
     and the merge are partial-aggregable groupBys on the same key, so
-    AQE coalesces the tiny merge shuffle."""
+    AQE coalesces the tiny merge shuffle.
+
+    Money math rides integer units (r11): the 100x ledger sweep caught
+    round(sum(o_totalprice), 4) one 4dp step apart across engines —
+    at ~1.5e10 dollars per (month, status) group the 1e-4 grid is only
+    ~50 double-ULPs wide, so even ~60k order-divergent terms straddle
+    it (the channel is magnitude-to-grid ratio, not just term count).
+    Cents are exact BIGINTs, partials and the merge both accumulate
+    DECIMAL(38,0), and the one display division of a <2^53 integer by
+    100.0 is the same IEEE op on both engines."""
     o = _t(spark, sf_dir, "orders")
     cut = F.lit("1997-01-01 00:00:00").cast("timestamp")
     month = F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias(
         "month_epoch"
     )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
 
     def partial(df):
         return df.groupBy(month, "o_orderstatus").agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("sum_total"),
+            F.sum(cents.cast("decimal(38,0)")).alias("sum_cents"),
         )
 
     base = partial(o.filter(F.col("o_orderdate") < cut))
@@ -279,7 +290,7 @@ def ext_incremental_rollup(spark, sf_dir):
         .groupBy("month_epoch", "o_orderstatus")
         .agg(
             F.sum("n_orders").alias("n_orders"),
-            F.round(F.sum("sum_total"), 4).alias("sum_total"),
+            (F.sum("sum_cents").cast("double") / F.lit(100.0)).alias("sum_total"),
         )
     )
 
