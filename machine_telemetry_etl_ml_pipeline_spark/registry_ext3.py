@@ -235,8 +235,16 @@ def ext_bucketed_join_colocated(spark, sf_dir):
     the r11 TPC-H q6/q8/q9/q17 fixes and at exactly the accumulation
     depth where it opens. cents * (100 - pct) is an exact BIGINT in
     1e-4-dollar units, the sum accumulates order-insensitively in
-    DECIMAL(38,0), and the one display division of a <2^53 integer by
-    10000.0 is the same IEEE op on both engines."""
+    DECIMAL(38,0), and the one display division by 10000.0 is the
+    same IEEE op on both engines. Exactness bound (r12, per ADVICE):
+    the "<2^53 integer" qualifier holds while a group's sum stays
+    under 2^53 units ≈ $9.0e11; the 100x replica sits at ~6e15 units
+    (~1.5x headroom), so it lapses somewhere around a ~150x replica.
+    Past that, cross-engine EQUALITY still holds — both engines cast
+    the SAME exact DECIMAL integer to double, and round-to-nearest of
+    an identical integer is deterministic and identical — only the
+    "exactly representable" claim weakens to "identically rounded".
+    The oracle mirrors the cast, so the gate stays green at any SF."""
     import hashlib
 
     tag = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:8]
