@@ -70,44 +70,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # from the old code; (2) any new registrations queue next (prove-at-
 # creation); (3) the window fills with the entries holding the
 # OLDEST driver rows, oldest-first, to drive the median row age down
-# (VERDICT r9 item 2). The r11 fill = the 46 r3-era rows (TPC-H
-# tail, r3 LLM prep, recursive CTE/variant/UDTF, operational
-# sources/writes, r3 streaming, warehouse analytics) + 4 r4-era
-# rows; the r10 window (re-verified last round) rotates behind the
-# boundary. Every window entry is locally green at
-# sf0.001 AND sf0.01 oracle-exact and 32-vs-7-partition
-# deterministic; names are listed ONCE (tests/test_contract.py
-# enforces no duplicates — the r9 close-out broke that by leaving 7
-# stale second listings in place, fixed here).
+# (VERDICT r9 item 2). The r12 round changed NO entry implementations
+# (its engine edits were docstring evidence annotations only), so the
+# window is pure case (3): the 17 rows whose last driver verification
+# was ROUND 2 (the families behind the r10 window boundary —
+# window frames, array/map/regexp scalars, pivot/unpivot,
+# grouping sets, corr/covar, jsonl source, the three r2 ML evals),
+# then the 33 oldest ROUND-4 rows in their r4 window order
+# (stream-stream/update-mode streaming, profile/stratified-sample/
+# python-datasource sources, join families, rolling median, SCD2
+# point-in-time, IVF recall, closure components, pagerank). Ages are
+# computed from the committed CORRECTNESS_r*.json artifacts, not
+# memory; every window entry is locally green at sf0.001 AND sf0.01
+# oracle-exact and 32-vs-7-partition deterministic (r12 probe);
+# names are listed ONCE (tests/test_contract.py enforces no
+# duplicates).
 _PRIORITY = [
-    # === r11 window head: entries whose implementation changed this
-    # round queue first (their green rows are from old code) — the
-    # four TPC-H money sums moved to exact integer units after the
-    # r11 100x probe (60M lineitem rows) caught round(sum(double),4)
-    # order-divergence flipping their 4dp hashes one grid step:
-    # q6/q17 on 1-row global sums, q8 on ~15e9 yearly totals, q9 on
-    # nation-year profit groups. Each is oracle-exact at all six SFs
-    # (0.001/0.01/0.1/10x/30x/100x) + 32-vs-7 deterministic on the
-    # new shape; the channel and armor are documented in SCALE.md.
-    "tpch_q6", "tpch_q8", "tpch_q9", "tpch_q17",
-    # The r11 100x LEDGER SWEEP (extending the ~30-entry probe toward
-    # the full registry) then caught two more: ext_approx_count_distinct
-    # OOM'd at 100x (multi-distinct Expand shape -> rewritten as two
-    # single-distinct aggregates + 1-row crossJoin panel) and
-    # ext_bucketed_join_colocated's round(sum(money),2) sat one 2dp step
-    # off across engines at ~12M terms/group (-> integer-units armor).
-    # Both re-proved: oracle-exact at sf0.001/0.01/0.1 AND 100x,
-    # 32-vs-7 deterministic.
-    "ext_approx_count_distinct", "ext_bucketed_join_colocated",
-    # ...and a third: ext_incremental_rollup's round(sum(totalprice),4)
-    # diverged at ~1.5e10/group, where the 4dp grid is ~50 ULPs — the
-    # channel is magnitude-to-grid ratio, not term count (only ~60k
-    # terms/group). Integer-cents armor; same re-proof protocol.
-    "ext_incremental_rollup",
-    # --- r11 window fill: the r3-era rows — the stalest driver rows
-    # after the r10 rotation (TPC-H tail, r3 LLM prep ops, recursive
-    # CTE/variant/UDTF, operational sources/writes, r3 streaming rows,
-    # warehouse analytics), oldest-row-first per VERDICT r10 item 2 ---
+    # === r12 window: 17 r2-era rows (stalest in the repo), oldest
+    # window order preserved ===
+    "ext_window_range_frame", "ext_array_functions", "ext_map_functions",
+    "ext_regexp_functions", "ext_date_format", "ext_pivot",
+    "ext_unpivot", "ext_grouping_sets", "ext_string_agg",
+    "ext_corr_covar", "ext_union_missing_cols", "ext_join_revenue_by_nation",
+    "stream_tumbling_counts", "ml_kmeans_anomaly", "ml_gbt_regression_eval",
+    "ml_gbt_classifier_eval", "ext_source_jsonl", "llm_embedding_truncate",
+    "llm_inverted_index", "graph_pagerank", "ext_data_profile",
+    "ext_sample_stratified_exact", "ext_python_datasource", "ext_gap_fill_ffill",
+    "ext_rolling_median", "ext_histogram", "ml_linear_regression_sql",
+    "ext_fuzzy_levenshtein", "llm_multimodal_framesample", "ext_scd2_point_in_time_join",
+    "ext_try_arithmetic", "llm_novel_ngram_ratio", "ext_window_distinct_count",
+    "ext_group_by_all", "stream_update_mode_upsert", "ext_sql_unpivot_native",
+    "ml_string_indexer", "llm_bm25_score", "llm_ann_ivf_recall",
+    "udf_map_in_arrow", "llm_dedup_components", "llm_simhash_hamming_pairs",
+    "ext_join_right", "ext_join_full_outer", "ext_range_join",
+    "ext_join_hinted", "ext_time_rollup", "ext_not_in_subquery",
+    "ext_lateral_join", "ext_percentile_approx_check", "ext_intersect_all",
+    # --- ~50-entry r12 window boundary ---
+    # --- the 12 remaining r4-era rows queue first for r13 ---
+    "ext_except_all", "ext_collect_list_ordered", "ext_approx_top_k",
+    "ext_window_time_range_frame", "stream_foreach_batch_sink", "stream_stream_join",
+    "llm_ann_bucket_counts", "llm_fingerprint", "llm_scrub_text",
+    "llm_repetition_stats", "llm_minhash_jaccard_estimate", "tpch_q6",
+    "tpch_q8", "tpch_q9", "tpch_q17",
+    "ext_approx_count_distinct", "ext_bucketed_join_colocated", "ext_incremental_rollup",
     "ext_salted_agg", "tpch_q2", "tpch_q5",
     "tpch_q7", "tpch_q10", "tpch_q11",
     "tpch_q12", "tpch_q13", "tpch_q15",
@@ -122,18 +127,8 @@ _PRIORITY = [
     "stream_session_counts", "stream_sliding_counts", "stream_static_join",
     "stream_dedup_within_watermark", "ext_merge_upsert", "ext_funnel_conversion",
     "ext_cohort_retention", "ext_gap_islands", "ext_scd2_history",
-    "ext_salted_join",
-    # --- then the next-stalest r4-era rows to fill the ~50 window ---
-    "ext_gap_fill_ffill", "ext_rolling_median", "llm_novel_ngram_ratio",
-    "ext_session_dynamic_gap",
-    # --- ~50-entry r11 window boundary ---
-    # --- r4+ driver-green rows continue (newer rows persist; the
-    # local exact-bar sweep re-checks all 394 each round) ---
-    "llm_tfidf_topk_terms", "llm_winnowing_fingerprints",
-    # --- the r10 window (freshest rows, verified last round) rotates
-    # to the back of the explicit list: r10 changed-implementation
-    # pair, then the r1/r2-era families re-verified in r10 ---
-    "ext_equiheight_histogram", "llm_keyword_rake",
+    "ext_salted_join", "ext_session_dynamic_gap", "llm_tfidf_topk_terms",
+    "llm_winnowing_fingerprints", "ext_equiheight_histogram", "llm_keyword_rake",
     "ext_join_left_order_counts", "ext_join_semi", "ext_join_anti",
     "ext_join_theta", "ext_union_all", "ext_union_distinct",
     "ext_intersect", "ext_except", "ext_rollup",
@@ -141,21 +136,15 @@ _PRIORITY = [
     "ext_percentiles", "ext_max_by", "ext_scalar_string",
     "ext_scalar_date", "ext_explode_wordcount", "ext_json_extract",
     "ext_tumbling_window", "ext_sliding_window", "ext_session_windows",
-    "ext_scalar_math", "ext_window_running",
-    "tpch_q4", "tpch_q14", "llm_dedup_exact_stats",
-    "llm_minhash_signatures", "llm_lsh_candidate_pairs", "llm_ngram_jaccard",
-    "llm_simhash", "llm_cosine_topk", "llm_ann_lsh_topk",
-    "llm_ann_multiprobe_topk", "llm_embedding_neardup", "llm_language_id",
-    "llm_token_counts", "llm_quality_score", "llm_pipeline_end_to_end",
-    "llm_multimodal_pack", "ext_scalar_subquery", "ext_correlated_subquery",
-    "ext_in_subquery", "udf_pandas_scalar", "udf_apply_in_pandas",
-    "udf_python_row", "ext_window_distribution", "ext_window_first_last",
-    "ext_window_range_frame", "ext_array_functions", "ext_map_functions",
-    "ext_regexp_functions", "ext_date_format", "ext_pivot",
-    "ext_unpivot", "ext_grouping_sets", "ext_string_agg",
-    "ext_corr_covar", "ext_union_missing_cols", "ext_join_revenue_by_nation",
-    "stream_tumbling_counts", "ml_kmeans_anomaly", "ml_gbt_regression_eval",
-    "ml_gbt_classifier_eval", "ext_source_jsonl",
+    "ext_scalar_math", "ext_window_running", "tpch_q4",
+    "tpch_q14", "llm_dedup_exact_stats", "llm_minhash_signatures",
+    "llm_lsh_candidate_pairs", "llm_ngram_jaccard", "llm_simhash",
+    "llm_cosine_topk", "llm_ann_lsh_topk", "llm_ann_multiprobe_topk",
+    "llm_embedding_neardup", "llm_language_id", "llm_token_counts",
+    "llm_quality_score", "llm_pipeline_end_to_end", "llm_multimodal_pack",
+    "ext_scalar_subquery", "ext_correlated_subquery", "ext_in_subquery",
+    "udf_pandas_scalar", "udf_apply_in_pandas", "udf_python_row",
+    "ext_window_distribution", "ext_window_first_last",
 ]
 
 

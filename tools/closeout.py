@@ -3,22 +3,28 @@ artifact refresh a STANDING step, not a per-round memory).
 
 Runs, in order, stopping on the first failure:
 
-1. full correctness sweep — every registered entry vs its DuckDB
+1. the money-channel static gate (`tools/money_gate.py`, r12:
+   every F.round over a sum-of-doubles site must carry 100x-ledger
+   or bounded-grid evidence — instant, so it runs first);
+2. full correctness sweep — every registered entry vs its DuckDB
    oracle at sf0.001 AND sf0.01 (`tools/check.py`; the driver gate's
    local replication);
-2. the pytest suite;
-3. physical-plan audit with `--write` — regenerates PLANS.md's table
-   in place so the checked-in plan snapshot postdates every engine
-   change this round;
-4. the bench at sf0.1 — which also writes `BENCH_local.json`, the
+3. the pytest suite;
+4. physical-plan audit with `--write` — regenerates PLANS.md's table
+   in place (and stamps the audited HEAD) so the checked-in plan
+   snapshot postdates every engine change this round;
+5. the bench at sf0.1 — which also writes `BENCH_local.json`, the
    in-tree twin of the driver artifact (truncation armor,
-   VERDICT r10 item 4).
+   VERDICT r10 item 4);
+6. the PLANS.md freshness check (`tools/plans_fresh.py`, r12: fails
+   if any engine commit postdates the stamped audit — commit engine
+   code BEFORE running closeout, and commit PLANS.md last).
 
-Steps 3-4 want an otherwise-idle machine (bench timings feed the
+Steps 4-5 want an otherwise-idle machine (bench timings feed the
 round ledger); run closeout alone.
 
-    python tools/closeout.py [--skip-sweep] [--skip-pytest]
-        [--skip-plans] [--skip-bench]
+    python tools/closeout.py [--skip-money] [--skip-sweep]
+        [--skip-pytest] [--skip-plans] [--skip-bench] [--skip-fresh]
 """
 
 from __future__ import annotations
@@ -43,11 +49,13 @@ def run(tag: str, cmd: list[str]) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    for step in ("sweep", "pytest", "plans", "bench"):
+    for step in ("money", "sweep", "pytest", "plans", "bench", "fresh"):
         ap.add_argument(f"--skip-{step}", action="store_true")
     args = ap.parse_args()
 
     py = sys.executable
+    if not args.skip_money:
+        run("money-gate", [py, "tools/money_gate.py"])
     if not args.skip_sweep:
         run(
             "sweep",
@@ -59,6 +67,8 @@ def main() -> None:
         run("plans", [py, "tools/plan_audit.py", "--write"])
     if not args.skip_bench:
         run("bench", [py, "bench.py"])
+    if not args.skip_fresh:
+        run("plans-fresh", [py, "tools/plans_fresh.py"])
     print("closeout: all steps green", flush=True)
 
 

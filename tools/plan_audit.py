@@ -60,6 +60,22 @@ def splice_plans_md(table_lines: list[str]) -> str:
     while end < len(lines) and lines[end].startswith("|"):
         end += 1
     out = lines[:start] + table_lines + lines[end:]
+    # machine-readable freshness stamp (VERDICT r11 item 2): records
+    # the HEAD the audit ran at, so tools/plans_fresh.py can fail any
+    # state where engine commits postdate the last committed audit.
+    import subprocess
+
+    head = subprocess.check_output(
+        ["git", "rev-parse", "HEAD"], cwd=os.path.dirname(path), text=True
+    ).strip()
+    dirty_pkg = subprocess.check_output(
+        ["git", "status", "--porcelain", "--",
+         "machine_telemetry_etl_ml_pipeline_spark", "__spark_entry__.py"],
+        cwd=os.path.dirname(path), text=True,
+    ).strip()
+    stamp = f"<!-- plan-audit-stamp: head={head} pkg-dirty={1 if dirty_pkg else 0} -->"
+    out = [l for l in out if not l.startswith("<!-- plan-audit-stamp:")]
+    out.append(stamp)
     with open(path, "w") as fh:
         fh.write("\n".join(out) + "\n")
     return path
