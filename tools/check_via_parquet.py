@@ -113,6 +113,13 @@ def main() -> None:
     spark = get_spark("check_via_parquet")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # 180M-row EXCEPT ALL compares must spill, not balloon: an
+    # unbounded DuckDB reached 57 GB RSS and drew the OOM killer
+    # when run next to a Spark session (r12). Cap it and give it a
+    # disk temp dir — the compare is batch, not latency-sensitive.
+    con.execute("SET memory_limit='32GB'")
+    os.makedirs("/tmp/duckdb_sink_tmp", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_sink_tmp'")
     for t in TABLES:
         path = f"{args.sf}/{t}.parquet"
         if os.path.isdir(path):

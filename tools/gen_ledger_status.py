@@ -91,6 +91,11 @@ SINK_PATH = {
 def parse_tier(pattern: str) -> dict[str, tuple[str, str, str]]:
     out: dict[str, tuple[str, str, str]] = {}
     for f in sorted(glob.glob(pattern)):
+        # determinism-probe logs share the PASS/FAIL grammar but
+        # attest partition-order stability at sf0.1, NOT a 100x
+        # oracle row — never let them into the ledger
+        if "determinism" in os.path.basename(f):
+            continue
         for raw in open(f, errors="replace"):
             for seg in raw.split("\r"):
                 m = LINE.search(seg)
