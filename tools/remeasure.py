@@ -30,6 +30,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--warmup", type=int, default=1,
+                    help="uncounted warm-up reps of EVERY name (default 1)")
     ap.add_argument(
         "--controls",
         default="ext_salted_join,llm_tfidf_topk_terms",
@@ -54,7 +56,14 @@ def main() -> None:
         unpersist_all(spark)
         return dt
 
-    run_once(names[0])  # JVM/codegen warm-up, not counted
+    # Per-ENTRY warm-up reps, not counted (r12): warming only the
+    # first name left per-entry first-touch costs — catalog/
+    # bucketed-table exists-checks, per-plan codegen — inside rep 1
+    # (observed: a 5.0s first rep on ext_bucketed_join_colocated vs
+    # its 0.53s min). Every measured rep now starts warm.
+    for _ in range(args.warmup):
+        for n in names:
+            run_once(n)
 
     all_ts: dict[str, list[float]] = {n: [] for n in names}
     for rep in range(args.reps):
