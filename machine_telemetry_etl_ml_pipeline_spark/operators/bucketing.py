@@ -103,6 +103,17 @@ def salted_join(
     Use when AQE's skew-join split can't fire: the downstream operator
     needs the join's partitioning, the payload compresses too well for
     the byte-based detector, or the engine runs without AQE.
+
+    The replicated-dim side carries a SHUFFLE_HASH hint (r13): without
+    it the planner — seeing a parquet fact whose size estimate it
+    trusts against a createDataFrame dim with UnknownPartitioning and
+    no stats — picked BuildLeft and BROADCAST THE FACT TABLE (measured
+    at sf0.1: the whole events projection collected to the driver,
+    3.0s, single-threaded; at 100 TB a driver OOM). The hint pins the
+    exact shape salting exists to produce: both sides exchange on
+    (key, __salt) — the fact shuffled ONCE, each hot key spread over
+    salt_buckets reducers — and the per-partition hash table is built
+    from the tiny dim replicas, no sort (guide §3.1).
     """
     if not 1 <= salt_buckets <= 256:
         raise ValueError("salt_buckets must be in [1, 256] (two md5 hex digits)")
@@ -117,4 +128,4 @@ def salted_join(
             f.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
         )
     )
-    return f.join(replicas, [key, "__salt"]).drop("__salt")
+    return f.join(replicas.hint("shuffle_hash"), [key, "__salt"]).drop("__salt")

@@ -721,28 +721,58 @@ def llm_novel_ngram_ratio(spark, sf_dir):
     """Novel-n-gram scoring (the C4/RefinedWeb-style priority-dedup
     signal): for each document, the fraction of its distinct word
     8-grams it is the FIRST (min doc_id) to introduce — near-copies of
-    earlier documents score near 0 and get dropped first. Two
-    gram-keyed stages: a partial-aggregable min per gram (the owner
-    table is gram-cardinality bounded, not corpus bounded) and a
-    gram-keyed join back; the exchange on the gram key is planned once
-    and reused by both. No all-pairs comparison anywhere."""
-    from .llm.dedup import word_ngrams
+    earlier documents score near 0 and get dropped first.
 
-    d = _t(spark, sf_dir, "documents")
-    grams = word_ngrams(d, n=8)
-    owner = grams.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
-    novel = F.sum(
-        F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
-    ).cast("long")
+    r13 shape (guide §2.3/§2.4): the oracle's DISTINCT (doc_id, g8) is
+    per-document dedup, so it is computed IN-ROW with array_distinct —
+    no global distinct exchange of gram text — and n_grams is just
+    size() of that array, shuffle-free. Novelty never needs the
+    gram-keyed join back either: min(doc_id) per gram (partial-
+    aggregable; duplicates collapse map-side so the one gram-keyed
+    exchange carries each distinct task-local gram once) followed by a
+    count per winning doc — skinny doc-keyed rows, exactly one gram-
+    text exchange end to end (the r4-r12 shape shuffled gram text
+    twice more: a global distinct and a gram-keyed join). No all-pairs
+    comparison anywhere."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # Bind the word array to an attribute BEFORE the lambda: an
+    # expression captured inside transform() is re-evaluated per
+    # element (measured r13: inlining the split made the gram build
+    # O(words^2) per doc, 3.8s vs 1.1s at sf0.1).
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("ws")) - F.lit(7), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, 8)),
+    )
+    # One explicit gram-keyed exchange feeds BOTH aggregates
+    # (ReuseExchange: identical subtree) — the gram build runs once
+    # and the gram text crosses the wire once. n_grams = the per-doc
+    # row count of the already-deduped explode; novelty = count per
+    # winning doc of the per-shingle min (no exchange above the
+    # repartition for the shingle agg: partitioning already satisfied).
+    ex = (
+        d.select("doc_id", ws.alias("ws"))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+        .repartition("shingle")
+    )
+    novel_counts = (
+        ex.groupBy("shingle")
+        .agg(F.min("doc_id").alias("owner"))
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    n_novel = F.coalesce(F.col("n_novel"), F.lit(0).cast("long"))
     return (
-        grams.join(owner, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            novel.alias("n_novel"),
-            F.round(
-                novel.cast("double") / F.count(F.lit(1)), 4
-            ).alias("novel_ratio"),
+        ex.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(novel_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_novel.alias("n_novel"),
+            F.round(n_novel.cast("double") / F.col("n_grams"), 4).alias("novel_ratio"),
         )
     )
 

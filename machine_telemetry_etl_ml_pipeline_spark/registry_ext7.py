@@ -158,12 +158,19 @@ def llm_segment_dedup(spark, sf_dir):
     a segment survives only at its FIRST occurrence — min (doc_id,
     seg_idx) across the whole corpus — and every document reports its
     retention. Shapes for 100 TB: segments are built with array
-    slice/zip expressions (one Generate, no self-join), first-
-    occurrence is a struct-min window over the segment hash key (one
-    seg-keyed exchange, partial-aggregable), then one doc_id-keyed
-    rollup. Nothing is ever quadratic in corpus size."""
-    from pyspark.sql.window import Window
-
+    slice/zip expressions (one Generate, no self-join); first-
+    occurrence is a PARTIAL-AGGREGABLE groupBy(seg).min(struct) — the
+    r13 shape: duplicate segments collapse map-side and the one
+    seg-keyed exchange carries a single (seg, min-owner) row per
+    distinct segment per task, with NO sort (the r4-r12 window shape
+    shuffled EVERY segment row's full text into a per-seg sort; guide
+    §2.3 "aggregate before you shuffle"). Per-doc retention then
+    needs only the winners: count firsts by owning doc (a doc-keyed
+    exchange of <= |distinct segs| skinny rows) and join that onto
+    per-doc segment counts computed arithmetically from the word
+    count — ceil(|words|/10) = the exploded row count by construction
+    — so the fact side never re-explodes. Nothing is ever quadratic
+    in corpus size."""
     d = _t(spark, sf_dir, "documents")
     ws = words_col(F.col("text"))
     starts = F.sequence(F.lit(1), F.size(ws), F.lit(10))
@@ -179,17 +186,34 @@ def llm_segment_dedup(spark, sf_dir):
         .select("doc_id", F.explode(segs).alias("s"))
         .select("doc_id", F.col("s.seg_idx").alias("seg_idx"), F.col("s.seg").alias("seg"))
     )
-    first = F.min(F.struct("doc_id", "seg_idx")).over(Window.partitionBy("seg"))
-    marked = seg_rows.withColumn(
-        "is_first",
-        (F.col("doc_id") == first["doc_id"]) & (F.col("seg_idx") == first["seg_idx"]),
+    # The oracle's winner is min(doc_id, seg_idx) lexicographic — but
+    # its OWNING DOC is determined by min(doc_id) alone (seg_idx only
+    # breaks ties within one doc, and per distinct segment exactly one
+    # winner row exists either way), so the aggregate buffer is a
+    # plain LONG: HashAggregate fires (min over a struct falls back to
+    # SortAggregate — measured r13: two extra Sorts of every exploded
+    # segment row). Partial min collapses duplicates map-side.
+    kept = (
+        seg_rows.groupBy("seg")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
     )
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_segs"),
-        F.sum(F.col("is_first").cast("long")).alias("n_kept"),
-        F.round(
-            F.sum(F.col("is_first").cast("double")) / F.count(F.lit(1)), 4
-        ).alias("kept_ratio"),
+    # sequence(1, n, 10) has exactly floor((n-1)/10)+1 elements for
+    # n >= 1, so n_segs is arithmetic on the word count — no second
+    # explode; doc_id is unique in documents, so no aggregation either.
+    docstats = d.filter(F.size(ws) > 0).select(
+        "doc_id",
+        (F.floor((F.size(ws) - F.lit(1)) / F.lit(10)) + F.lit(1))
+        .cast("long")
+        .alias("n_segs"),
+    )
+    n_kept = F.coalesce(F.col("n_kept"), F.lit(0).cast("long"))
+    return docstats.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        n_kept.alias("n_kept"),
+        F.round(n_kept.cast("double") / F.col("n_segs"), 4).alias("kept_ratio"),
     )
 
 

@@ -259,3 +259,24 @@ def test_stratified_exact_rates_and_determinism(spark, queries):
     assert sorted(r.event_id for r in out.collect()) == sorted(
         r.event_id for r in queries["ext_sample_stratified_exact"](spark, SF).collect()
     )
+
+
+def test_novel_ngram_in_row_distinct_matches_word_ngrams(spark, queries):
+    """r13 internals: per-doc gram dedup moved in-row (array_distinct)
+    — n_grams must equal the old global-distinct path's per-doc count
+    (llm.dedup.word_ngrams, the oracle's DISTINCT (doc_id, g8))."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.dedup import word_ngrams
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    got = {
+        r.doc_id: r.n_grams
+        for r in queries["llm_novel_ngram_ratio"](spark, SF).collect()
+    }
+    true = {
+        r.doc_id: r.n
+        for r in word_ngrams(_t(spark, SF, "documents"), n=8)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == true

@@ -351,3 +351,25 @@ def test_bpe_merge_step_descending_and_positive(spark, queries):
     for r in rows:
         a, b = r.pair.split(" ")
         assert a and b
+
+
+def test_segment_dedup_arithmetic_n_segs_matches_explode(spark, queries):
+    """r13 internals: n_segs is now floor((|words|-1)/10)+1 computed
+    arithmetically (no second explode) — it must equal the true
+    exploded segment count per doc."""
+    from machine_telemetry_etl_ml_pipeline_spark.llm.textstats import words_col
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    got = {r.doc_id: r.n_segs for r in queries["llm_segment_dedup"](spark, SF).collect()}
+    d = _t(spark, SF, "documents")
+    ws = words_col(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(ws), F.lit(10))
+    true = {
+        r.doc_id: r.n
+        for r in d.filter(F.size(ws) > 0)
+        .select("doc_id", F.explode(starts).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == true
