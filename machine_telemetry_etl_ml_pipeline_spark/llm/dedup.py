@@ -187,25 +187,37 @@ def minhash_from_docs(
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
 ) -> DataFrame:
-    """Band the signature and self-join per band: docs agreeing on ALL
-    components of any band become a candidate pair (standard MinHash
-    LSH banding). Returns distinct (a, b) with a < b.
+    """Band the signature and pair docs agreeing on ALL components of
+    any band (standard MinHash LSH banding). Returns distinct (a, b)
+    with a < b.
 
-    All band keys are emitted in ONE explode projection and the
-    self-join runs on that single subplan, so the (expensive) shingle +
-    minhash pipeline is planned once and the band-key exchange is
-    shared via ReuseExchange — a per-band union of joins would replan
-    it 2x per band."""
+    r13 shape: ONE band-keyed exchange + in-row pair expansion — each
+    bucket's ids are collected sorted and every (earlier, later) pair
+    is emitted with array expressions. The r1-r12 self-join computed
+    the (expensive) shingle + minhash pipeline TWICE (the two join
+    sides are separate subtrees; the claimed ReuseExchange never fired
+    in the broadcast regime — the plan showed two full signature
+    pipelines and a corpus-sized BroadcastExchange of the banded
+    table, guide §2.4/§3.1). Pair output is identical and still
+    proportional to true collisions; the per-bucket id array is
+    bounded by bucket occupancy (LSH bands keep buckets small by
+    design — for clustering, where hot buckets need only stars, use
+    lsh_star_edges instead)."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     bands = [mh_cols[i : i + rows_per_band] for i in range(0, len(mh_cols), rows_per_band)]
     band_keys = [F.md5(F.concat_ws("|", *cols)) for cols in bands]
     keyed = signatures.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
-    left = keyed.alias("l")
-    right = keyed.alias("r")
+    from ..operators.core import ordered_pairs
+
+    buckets = keyed.groupBy("band_key").agg(
+        F.sort_array(F.collect_list(id_col)).alias("__ds")
+    )
+    ds = F.col("__ds")
     return (
-        left.join(right, F.col("l.band_key") == F.col("r.band_key"))
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        buckets.filter(F.size(ds) >= 2)
+        .select(F.explode(ordered_pairs(ds)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") < F.col("b"))
         .distinct()
     )
 

@@ -175,3 +175,24 @@ def grouped_stats(
     if order_by is not None:
         out = out.orderBy(F.col(order_by).desc(), F.col(key).asc())
     return out
+
+
+def ordered_pairs(arr) -> "F.Column":
+    """All (earlier, later) element pairs of a SORTED array column, as
+    an array of structs (a, b) — the in-row expansion of a self-equi-
+    join within one group (r13, guide §2.4): a groupBy + this
+    expression replaces the self-join's duplicated build subtree and
+    second group-key exchange. Output is exactly the a < b pair set
+    when the array holds distinct sorted values; array size must be
+    bounded by construction (bucket/group occupancy), as the pairs of
+    one group materialize in one row."""
+    a = F.col(arr) if isinstance(arr, str) else arr
+    return F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + F.lit(2), F.size(a)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )

@@ -161,28 +161,33 @@ def _copurchase_edges(spark, sf_dir):
     is keyed on (part, week), whose group sizes stay ~constant as SF
     grows (parts scale with lineitems), so edges grow LINEARLY with
     input — the property that keeps the triangle/BFS joins bounded."""
+    from .operators.core import ordered_pairs
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("wk")
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    grp = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"),
-            F.col("l_partkey").alias("part"),
-            "wk",
-        )
-        .distinct()
+    grp = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("cust"),
+        F.col("l_partkey").alias("part"),
+        "wk",
     )
-    a, b = grp.alias("a"), grp.alias("b")
+    # r13 (guide §2.4): ONE (part, wk)-keyed exchange — collect_set
+    # folds the oracle's DISTINCT (cust, part, wk) into the group
+    # aggregate (partial-aggregable map-side) and ordered_pairs emits
+    # each group's a.cust < b.cust pairs in-row; the r4-r12 self-join
+    # shape paid a distinct exchange plus TWO more (part, wk) join
+    # exchanges over a duplicated grp subtree. Group arrays are
+    # bounded: per-part weekly buyer counts (~1-2 here, ~constant in
+    # SF) — the same sparsity argument the docstring's edge-linearity
+    # claim rests on.
+    buckets = grp.groupBy("part", "wk").agg(
+        F.sort_array(F.collect_set("cust")).alias("cs")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.part") == F.col("b.part"))
-            & (F.col("a.wk") == F.col("b.wk"))
-            & (F.col("a.cust") < F.col("b.cust")),
-        )
-        .select(F.col("a.cust").alias("u"), F.col("b.cust").alias("v"))
+        buckets.filter(F.size("cs") >= 2)
+        .select(F.explode(ordered_pairs("cs")).alias("p"))
+        .select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
         .distinct()
     )
 

@@ -185,3 +185,68 @@ def test_kmeans_lloyd_deterministic_and_complete(spark):
     assert [r[0] for r in a] == [0, 1, 2, 3]
     assert sum(r[1] for r in a) == 500  # every vector assigned exactly once
     assert sum(r[2] for r in a) == 500 * 499 // 2  # id-sum partition of 0..499
+
+
+def test_ordered_pairs_matches_self_join_semantics(spark):
+    """r13 helper: in-row pair expansion over a sorted array must equal
+    the a < b self-join pair set within each group."""
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.operators.core import ordered_pairs
+
+    rows = [("g1", 3), ("g1", 1), ("g1", 7), ("g2", 5), ("g2", 5), ("g3", 9)]
+    df = spark.createDataFrame(rows, "k string, x long")
+    got = {
+        (r.k, r.a, r.b)
+        for r in df.groupBy("k")
+        .agg(F.sort_array(F.collect_set("x")).alias("xs"))
+        .select("k", F.explode(ordered_pairs("xs")).alias("p"))
+        .select("k", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .collect()
+    }
+    a, b = df.alias("a"), df.alias("b")
+    want = {
+        (r.k, r.x_a, r.x_b)
+        for r in a.join(
+            b, (F.col("a.k") == F.col("b.k")) & (F.col("a.x") < F.col("b.x"))
+        )
+        .select(F.col("a.k").alias("k"), F.col("a.x").alias("x_a"), F.col("b.x").alias("x_b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_copurchase_edges_match_self_join_shape(spark):
+    """r13 internals: the groupBy+ordered_pairs edge build must emit
+    exactly the old self-join shape's distinct (u < v) edge set."""
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext9 import _copurchase_edges
+
+    SF = "/root/testdata/sf0.001"
+    got = {(r.u, r.v) for r in _copurchase_edges(spark, SF).collect()}
+    li = _t(spark, SF, "lineitem").select(
+        "l_orderkey", "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("wk")
+    )
+    orders = _t(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    grp = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"), "wk")
+        .distinct()
+    )
+    a, b = grp.alias("a"), grp.alias("b")
+    want = {
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.part") == F.col("b.part"))
+            & (F.col("a.wk") == F.col("b.wk"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .select(F.col("a.cust").alias("u"), F.col("b.cust").alias("v"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
