@@ -9,12 +9,22 @@ Design (llm/similarity.py `adaptive_bits_expr`/`adaptive_sign_bucket`):
 bits = clamp(ceil(log2(n / target_bucket_size)), 2, 16), B = 2^bits —
 the SemDeDup paper's k ∝ n cluster-count scaling re-expressed for
 sign-LSH, so expected per-bucket population (and with it scored pairs
-PER ROW) stays ~constant as the corpus grows. The corpus count is a
-1-row broadcast aggregate and `bits` rides the plan as a COLUMN, so
-one whole-stage-codegen bucket expression serves every corpus size:
-no collect, no per-size plan rebuild, no UDF. Hyperplane order is
-fixed, so growing bits REFINES buckets (each splits in two) rather
-than reshuffling them.
+PER ROW) stays ~constant as the corpus grows. One whole-stage-codegen
+bucket expression serves every corpus size: no per-size plan rebuild,
+no UDF. Hyperplane order is fixed, so growing bits REFINES buckets
+(each splits in two) rather than reshuffling them.
+
+r13 multiplicity fix (the r9 ab_gmm/ab_logistic doctrine applied
+here): the r8-r12 shape carried the params row as a broadcast COLUMN,
+but the bucketed base is SELF-JOINED — Spark duplicates the whole
+subtree per join side, so the corpus was scanned and bucketed twice
+and the params aggregate ran once per copy plus once in the final
+projection (5 embeddings scans per entry). Now the 1-row params
+aggregate is collected once (bounded; plancap-noted), `bits` folds in
+as a literal — the VALUE Spark itself computed, so cross-engine
+parity is untouched — and the bucketed+norm'd base is
+localCheckpointed so both join sides read ONE materialization
+(2 corpus scans total, the floor for count-then-bucket).
 
 The two driver-green fixed-bucket entries stay untouched: their
 outputs are DEFINED by their candidate sets, and re-speccing a
@@ -81,26 +91,39 @@ _PARAMS_SQL = f"""
 
 
 def _adaptive_base(spark, sf_dir):
-    """(params 1-row frame, bucketed base frame with precomputed
-    norms) — shared by both scaled entries. Norm hoisting per the r5
-    lesson: the inlined cosine re-folds both 64-element aggregates per
-    pair otherwise (measured 2.4x slower on the fixed-bucket twin)."""
+    """(params 1-row literal frame, CHECKPOINTED bucketed base frame
+    with precomputed norms) — shared by both scaled entries. Norm
+    hoisting per the r5 lesson: the inlined cosine re-folds both
+    64-element aggregates per pair otherwise (measured 2.4x slower on
+    the fixed-bucket twin). Params collected to literals + base
+    localCheckpointed per the r13 multiplicity fix (module
+    docstring): the self-join in _adaptive_pairs otherwise duplicates
+    the whole scan+bucket subtree per side."""
+    from .operators import plancap
+    from .operators.ckpt import checkpoint_rotate, note_live
+
     e = _t(spark, sf_dir, "embeddings")
-    params = e.agg(
+    params_df = e.agg(
         F.count(F.lit(1)).alias("n"), F.sum("vec_id").cast("long").alias("sum_ids")
     ).select(
         adaptive_bits_expr(F.col("n"), _TARGET_BUCKET).alias("bits"),
         F.col("n").cast("long").alias("n_total"),
         "sum_ids",
     )
-    base = (
-        e.crossJoin(F.broadcast(params))
-        .select(
-            "vec_id",
-            _as_double(F.col("embedding")).alias("v"),
-            adaptive_sign_bucket(F.col("embedding"), F.col("bits")).alias("bucket"),
-        )
-        .withColumn("nrm", norm(F.col("v")))
+    row = params_df.collect()[0]  # bounded 1-row collect
+    plancap.note(params_df)
+    bits, n_total, sum_ids = int(row["bits"]), int(row["n_total"]), int(row["sum_ids"])
+    base = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        adaptive_sign_bucket(F.col("embedding"), F.lit(bits)).alias("bucket"),
+    ).withColumn("nrm", norm(F.col("v")))
+    base, ids = checkpoint_rotate(base)
+    note_live(ids)
+    params = spark.range(1).select(
+        F.lit(bits).cast("int").alias("bits"),
+        F.lit(n_total).cast("long").alias("n_total"),
+        F.lit(sum_ids).cast("long").alias("sum_ids"),
     )
     return params, base
 

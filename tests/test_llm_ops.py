@@ -317,3 +317,49 @@ def test_source_weighted_sample_rate(spark):
     df = spark.range(4000).select(F.col("id").alias("doc_id"))
     kept = source_weighted_sample(df, F.lit(0.25)).count()
     assert abs(kept - 1000) < 3 * (4000 * 0.25 * 0.75) ** 0.5
+
+
+def test_adaptive_base_literal_params_match_expression(spark):
+    """r13 internals: _adaptive_base folds the params row to literals
+    and checkpoints the bucketed base — the literal values must equal
+    the broadcast-column expression they replaced, and the base must
+    equal a freshly derived (unchckpointed) bucketing."""
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.llm.similarity import (
+        _as_double,
+        adaptive_bits_expr,
+        adaptive_sign_bucket,
+        norm,
+    )
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext30 import (
+        _TARGET_BUCKET,
+        _adaptive_base,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    params, base = _adaptive_base(spark, SF)
+    p = params.collect()[0]
+    e = _t(spark, SF, "embeddings")
+    want_p = (
+        e.agg(F.count(F.lit(1)).alias("n"), F.sum("vec_id").cast("long").alias("sum_ids"))
+        .select(
+            adaptive_bits_expr(F.col("n"), _TARGET_BUCKET).alias("bits"),
+            F.col("n").cast("long").alias("n_total"),
+            "sum_ids",
+        )
+        .collect()[0]
+    )
+    assert (p.bits, p.n_total, p.sum_ids) == (want_p.bits, want_p.n_total, want_p.sum_ids)
+    got_base = {(r.vec_id, r.bucket, round(r.nrm, 9)) for r in base.collect()}
+    fresh = (
+        e.select(
+            "vec_id",
+            _as_double(F.col("embedding")).alias("v"),
+            adaptive_sign_bucket(F.col("embedding"), F.lit(int(p.bits))).alias("bucket"),
+        )
+        .withColumn("nrm", norm(F.col("v")))
+    )
+    want_base = {(r.vec_id, r.bucket, round(r.nrm, 9)) for r in fresh.collect()}
+    assert got_base == want_base
