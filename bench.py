@@ -162,8 +162,23 @@ def main() -> None:
         unpersist_all(spark)
         return dt
 
-    # JVM/codegen warm-up on a cheap query; not counted.
-    run_once("ref_filter_range")
+    # Uncounted PER-ENTRY warm-up pass (r13 measurement fix, declared
+    # in OPTIMIZATION_r13.md; the protocol tools/remeasure.py adopted
+    # in r12): first-touch costs that belong to no steady-state rep —
+    # catalog lookups, the bucketed-table existence check/creation in
+    # ext_bucketed_join_colocated (measured 5.0s first rep vs 0.43s
+    # warm), JIT of each entry's codegen — land here instead of
+    # inflating rep 1 of the counted interleave. The old methodology
+    # (one cheap-query warm-up only) kept those costs inside min-of-3,
+    # which made catalog-sensitive entries flap across driver rounds
+    # (VERDICT r12 "What's wrong" item 2). Disable with
+    # SPARK_GRAFT_BENCH_WARMUP=0 to reproduce the old protocol.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for name in HEADLINE:
+            run_once(name)
+    else:
+        # legacy: JVM/codegen warm-up on a cheap query only
+        run_once("ref_filter_range")
 
     # best-of-N per query: single runs swing ±20-100% with JIT warmup
     # and ambient machine load (measured r5: first rep of a query can

@@ -240,11 +240,21 @@ def lsh_star_edges(
     bands = [mh_cols[i : i + rows_per_band] for i in range(0, len(mh_cols), rows_per_band)]
     band_keys = [F.md5(F.concat_ws("|", *cols)) for cols in bands]
     keyed = signatures.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
-    reps = keyed.groupBy("band_key").agg(F.min(id_col).alias("a"))
+    # r13 (same shape as lsh_candidate_pairs above): ONE band-keyed
+    # exchange, star edges emitted in-row — the min id is element 1 of
+    # the sorted bucket array, the spokes are the rest. The r4-r12
+    # groupBy+join-back planned the signature pipeline twice (the
+    # probe side and the reps aggregate are separate subtrees).
+    ds = F.col("__ds")
     return (
-        keyed.join(reps, "band_key")
-        .filter(F.col(id_col) != F.col("a"))
-        .select("a", F.col(id_col).alias("b"))
+        keyed.groupBy("band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("__ds"))
+        .filter(F.size(ds) >= 2)
+        .select(
+            F.element_at(ds, 1).alias("a"),
+            F.explode(F.slice(ds, 2, F.size(ds))).alias("b"),
+        )
+        .filter(F.col("b") != F.col("a"))
         .distinct()
     )
 

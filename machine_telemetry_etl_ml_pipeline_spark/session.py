@@ -22,6 +22,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _shuffle_partitions(cpus: int) -> int:
+    """Initial shuffle-partition count, scale-parameterized (r13,
+    guide §2.2/§2.5): NOT a constant tuned for one deployment.
+
+    - local bench (this sandbox): defaults to the core count — the
+      measured optimum for sub-GB shuffles (more initial partitions
+      only add scheduling overhead once AQE coalesces them back), and
+      the value every prior round's driver bench used, so numbers stay
+      comparable.
+    - production: set SPARK_GRAFT_SHUFFLE_PARTITIONS to ~2-3x total
+      executor cores (or higher and let AQE's coalescing find the
+      real count — spark.sql.adaptive.coalescePartitions is on). At
+      100 TB the rule of thumb is shuffled-bytes / 128-512 MB initial
+      partitions; AQE's advisoryPartitionSizeInBytes then governs the
+      coalesced size."""
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
+
+
 def get_spark(
     app_name: str = "machine-telemetry-spark",
     master: str | None = None,
@@ -29,7 +47,7 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or cpus
+    shuffle_partitions = shuffle_partitions or _shuffle_partitions(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -48,10 +66,10 @@ def get_spark(
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally provided session
     (the driver passes its own SparkSession to ``entry``/``queries``)."""
-    cpus = str(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     for k, v in [
         ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.shuffle.partitions", cpus),
+        ("spark.sql.shuffle.partitions", str(_shuffle_partitions(cpus))),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),

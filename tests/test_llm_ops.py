@@ -363,3 +363,35 @@ def test_adaptive_base_literal_params_match_expression(spark):
     )
     want_base = {(r.vec_id, r.bucket, round(r.nrm, 9)) for r in fresh.collect()}
     assert got_base == want_base
+
+
+def test_lsh_star_edges_match_join_shape(spark):
+    """r13 internals: the in-row star expansion must emit exactly the
+    old groupBy+join-back shape's (bucket-min, other) edge set."""
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.llm.dedup import (
+        lsh_star_edges,
+        minhash_from_docs,
+    )
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_from_docs(d)
+    got = {(r.a, r.b) for r in lsh_star_edges(sigs).collect()}
+    mh_cols = [c for c in sigs.columns if c.startswith("mh")]
+    bands = [mh_cols[i : i + 2] for i in range(0, len(mh_cols), 2)]
+    band_keys = [F.md5(F.concat_ws("|", *cols)) for cols in bands]
+    keyed = sigs.select(
+        F.col("doc_id"), F.explode(F.array(*band_keys)).alias("band_key")
+    )
+    reps = keyed.groupBy("band_key").agg(F.min("doc_id").alias("a"))
+    want = {
+        (r.a, r.b)
+        for r in keyed.join(reps, "band_key")
+        .filter(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
