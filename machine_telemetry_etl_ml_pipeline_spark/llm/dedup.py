@@ -187,37 +187,40 @@ def minhash_from_docs(
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 2
 ) -> DataFrame:
-    """Band the signature and pair docs agreeing on ALL components of
-    any band (standard MinHash LSH banding). Returns distinct (a, b)
-    with a < b.
+    """Band the signature and self-join per band: docs agreeing on ALL
+    components of any band become a candidate pair (standard MinHash
+    LSH banding). Returns distinct (a, b) with a < b.
 
-    r13 shape: ONE band-keyed exchange + in-row pair expansion — each
-    bucket's ids are collected sorted and every (earlier, later) pair
-    is emitted with array expressions. The r1-r12 self-join computed
-    the (expensive) shingle + minhash pipeline TWICE (the two join
-    sides are separate subtrees; the claimed ReuseExchange never fired
-    in the broadcast regime — the plan showed two full signature
-    pipelines and a corpus-sized BroadcastExchange of the banded
-    table, guide §2.4/§3.1). Pair output is identical and still
-    proportional to true collisions; the per-bucket id array is
-    bounded by bucket occupancy (LSH bands keep buckets small by
-    design — for clustering, where hot buckets need only stars, use
-    lsh_star_edges instead)."""
+    r13 shape: the skinny banded frame (id, 32-char band key) is
+    localCheckpointed BEFORE the self-join. The r1-r12 lazy self-join
+    computed the (expensive) shingle + minhash pipeline TWICE — the
+    two join sides are separate subtrees, and the docstring's claimed
+    ReuseExchange never fired in the broadcast regime (the plan showed
+    two full signature pipelines; guide §2.4). The join itself STAYS a
+    join on purpose: an in-row per-bucket pair expansion
+    (collect_list + ordered_pairs, the lsh_star_edges shape) was
+    measured 3.5x SLOWER at the dense 10x replica (21.9s vs 6.2s at
+    17M pairs) — a hot bucket's C(k,2) pairs all materialize in ONE
+    row/task there, while the join streams them across the bucket's
+    probe rows in parallel. Pairs stay proportional to true
+    collisions; dense clusters are output-bound by construction (the
+    ledger's measured blowup), and for clustering — where hot buckets
+    need only stars — lsh_star_edges is the linear tool."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     bands = [mh_cols[i : i + rows_per_band] for i in range(0, len(mh_cols), rows_per_band)]
     band_keys = [F.md5(F.concat_ws("|", *cols)) for cols in bands]
-    keyed = signatures.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
-    from ..operators.core import ordered_pairs
+    from ..operators.ckpt import checkpoint_rotate, note_live
 
-    buckets = keyed.groupBy("band_key").agg(
-        F.sort_array(F.collect_list(id_col)).alias("__ds")
+    keyed, ids = checkpoint_rotate(
+        signatures.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
     )
-    ds = F.col("__ds")
+    note_live(ids)
+    left = keyed.alias("l")
+    right = keyed.alias("r")
     return (
-        buckets.filter(F.size(ds) >= 2)
-        .select(F.explode(ordered_pairs(ds)).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .filter(F.col("a") < F.col("b"))
+        left.join(right, F.col("l.band_key") == F.col("r.band_key"))
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .distinct()
     )
 
