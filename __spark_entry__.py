@@ -70,65 +70,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # from the old code; (2) any new registrations queue next (prove-at-
 # creation); (3) the window fills with the entries holding the
 # OLDEST driver rows, oldest-first, to drive the median row age down
-# (VERDICT r9 item 2). The r12 round changed NO entry implementations
-# (its engine edits were docstring evidence annotations only), so the
-# window is pure case (3): the 17 rows whose last driver verification
-# was ROUND 2 (the families behind the r10 window boundary —
-# window frames, array/map/regexp scalars, pivot/unpivot,
-# grouping sets, corr/covar, jsonl source, the three r2 ML evals),
-# then the 33 oldest ROUND-4 rows in their r4 window order
-# (stream-stream/update-mode streaming, profile/stratified-sample/
-# python-datasource sources, join families, rolling median, SCD2
-# point-in-time, IVF recall, closure components, pagerank). Ages are
-# computed from the committed CORRECTNESS_r*.json artifacts, not
-# memory; every window entry is locally green at sf0.001 AND sf0.01
-# oracle-exact and 32-vs-7-partition deterministic (r12 probe);
-# names are listed ONCE (tests/test_contract.py enforces no
-# duplicates).
+# (VERDICT r9 item 2).
+# r14 rotation (VERDICT r13 items 1/9; standing policy cases 1-3):
+# (1) the 15 r13-implementation-changed entries with no post-change
+# driver row queue FIRST (segment dedup, salted join, the LSH pair/
+# star family behind keep_best/cluster_sizes/semdedup/neardup, and
+# the 7 co-purchase-graph consumers; llm_novel_ngram_ratio and
+# llm_dedup_components already got post-change rows in the r13
+# window and queue last with the rest of that window);
+# (2) entries whose implementation changes THIS round (equi-height
+# histogram, naive-bayes, forest-vote, keyword-rake — the VERDICT
+# item 3-8 targets) queue next so their rewrites are driver-verified
+# at creation;
+# (3) the window fills with the stalest rows — the r4-era block the
+# r13 boundary cut off (ext_intersect_all onward), in their prior
+# queue order — and the 50 freshest (r13-verified) rows move to the
+# back. Every entry remains locally green at sf0.001 AND sf0.01
+# (tools/check.py); names listed once (tests/test_contract.py).
 _PRIORITY = [
-    # === r12 window: 17 r2-era rows (stalest in the repo), oldest
-    # window order preserved ===
-    "ext_window_range_frame", "ext_array_functions", "ext_map_functions",
-    "ext_regexp_functions", "ext_date_format", "ext_pivot",
-    "ext_unpivot", "ext_grouping_sets", "ext_string_agg",
-    "ext_corr_covar", "ext_union_missing_cols", "ext_join_revenue_by_nation",
-    "stream_tumbling_counts", "ml_kmeans_anomaly", "ml_gbt_regression_eval",
-    "ml_gbt_classifier_eval", "ext_source_jsonl", "llm_embedding_truncate",
-    "llm_inverted_index", "graph_pagerank", "ext_data_profile",
-    "ext_sample_stratified_exact", "ext_python_datasource", "ext_gap_fill_ffill",
-    "ext_rolling_median", "ext_histogram", "ml_linear_regression_sql",
-    "ext_fuzzy_levenshtein", "llm_multimodal_framesample", "ext_scd2_point_in_time_join",
-    "ext_try_arithmetic", "llm_novel_ngram_ratio", "ext_window_distinct_count",
-    "ext_group_by_all", "stream_update_mode_upsert", "ext_sql_unpivot_native",
-    "ml_string_indexer", "llm_bm25_score", "llm_ann_ivf_recall",
-    "udf_map_in_arrow", "llm_dedup_components", "llm_simhash_hamming_pairs",
-    "ext_join_right", "ext_join_full_outer", "ext_range_join",
-    "ext_join_hinted", "ext_time_rollup", "ext_not_in_subquery",
-    "ext_lateral_join", "ext_percentile_approx_check", "ext_intersect_all",
-    # --- ~50-entry r12 window boundary ---
-    # --- the 12 remaining r4-era rows queue first for r13 ---
-    "ext_except_all", "ext_collect_list_ordered", "ext_approx_top_k",
-    "ext_window_time_range_frame", "stream_foreach_batch_sink", "stream_stream_join",
-    "llm_ann_bucket_counts", "llm_fingerprint", "llm_scrub_text",
-    "llm_repetition_stats", "llm_minhash_jaccard_estimate", "tpch_q6",
-    "tpch_q8", "tpch_q9", "tpch_q17",
-    "ext_approx_count_distinct", "ext_bucketed_join_colocated", "ext_incremental_rollup",
-    "ext_salted_agg", "tpch_q2", "tpch_q5",
-    "tpch_q7", "tpch_q10", "tpch_q11",
-    "tpch_q12", "tpch_q13", "tpch_q15",
-    "tpch_q16", "tpch_q18", "tpch_q19",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    "llm_pack_sequences", "llm_source_mix", "llm_quality_filter_by_lang",
-    "llm_decontaminate", "llm_unigram_logprob", "llm_dedup_keep_first",
-    "llm_dedup_keep_best", "llm_chunk_documents", "llm_train_test_split",
+    "llm_segment_dedup", "ext_salted_join", "llm_lsh_candidate_pairs",
+    "llm_minhash_jaccard_estimate", "llm_dedup_keep_best", "llm_dedup_cluster_sizes",
+    "llm_semdedup_prune_scaled", "llm_embedding_neardup_scaled", "graph_triangle_count",
+    "graph_k_core", "graph_label_propagation", "graph_bfs_distances",
+    "graph_common_neighbors", "graph_clustering_coefficient", "graph_degree_assortativity",
+    "ext_equiheight_histogram", "ml_naive_bayes_sql", "ml_random_forest_vote",
+    "llm_keyword_rake", "ext_intersect_all", "ext_except_all",
+    "ext_collect_list_ordered", "ext_approx_top_k", "ext_window_time_range_frame",
+    "stream_foreach_batch_sink", "stream_stream_join", "llm_ann_bucket_counts",
+    "llm_fingerprint", "llm_scrub_text", "llm_repetition_stats",
+    "tpch_q6", "tpch_q8", "tpch_q9",
+    "tpch_q17", "ext_approx_count_distinct", "ext_bucketed_join_colocated",
+    "ext_incremental_rollup", "ext_salted_agg", "tpch_q2",
+    "tpch_q5", "tpch_q7", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13",
+    "tpch_q15", "tpch_q16", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21",
+    "tpch_q22", "llm_pack_sequences", "llm_source_mix",
+    "llm_quality_filter_by_lang", "llm_decontaminate", "llm_unigram_logprob",
+    "llm_dedup_keep_first", "llm_chunk_documents", "llm_train_test_split",
     "ext_recursive_cte", "ext_variant_json", "ext_sql_udf",
     "udf_python_udtf", "ext_compact_small_files", "ext_dynamic_partition_overwrite",
     "ext_source_csv_corrupt", "ext_manifest_pruned_scan", "ext_source_orc",
     "stream_session_counts", "stream_sliding_counts", "stream_static_join",
     "stream_dedup_within_watermark", "ext_merge_upsert", "ext_funnel_conversion",
     "ext_cohort_retention", "ext_gap_islands", "ext_scd2_history",
-    "ext_salted_join", "ext_session_dynamic_gap", "llm_tfidf_topk_terms",
-    "llm_winnowing_fingerprints", "ext_equiheight_histogram", "llm_keyword_rake",
+    "ext_session_dynamic_gap", "llm_tfidf_topk_terms", "llm_winnowing_fingerprints",
     "ext_join_left_order_counts", "ext_join_semi", "ext_join_anti",
     "ext_join_theta", "ext_union_all", "ext_union_distinct",
     "ext_intersect", "ext_except", "ext_rollup",
@@ -138,13 +124,29 @@ _PRIORITY = [
     "ext_tumbling_window", "ext_sliding_window", "ext_session_windows",
     "ext_scalar_math", "ext_window_running", "tpch_q4",
     "tpch_q14", "llm_dedup_exact_stats", "llm_minhash_signatures",
-    "llm_lsh_candidate_pairs", "llm_ngram_jaccard", "llm_simhash",
-    "llm_cosine_topk", "llm_ann_lsh_topk", "llm_ann_multiprobe_topk",
-    "llm_embedding_neardup", "llm_language_id", "llm_token_counts",
-    "llm_quality_score", "llm_pipeline_end_to_end", "llm_multimodal_pack",
-    "ext_scalar_subquery", "ext_correlated_subquery", "ext_in_subquery",
-    "udf_pandas_scalar", "udf_apply_in_pandas", "udf_python_row",
-    "ext_window_distribution", "ext_window_first_last",
+    "llm_ngram_jaccard", "llm_simhash", "llm_cosine_topk",
+    "llm_ann_lsh_topk", "llm_ann_multiprobe_topk", "llm_embedding_neardup",
+    "llm_language_id", "llm_token_counts", "llm_quality_score",
+    "llm_pipeline_end_to_end", "llm_multimodal_pack", "ext_scalar_subquery",
+    "ext_correlated_subquery", "ext_in_subquery", "udf_pandas_scalar",
+    "udf_apply_in_pandas", "udf_python_row", "ext_window_distribution",
+    "ext_window_first_last", "ext_window_range_frame", "ext_array_functions",
+    "ext_map_functions", "ext_regexp_functions", "ext_date_format",
+    "ext_pivot", "ext_unpivot", "ext_grouping_sets",
+    "ext_string_agg", "ext_corr_covar", "ext_union_missing_cols",
+    "ext_join_revenue_by_nation", "stream_tumbling_counts", "ml_kmeans_anomaly",
+    "ml_gbt_regression_eval", "ml_gbt_classifier_eval", "ext_source_jsonl",
+    "llm_embedding_truncate", "llm_inverted_index", "graph_pagerank",
+    "ext_data_profile", "ext_sample_stratified_exact", "ext_python_datasource",
+    "ext_gap_fill_ffill", "ext_rolling_median", "ext_histogram",
+    "ml_linear_regression_sql", "ext_fuzzy_levenshtein", "llm_multimodal_framesample",
+    "ext_scd2_point_in_time_join", "ext_try_arithmetic", "llm_novel_ngram_ratio",
+    "ext_window_distinct_count", "ext_group_by_all", "stream_update_mode_upsert",
+    "ext_sql_unpivot_native", "ml_string_indexer", "llm_bm25_score",
+    "llm_ann_ivf_recall", "udf_map_in_arrow", "llm_dedup_components",
+    "llm_simhash_hamming_pairs", "ext_join_right", "ext_join_full_outer",
+    "ext_range_join", "ext_join_hinted", "ext_time_rollup",
+    "ext_not_in_subquery", "ext_lateral_join", "ext_percentile_approx_check",
 ]
 
 

@@ -242,6 +242,20 @@ def main() -> None:
         "r1_subset_wall_sec": r1_total,
         "queries": per_query,
         "sf": sf,
+        # Scaling-contract fields (VERDICT r13 items 2 and ADVICE r13
+        # item 4): the EFFECTIVE master/core count and data dir the run
+        # actually used, plus the warm-up protocol, so the driver's
+        # low-vs-high-core probe and any cross-round comparison can
+        # verify what was measured instead of trusting the env. All
+        # additive — no existing key changes meaning.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+        "master": spark.sparkContext.master,
+        "sf_dir": sf_dir,
+        "warmup": (
+            "per-entry"
+            if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+            else "legacy-single"
+        ),
         "compare_to_prev": compare,
     }
     # In-tree twin of the driver artifact (VERDICT r10 item 4): the

@@ -36,6 +36,7 @@ would key the registry by job group instead.
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +44,24 @@ from pyspark.sql import DataFrame, SparkSession
 from . import plancap
 
 _ATTRIBUTION_LOCK = threading.Lock()
+
+# Reliable-checkpoint escape hatch (VERDICT r13 item 7, guide §5):
+# localCheckpoint blocks are executor-local and UNREPLICATED — on a
+# real cluster an executor loss kills every query whose lineage was
+# truncated onto that executor. Setting this env var to a
+# fault-tolerant directory (HDFS/object store) switches every
+# checkpoint_rotate call to reliable Dataset.checkpoint() against it;
+# the local default (unset) keeps localCheckpoint, whose in-memory
+# blocks are the right tradeoff for a single-node bench. Reliable
+# checkpoints live in the FS, not the block manager, so rotation/
+# retirement is a no-op for them; file cleanup is Spark's
+# spark.cleaner.referenceTracking.cleanCheckpoints (or dir TTL).
+_CKPT_DIR_ENV = "SPARK_GRAFT_CHECKPOINT_DIR"
+_CKPT_DIR_SET_FOR: set = set()  # SparkContext ids already configured
+
+
+def _reliable_dir() -> "str | None":
+    return os.environ.get(_CKPT_DIR_ENV) or None
 
 # Checkpoint ids that back a RETURNED lazy frame (the iterative
 # operators' final round). bench.py sweeps the whole block manager
@@ -91,6 +110,20 @@ def checkpoint_rotate(
             "or key attribution by job group"
         )
     try:
+        ckpt_dir = _reliable_dir()
+        if ckpt_dir is not None:
+            sc = spark.sparkContext
+            ctx_id = id(sc)
+            if ctx_id not in _CKPT_DIR_SET_FOR:
+                sc.setCheckpointDir(ckpt_dir)
+                _CKPT_DIR_SET_FOR.add(ctx_id)
+            out = df.checkpoint(eager=True)
+            plancap.note(df)
+            # reliable checkpoints hold no block-manager ids; retiring
+            # the superseded ones stays correct (they may be local ids
+            # from before the env flip mid-process)
+            retire_ids(spark, retire)
+            return out, []
         before = _persistent_ids(spark)
         out = df.localCheckpoint(eager=True)
         plancap.note(df)  # finalized construction-time plan (no-op unless auditing)

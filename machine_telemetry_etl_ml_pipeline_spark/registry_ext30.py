@@ -112,7 +112,15 @@ def _adaptive_base(spark, sf_dir):
     )
     row = params_df.collect()[0]  # bounded 1-row collect
     plancap.note(params_df)
-    bits, n_total, sum_ids = int(row["bits"]), int(row["n_total"]), int(row["sum_ids"])
+    if not row["n_total"]:
+        # empty source table: log2(0) makes bits/sum_ids NULL and the
+        # int() casts below would raise a bare TypeError (ADVICE r13).
+        # Degrade to the clamp floor with zero totals — the bucketed
+        # base is empty, so both scaled entries return zero rows, the
+        # same thing the oracle computes over an empty table.
+        bits, n_total, sum_ids = 2, 0, 0
+    else:
+        bits, n_total, sum_ids = int(row["bits"]), int(row["n_total"]), int(row["sum_ids"])
     base = e.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),

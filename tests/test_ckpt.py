@@ -116,3 +116,28 @@ def test_plancap_noop_outside_capture(spark):
         plancap.note(df)
         assert len(inner) == 1  # nesting restores the previous sink
         assert len(outer) == 1
+
+
+def test_reliable_checkpoint_escape_hatch(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR flips checkpoint_rotate to reliable
+    Dataset.checkpoint() against the configured dir (VERDICT r13 item
+    7): same data back, no block-manager ids to rotate, and the
+    checkpoint actually lands in the directory."""
+    unpersist_all(spark)
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckpt_dir)
+    df = spark.range(1_000).select("id", (F.col("id") % 3).alias("k"))
+    out, ids = checkpoint_rotate(df)
+    assert ids == []  # reliable checkpoints hold no local blocks
+    assert out.count() == 1_000
+    assert out.groupBy("k").count().count() == 3
+    import os as _os
+
+    assert any(
+        files for _, _, files in _os.walk(ckpt_dir)
+    ), "reliable checkpoint wrote nothing under the configured dir"
+    # chained rotation with an empty retire list stays a no-op
+    out2, ids2 = checkpoint_rotate(out.groupBy("k").count(), retire=ids)
+    assert ids2 == [] and out2.count() == 3
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+    unpersist_all(spark)

@@ -250,3 +250,42 @@ def test_copurchase_edges_match_self_join_shape(spark):
         .collect()
     }
     assert got == want
+
+
+def test_copurchase_bucket_occupancy_stays_bounded(spark):
+    """ADVICE r13: _copurchase_edges materializes each (part, wk)
+    group's C(k,2) pair set in one row via collect_set+ordered_pairs —
+    safe ONLY while per-(part,week) buyer counts stay small (the same
+    sparsity assumption the edge-linearity docstring rests on). Pin
+    that assumption with numbers at two SFs so a future testdata or
+    schema change that concentrates buyers per (part, wk) fails here
+    instead of OOMing one task at scale."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        li = _t(spark, sf, "lineitem").select(
+            "l_orderkey",
+            "l_partkey",
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+        )
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        occ = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("cust"),
+                F.col("l_partkey").alias("part"),
+                "wk",
+            )
+            .groupBy("part", "wk")
+            .agg(F.countDistinct("cust").alias("k"))
+            .agg(F.max("k").alias("mx"), F.avg("k").alias("avg"))
+            .collect()[0]
+        )
+        # C(k,2) in one row: k=32 is ~500 pairs — far below any task
+        # memory concern; today's data measures max 3-4, mean ~1.
+        assert occ["mx"] <= 32, (
+            f"hot (part, wk) bucket k={occ['mx']} at {sf}: in-row pair "
+            "expansion no longer safe, route big groups through the "
+            "streaming self-join path (llm/dedup.lsh_candidate_pairs)"
+        )
+        assert occ["avg"] < 4
