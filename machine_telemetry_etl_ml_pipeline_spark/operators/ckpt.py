@@ -141,6 +141,49 @@ def checkpoint_rotate(
         _ATTRIBUTION_LOCK.release()
 
 
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager=False): the LOGICAL plan caps immediately
+    (LogicalRDD), but blocks materialize only at the frame's first
+    action — so an iterative loop whose per-round 1-row stats collect
+    already scans the round's frame gets the checkpoint materialized
+    in the SAME job (1 job/round instead of a stats job + an eager
+    checkpoint job; VERDICT r13 item 3). Pair with `attributed()`
+    around that first action to learn the block ids for rotation.
+    Honors the reliable-checkpoint escape hatch like checkpoint_rotate."""
+    ckpt_dir = _reliable_dir()
+    if ckpt_dir is not None:
+        sc = df.sparkSession.sparkContext
+        if id(sc) not in _CKPT_DIR_SET_FOR:
+            sc.setCheckpointDir(ckpt_dir)
+            _CKPT_DIR_SET_FOR.add(id(sc))
+        out = df.checkpoint(eager=False)
+    else:
+        out = df.localCheckpoint(eager=False)
+    plancap.note(df)
+    return out
+
+
+def attributed(spark: SparkSession, action):
+    """Run `action` — the FIRST action over frames built from
+    lazy_checkpoint — under the attribution lock, diffing the
+    persistent-RDD id set around it. Returns (action result, new ids).
+    Same single-driver-thread contract as checkpoint_rotate: a
+    concurrent caller raises instead of cross-attributing blocks."""
+    if not _ATTRIBUTION_LOCK.acquire(blocking=False):
+        raise RuntimeError(
+            "attributed: concurrent call on one SparkContext — id "
+            "attribution would cross-attribute checkpoint blocks "
+            "(see operators/ckpt.py safety note); serialize callers"
+        )
+    try:
+        before = _persistent_ids(spark)
+        res = action()
+        new_ids = [i for i in _persistent_ids(spark) if i not in before]
+        return res, new_ids
+    finally:
+        _ATTRIBUTION_LOCK.release()
+
+
 def retire_ids(spark: SparkSession, ids) -> None:
     """Unpersist specific checkpoint ids (end-of-loop cleanup for a
     frame the returned plan does not reference)."""

@@ -107,26 +107,28 @@ def graph_k_core(spark, sf_dir):
     interleaved rep pairwise faster). At 100 TB the same test stops
     paying for converged rounds regardless of where the cap sits.
     Reference analog: none (extends graph_triangle_count family)."""
-    e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+    from .operators.ckpt import attributed, lazy_checkpoint
+
+    # r14 (VERDICT r13 item 3, guide §5): ONE job per round instead of
+    # two. Each round's edge list is a LAZY localCheckpoint — the plan
+    # caps immediately, and the round's 1-row stats collect (which
+    # scans the full edge list anyway for deg) materializes the
+    # checkpoint blocks as a side effect of the SAME job; the r13
+    # shape paid a separate eager-checkpoint job (one extra read+write
+    # pass over e per round, plus a scheduling round-trip).
+    # `attributed` diffs the persistent-RDD set around the collect so
+    # rotation keeps the exact retire-the-superseded discipline; the
+    # previous round's blocks retire only after the new round's blocks
+    # are live (the semi-join that produced them has already run).
+    # deg stays deliberately unmaterialized: the stats collect and the
+    # survivor semi-joins re-derive it from the checkpoint — measured
+    # cheaper than a per-round deg checkpoint or persist
+    # (tools/ab_kcore.py; fused-vs-eager: 3.35s vs 3.52s min at sf0.1
+    # over 5 interleaved reps on the r14 edge build).
+    e = lazy_checkpoint(_copurchase_edges(spark, sf_dir).select("u", "v"))
     rows = []
+    prev_ids: list = []
     for i in range(_PEEL_ROUNDS + 1):
-        # deg is ONE groupBy above the round's CHECKPOINTED edge list,
-        # so it is deliberately NOT materialized: the stats collect and
-        # the survivor semi-join each re-derive it from the checkpoint
-        # (2 jobs per round instead of 3). Collecting the 1-row stats
-        # EAGERLY (the accepted tiny-materialization pattern) is what
-        # lets each round's edge checkpoint rotate out
-        # (operators/ckpt.py): a lazy stats branch would pin all 7
-        # edge-list copies in executor storage until the final union
-        # executed. Isolated A/B (tools/ab_kcore.py, 5 interleaved
-        # reps, cache-manager-clean sweep): recomputing deg beats a
-        # per-round deg CHECKPOINT by ~5% (3.94s vs 4.17s min at
-        # sf0.1) and a per-round deg PERSIST by ~9% — the extra 2|E|
-        # aggregate over a checkpointed, shrinking edge list is cheaper
-        # than either materialization, and 7 block-manager
-        # registrations per run disappear. (The r6-era 1.3x "share
-        # deg" measurement predates per-round edge checkpoints, when
-        # re-deriving deg meant replaying the whole peel chain.)
         deg = (
             e.select(F.col("u").alias("node"))
             .union(e.select(F.col("v").alias("node")))
@@ -136,8 +138,11 @@ def graph_k_core(spark, sf_dir):
         st_df = deg.agg(
             F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
         )
-        st = st_df.collect()[0]
+        st_rows, new_ids = attributed(spark, lambda: st_df.collect())
+        st = st_rows[0]
         plancap.note(st_df)  # construction-time plan (no-op unless auditing)
+        retire_ids(spark, prev_ids)
+        prev_ids = new_ids
         rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
         if i == _PEEL_ROUNDS:
             break
@@ -151,16 +156,12 @@ def graph_k_core(spark, sf_dir):
             )
             break
         keep = deg.where(F.col("c") >= _K).select("node")
-        # localCheckpoint per round: the lineage-capping discipline of
-        # graph_bfs_distances / PageRank — without it the next round's
-        # degree groupBy re-derives the whole peel chain
-        e, e_ids = checkpoint_rotate(
+        e = lazy_checkpoint(
             e.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v"),
-            retire=e_ids,
+            .select("u", "v")
         )
-    retire_ids(spark, e_ids)  # trajectory is on the driver now
+    retire_ids(spark, prev_ids)  # trajectory is on the driver now
     return spark.createDataFrame(
         rows, "peel_round long, n_nodes long, n_edges long"
     ).orderBy("peel_round")

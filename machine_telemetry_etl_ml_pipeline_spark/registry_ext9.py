@@ -172,17 +172,29 @@ def _copurchase_edges(spark, sf_dir):
         F.col("l_partkey").alias("part"),
         "wk",
     )
-    # r13 (guide §2.4): ONE (part, wk)-keyed exchange — collect_set
-    # folds the oracle's DISTINCT (cust, part, wk) into the group
-    # aggregate (partial-aggregable map-side) and ordered_pairs emits
-    # each group's a.cust < b.cust pairs in-row; the r4-r12 self-join
-    # shape paid a distinct exchange plus TWO more (part, wk) join
-    # exchanges over a duplicated grp subtree. Group arrays are
-    # bounded: per-part weekly buyer counts (~1-2 here, ~constant in
-    # SF) — the same sparsity argument the docstring's edge-linearity
-    # claim rests on.
-    buckets = grp.groupBy("part", "wk").agg(
-        F.sort_array(F.collect_set("cust")).alias("cs")
+    # r14 (guide §2.3/§2.4): still ONE (part, wk)-keyed exchange, but
+    # the r13 collect_set ran an ObjectHashAggregate over ~500k
+    # near-singleton groups — per-group OpenHashSet buffers on rows
+    # that are almost all already unique, measured ~1s of pure
+    # aggregation overhead at sf0.1. Now the exchange is an explicit
+    # repartition on (part, wk); hashpartitioning(part, wk) satisfies
+    # the clustering requirement of BOTH downstream aggregations
+    # (partitioning keys ⊆ grouping keys), so the (part, wk, cust)
+    # dedup runs as an in-partition codegen HashAggregate and the
+    # collect_list — over now-unique rows, no per-element set probe —
+    # needs no exchange of its own. A/B (4 interleaved noop reps,
+    # min): 2.19s (r13 collect_set) / 1.60s (dedup-then-list, 2
+    # exchanges) / 1.22s (this shape). Group arrays stay bounded:
+    # per-part weekly buyer counts ~1-2 here, ~constant in SF — the
+    # sparsity argument the edge-linearity claim rests on
+    # (tests/test_ext9.py pins the occupancy bound).
+    buckets = (
+        grp.repartition("part", "wk")
+        .groupBy("part", "wk", "cust")
+        .agg(F.lit(1).alias("_o"))
+        .drop("_o")
+        .groupBy("part", "wk")
+        .agg(F.sort_array(F.collect_list("cust")).alias("cs"))
     )
     return (
         buckets.filter(F.size("cs") >= 2)

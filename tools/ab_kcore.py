@@ -399,6 +399,105 @@ def main() -> None:
             rows, "peel_round long, n_nodes long, n_edges long"
         ).orderBy("peel_round")
 
+    def _peel_reuse(e, keep):
+        """Semi-joins via join CONDITION on the un-renamed keep frame:
+        withColumnRenamed puts a distinct Project under each
+        BroadcastExchange, so the two builds plan as DIFFERENT
+        exchanges and deg's groupBy runs twice inside the edge-
+        checkpoint job. Joining on e.u == keep.node keeps both
+        broadcast subtrees canonically identical -> ReusedExchange,
+        one deg evaluation for both endpoint filters."""
+        k1, k2 = keep.alias("k1"), keep.alias("k2")
+        return (
+            e.join(k1, F.col("u") == F.col("k1.node"), "left_semi")
+            .join(k2, F.col("v") == F.col("k2.node"), "left_semi")
+            .select("u", "v")
+        )
+
+    def _early_loop(sf_dir: str, peel):
+        """shipped discipline (recompute deg, eager ckpt, early exit)
+        parameterized over the peel shape."""
+        e, e_ids = checkpoint_rotate(_copurchase_edges(spark, sf_dir).select("u", "v"))
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = _deg(e)
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                break
+            if i > 0 and rows[i][1:] == rows[i - 1][1:]:
+                rows.extend(
+                    (j, rows[i][1], rows[i][2])
+                    for j in range(i + 1, _PEEL_ROUNDS + 1)
+                )
+                break
+            keep = deg.where(F.col("c") >= _K).select("node")
+            e, e_ids = checkpoint_rotate(peel(e, keep), retire=e_ids)
+        retire_ids(spark, e_ids)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
+    def semi_reuse_early(sf_dir: str):
+        return _early_loop(sf_dir, _peel_reuse)
+
+    def _fused_loop(sf_dir: str, peel):
+        """lazy_ckpt_fused discipline (stats collect materializes the
+        round's checkpoint in the SAME job) + early exit, parameterized
+        over the peel shape."""
+        jsc = spark.sparkContext._jsc
+
+        def _ids():
+            return set(jsc.getPersistentRDDs().keySet().toArray())
+
+        def _retire(ids):
+            jmap = jsc.getPersistentRDDs()
+            for rid in ids:
+                r = jmap.get(rid)
+                if r is not None:
+                    r.unpersist(False)
+
+        e = (
+            _copurchase_edges(spark, sf_dir)
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        prev_ids: set = set()
+        rows = []
+        for i in range(_PEEL_ROUNDS + 1):
+            deg = _deg(e)
+            before = _ids()
+            st = deg.agg(
+                F.count("*").alias("n_nodes"), F.sum("c").alias("cnt2")
+            ).collect()[0]
+            new_ids = _ids() - before
+            _retire(prev_ids)
+            prev_ids = new_ids
+            rows.append((i, int(st["n_nodes"]), int(st["cnt2"] or 0) // 2))
+            if i == _PEEL_ROUNDS:
+                _retire(prev_ids)
+                break
+            if i > 0 and rows[i][1:] == rows[i - 1][1:]:
+                rows.extend(
+                    (j, rows[i][1], rows[i][2])
+                    for j in range(i + 1, _PEEL_ROUNDS + 1)
+                )
+                _retire(prev_ids)
+                break
+            keep = deg.where(F.col("c") >= _K).select("node")
+            e = peel(e, keep).localCheckpoint(eager=False)
+        return spark.createDataFrame(
+            rows, "peel_round long, n_nodes long, n_edges long"
+        ).orderBy("peel_round")
+
+    def fused_early(sf_dir: str):
+        return _fused_loop(sf_dir, _peel)
+
+    def fused_reuse_early(sf_dir: str):
+        return _fused_loop(sf_dir, _peel_reuse)
+
     variants = {
         "shipped": shipped,
         "persist_deg": persist_deg,
@@ -409,6 +508,9 @@ def main() -> None:
         "sym_partitioned": sym_partitioned,
         "early_exit": early_exit,
         "fold2x": fold2x,
+        "semi_reuse_early": semi_reuse_early,
+        "fused_early": fused_early,
+        "fused_reuse_early": fused_reuse_early,
     }
     if args.variants:
         wanted = args.variants.split(",")
