@@ -107,6 +107,7 @@ def with_running_total(
     value_col: str,
     out_col: str = "running_total",
     num_parts: int | None = None,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Distributed prefix sum: running total of `value_col` in
     `order_col` order WITHOUT a single-partition global window.
@@ -126,6 +127,14 @@ def with_running_total(
     Exactly equal to the global-window cumsum for unique order keys
     (ties would be order-dependent; callers pass a key). Integer values
     sum exactly, so the result is oracle-comparable.
+
+    total_col: optionally also attach the GRAND total of value_col to
+    every row (r14, for callers that need per-row access to n — e.g.
+    rank thresholds expressed against the row count). It derives from
+    the same num_parts-row totals frame the offsets walk already
+    aggregates, so it costs nothing beyond one more tiny window sum —
+    the whole-frame window the naive shape would have needed over the
+    DATA is avoided the same way the running sum is.
 
     Shuffle budget: the plan carries 2-3 wide exchanges (range
     partition, window hash partition; the totals branch re-derives its
@@ -153,9 +162,16 @@ def with_running_total(
     # that exchange instead of re-shuffling the range-partitioned input
     totals = local.groupBy("__pid").agg(F.sum(value_col).alias("__tot"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
-    )
+    off_cols = [
+        "__pid",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    ]
+    if total_col is not None:
+        w_all = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("__tot").over(w_all).alias(total_col))
+    offsets = totals.select(*off_cols)
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__cum") + F.col("__off"))

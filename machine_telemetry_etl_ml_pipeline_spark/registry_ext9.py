@@ -613,12 +613,14 @@ def ext_equiheight_histogram(spark, sf_dir):
     .grow heap death — the r9 sweep's one real at-scale find; row
     count corrected r11, see SCALE.md's r10 bookkeeping note). The
     rollup shape is spill-safe end to end: groupBy(cents) is partial-
-    aggregable, the cumulative count is one ORDER BY cents window over
-    the |distinct|-sized rollup (external sort, spills; the documented
-    exact-rank cost, same as ml_conformal_interval), and since r10 the
-    row count n rides the SAME pass — a whole-frame window total next
-    to the running one — with the decile ranks floor(p*(n-1))+1
-    expressed against the n column, so the 18 order statistics AND n
+    aggregable, and since r14 the cumulative count is the DISTRIBUTED
+    two-phase prefix sum (llm/prep.with_running_total — range
+    partition, parallel per-partition cumsum, metadata-sized offsets
+    walk) instead of a partitionless ORDER BY cents window whose
+    Exchange SinglePartition funneled every distinct value through
+    one task; the row count n rides the same offsets frame
+    (total_col), with the decile ranks floor(p*(n-1))+1 expressed
+    against the n column, so the 18 order statistics AND n still
     come back in ONE bounded 1-row collect (one lineitem scan; the r9
     shape paid a separate base.count() job first, ADVICE r9).
     Interpolation lo + (hi-lo)*(pos-floor(pos)) replays DuckDB
@@ -630,27 +632,38 @@ def ext_equiheight_histogram(spark, sf_dir):
     approx_percentile; the assignment side is unchanged."""
     import math
 
-    from pyspark.sql import Window
+    from .llm.prep import with_running_total
 
     li = _t(spark, sf_dir, "lineitem")
     base = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
-    ordered = Window.orderBy("cents")
-    cum = (
-        base.groupBy("cents")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "cents",
-            F.sum("cnt")
-            .over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .alias("cum"),
-            F.sum("cnt")
-            .over(
-                ordered.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            .alias("n"),
-        )
+    # r14 (VERDICT r13 item 4, guide §2.2): distributed two-phase
+    # prefix sum replaces the partitionless ORDER BY cents window
+    # (Exchange SinglePartition + one-task sort over ~450k distinct
+    # cents at sf0.1). cents is unique after the rollup, so the
+    # prefix sum equals the global-window cumsum exactly (integer
+    # counts); total_col attaches n from the metadata-sized offsets
+    # frame, replacing the old whole-frame window total over the data.
+    # The rollup is checkpointed first so repartitionByRange's
+    # sampling pass and the totals branch read the materialized 2-col
+    # rollup instead of re-deriving the lineitem scan+groupBy (3
+    # subtree evaluations otherwise); blocks retire right after the
+    # bounded collect — the returned plan only carries literal bounds.
+    # Measured at sf0.1 (5 interleaved reps, min): construction
+    # collect 1.65s (r13 one-task window) -> 1.89s (this shape) —
+    # ~0.25s of extra job overhead deliberately paid to remove the
+    # one-task sort, which at 100 TB is a straggler even though
+    # |distinct cents| is domain-bounded (qty x retail-price grid).
+    from .operators.ckpt import checkpoint_rotate, retire_ids
+
+    rollup, _ck_ids = checkpoint_rotate(
+        base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = with_running_total(
+        rollup,
+        "cents",
+        "cnt",
+        out_col="cum",
+        total_col="n",
     )
     # rank of the lo/hi order statistics for decile p, as expressions
     # over the in-frame total n: pos = (p/10)*(n-1) (same JVM double
@@ -670,7 +683,10 @@ def ext_equiheight_histogram(spark, sf_dir):
             ).alias(f"hi{p}")
         )
     aggs.append(F.min("n").alias("n"))
-    row = cum.agg(*aggs).collect()[0]
+    stats_df = cum.agg(*aggs)
+    row = stats_df.collect()[0]
+    plancap.note(stats_df)  # construction-time plan (no-op unless auditing)
+    retire_ids(spark, _ck_ids)  # bounds are literals from here on
     n = int(row["n"])
     bs = []
     for p in range(1, 10):

@@ -307,6 +307,23 @@ def test_running_total_matches_global_window(spark):
     assert got == want
 
 
+def test_running_total_total_col_attaches_grand_total(spark):
+    """total_col (r14, the equi-height histogram's n) rides the
+    metadata-sized offsets frame: every row carries the exact grand
+    total, and the running sum is unchanged."""
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.llm.prep import with_running_total
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7 + 1).alias("v"))
+    out = with_running_total(
+        df, "id", "v", out_col="rt", num_parts=8, total_col="n"
+    ).collect()
+    grand = sum((i % 7) + 1 for i in range(100))
+    assert {r.n for r in out} == {grand}
+    assert max(r.rt for r in out) == grand
+
+
 def test_source_weighted_sample_rate(spark):
     """Keep rate of the md5-bucket sampler converges to the weight
     (16-bit buckets, 4000 ids -> binomial; 3 sigma tolerance)."""
