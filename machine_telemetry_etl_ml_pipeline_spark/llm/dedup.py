@@ -191,38 +191,68 @@ def lsh_candidate_pairs(
     components of any band become a candidate pair (standard MinHash
     LSH banding). Returns distinct (a, b) with a < b.
 
-    r13 shape: the skinny banded frame (id, 32-char band key) is
-    localCheckpointed BEFORE the self-join. The r1-r12 lazy self-join
-    computed the (expensive) shingle + minhash pipeline TWICE — the
-    two join sides are separate subtrees, and the docstring's claimed
-    ReuseExchange never fired in the broadcast regime (the plan showed
-    two full signature pipelines; guide §2.4). The join itself STAYS a
-    join on purpose: an in-row per-bucket pair expansion
-    (collect_list + ordered_pairs, the lsh_star_edges shape) was
-    measured 3.5x SLOWER at the dense 10x replica (21.9s vs 6.2s at
-    17M pairs) — a hot bucket's C(k,2) pairs all materialize in ONE
-    row/task there, while the join streams them across the bucket's
-    probe rows in parallel. Pairs stay proportional to true
-    collisions; dense clusters are output-bound by construction (the
-    ledger's measured blowup), and for clustering — where hot buckets
-    need only stars — lsh_star_edges is the linear tool."""
+    SIDE-EFFECTFUL AND EAGER (r13 contract, documented per ADVICE
+    r13): calling this runs a Spark job immediately — the skinny
+    banded frame (id, one 32-char key per band) is localCheckpointed
+    at construction so the (expensive) shingle + minhash pipeline
+    runs ONCE instead of once per join side (the r1-r12 lazy shape
+    planned it twice; ReuseExchange never fired in the broadcast
+    regime). The checkpoint ids are noted via ckpt.note_live: a
+    long-running driver must call ckpt.retire_live after materializing
+    the result (bench.py sweeps with unpersist_all), and callers
+    needing lazy composition should band the signatures themselves.
+
+    r14 shape (VERDICT r13 item 6): pairs are emitted per band via
+    one equi-join per band key COLUMN (no band explode), and a pair
+    found in band i is kept only when the docs disagree on every
+    band j < i — the first-colliding-band rule. Each qualifying pair
+    therefore appears EXACTLY once across the union, which removes
+    the r13 plan's final distinct: that exchange + two HashAggregates
+    ran over the full candidate-pair relation (~493k rows at sf0.1,
+    pairs >> docs), only to drop cross-band duplicates the join can
+    test in-row with the band keys it already carries.
+
+    The join itself STAYS a join on purpose: an in-row per-bucket
+    pair expansion (collect_list + ordered_pairs, the lsh_star_edges
+    shape) was measured 3.5x SLOWER at the dense 10x replica (21.9s
+    vs 6.2s at 17M pairs) — a hot bucket's C(k,2) pairs all
+    materialize in ONE row/task there, while the join streams them
+    across the bucket's probe rows in parallel. Pairs stay
+    proportional to true collisions; for clustering — where hot
+    buckets need only stars — lsh_star_edges is the linear tool."""
     mh_cols = [c for c in signatures.columns if c.startswith("mh")]
     bands = [mh_cols[i : i + rows_per_band] for i in range(0, len(mh_cols), rows_per_band)]
     band_keys = [F.md5(F.concat_ws("|", *cols)) for cols in bands]
     from ..operators.ckpt import checkpoint_rotate, note_live
 
     keyed, ids = checkpoint_rotate(
-        signatures.select(F.col(id_col), F.explode(F.array(*band_keys)).alias("band_key"))
+        signatures.select(
+            F.col(id_col),
+            *[bk.alias(f"bk{i}") for i, bk in enumerate(band_keys)],
+        )
     )
     note_live(ids)
-    left = keyed.alias("l")
-    right = keyed.alias("r")
-    return (
-        left.join(right, F.col("l.band_key") == F.col("r.band_key"))
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
-        .distinct()
-    )
+    parts = []
+    for i in range(len(bands)):
+        left = keyed.alias("l")
+        right = keyed.alias("r")
+        cond = (F.col(f"l.bk{i}") == F.col(f"r.bk{i}")) & (
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+        )
+        # band keys are never null (md5 of concat_ws), so bkj != bkj
+        # is a total predicate: pair (a,b) colliding in bands {i1<i2}
+        # is emitted by i1 and filtered out of i2
+        for j in range(i):
+            cond = cond & (F.col(f"l.bk{j}") != F.col(f"r.bk{j}"))
+        parts.append(
+            left.join(right, cond).select(
+                F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
 
 
 def lsh_star_edges(

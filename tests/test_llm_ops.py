@@ -412,3 +412,43 @@ def test_lsh_star_edges_match_join_shape(spark):
         .collect()
     }
     assert got == want
+
+
+def test_lsh_pairs_first_band_rule_matches_exploded_distinct(spark):
+    """r14 cross-band dedup: per-band joins + first-colliding-band
+    filter must emit exactly the DISTINCT pair set of the r13
+    exploded-band self-join — each pair exactly once (no residual
+    duplicates for a downstream distinct to catch)."""
+    from pyspark.sql import functions as F
+
+    from machine_telemetry_etl_ml_pipeline_spark.llm.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from machine_telemetry_etl_ml_pipeline_spark.operators.ckpt import unpersist_all
+    from machine_telemetry_etl_ml_pipeline_spark.registry import _t
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(char_shingles(d, distinct=False))
+    got = [(r.a, r.b) for r in lsh_candidate_pairs(sigs).collect()]
+    # reference: the r13 shape (explode bands, self-join, distinct)
+    bands = [["mh1", "mh2"], ["mh3", "mh4"]]
+    keyed = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.md5(F.concat_ws("|", *c)) for c in bands])
+        ).alias("band_key"),
+    )
+    want = {
+        (r.a, r.b)
+        for r in keyed.alias("l")
+        .join(keyed.alias("r"), F.col("l.band_key") == F.col("r.band_key"))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert len(got) == len(set(got)), "a pair was emitted by more than one band"
+    assert set(got) == want
+    unpersist_all(spark)
