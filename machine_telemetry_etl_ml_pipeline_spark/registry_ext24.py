@@ -446,6 +446,20 @@ def ml_random_forest_vote(spark, sf_dir):
             .alias(f"pos{t}")
         )
     pvw = hashed.groupBy("q").agg(*aggs)
+    # r14 (guide §2.4, the _adaptive_base multiplicity fix): tt and
+    # cum below both derive from pv, and model's broadcast build is a
+    # THIRD consumer path — the r13 plan carried the whole
+    # scan+md5+conditional-aggregate subtree once per branch (3 Scan
+    # parquet of lineitem, two of them re-hashing 600k rids;
+    # plans/r14/ml_random_forest_vote_before.txt nodes 3/15).
+    # pvw is |distinct l_quantity| = 50 rows, so checkpointing it is
+    # free and collapses training to ONE md5 pass; the blocks back the
+    # returned (lazy) plan, so they ride note_live until the sink
+    # materializes (bench sweeps them between queries).
+    from .operators.ckpt import checkpoint_rotate, note_live
+
+    pvw, _pvw_ids = checkpoint_rotate(pvw)
+    note_live(_pvw_ids)
     pv = (
         pvw.select(
             "q",
