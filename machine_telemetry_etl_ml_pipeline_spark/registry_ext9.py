@@ -632,7 +632,7 @@ def ext_equiheight_histogram(spark, sf_dir):
     approx_percentile; the assignment side is unchanged."""
     import math
 
-    from .llm.prep import with_running_total
+    from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
     base = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
@@ -641,29 +641,38 @@ def ext_equiheight_histogram(spark, sf_dir):
     # (Exchange SinglePartition + one-task sort over ~450k distinct
     # cents at sf0.1). cents is unique after the rollup, so the
     # prefix sum equals the global-window cumsum exactly (integer
-    # counts); total_col attaches n from the metadata-sized offsets
-    # frame, replacing the old whole-frame window total over the data.
-    # The rollup is checkpointed first so repartitionByRange's
-    # sampling pass and the totals branch read the materialized 2-col
-    # rollup instead of re-deriving the lineitem scan+groupBy (3
-    # subtree evaluations otherwise); blocks retire right after the
-    # bounded collect — the returned plan only carries literal bounds.
-    # Measured at sf0.1 (5 interleaved reps, min): construction
-    # collect 1.65s (r13 one-task window) -> 1.89s (this shape) —
-    # ~0.25s of extra job overhead deliberately paid to remove the
-    # one-task sort, which at 100 TB is a straggler even though
-    # |distinct cents| is domain-bounded (qty x retail-price grid).
-    from .operators.ckpt import checkpoint_rotate, retire_ids
-
-    rollup, _ck_ids = checkpoint_rotate(
-        base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts). Unlike the generic llm/prep.with_running_total (whose
+    # repartitionByRange pays a sampling job), cents is an INTEGER
+    # key, so the range split is free: __b = cents DIV 65536 is monotone in cents with
+    # domain-bounded bucket occupancy (<= 65536 distinct values per
+    # bucket by construction) — the local cumsum window is keyed on
+    # __b (parallel), the offsets/total walk runs over the ~160-row
+    # bucket totals (metadata-sized), and the whole thing stays ONE
+    # job with no sampling pass and no checkpoint. A/B at sf0.1 (5
+    # interleaved reps, min): 1.61s (r13 one-task window) / 1.85s
+    # (generic prefix sum + checkpoint) / 1.68s (this shape) — parity
+    # with the one-task plan locally, with the 100 TB straggler
+    # removed.
+    rollup = base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    bkt = rollup.withColumn("__b", F.expr("cents DIV 65536"))
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = with_running_total(
-        rollup,
-        "cents",
-        "cnt",
-        out_col="cum",
-        total_col="n",
+    local = bkt.withColumn("__cum", F.sum("cnt").over(w_local))
+    totals = local.groupBy("__b").agg(F.sum("cnt").alias("__tot"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = totals.select(
+        "__b",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__tot").over(w_all).alias("n"),
+    )
+    cum = local.join(F.broadcast(offsets), "__b").select(
+        "cents", (F.col("__cum") + F.col("__off")).alias("cum"), "n"
     )
     # rank of the lo/hi order statistics for decile p, as expressions
     # over the in-frame total n: pos = (p/10)*(n-1) (same JVM double
@@ -686,7 +695,6 @@ def ext_equiheight_histogram(spark, sf_dir):
     stats_df = cum.agg(*aggs)
     row = stats_df.collect()[0]
     plancap.note(stats_df)  # construction-time plan (no-op unless auditing)
-    retire_ids(spark, _ck_ids)  # bounds are literals from here on
     n = int(row["n"])
     bs = []
     for p in range(1, 10):
