@@ -78,10 +78,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 7 co-purchase-graph consumers; llm_novel_ngram_ratio and
 # llm_dedup_components already got post-change rows in the r13
 # window and queue last with the rest of that window);
-# (2) entries whose implementation changes THIS round (equi-height
-# histogram, naive-bayes, forest-vote, keyword-rake — the VERDICT
-# item 3-8 targets) queue next so their rewrites are driver-verified
-# at creation;
+# (2) the r14 targets queue next: ext_equiheight_histogram (prefix-
+# sum rewrite), ml_random_forest_vote (pvw checkpoint) changed this
+# round and must be driver-verified on the new code;
+# ml_naive_bayes_sql (pre-agg REFUTED, wc-checkpoint probe reverted)
+# and llm_keyword_rake (driver regression attributed ambient, no
+# change) are unchanged but stay queued — their r13 driver rows are
+# the two the VERDICT flagged, so a fresh row closes the watch. The
+# r14-changed llm_semdedup_prune_scaled / llm_lsh_candidate_pairs /
+# llm_minhash_jaccard_estimate / graph family are already in block
+# (1) — every r14 implementation change sits inside the ~50-row
+# window;
 # (3) the window fills with the stalest rows — the r4-era block the
 # r13 boundary cut off (ext_intersect_all onward), in their prior
 # queue order — and the 50 freshest (r13-verified) rows move to the
