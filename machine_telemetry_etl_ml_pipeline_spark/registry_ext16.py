@@ -36,7 +36,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators import plancap
-from .operators.ckpt import checkpoint_rotate, note_live, retire_ids
+from .operators.ckpt import checkpoint_rotate, lazy_checkpoint, note_live
 from .registry import _t, register
 from .registry_ext9 import _COPURCHASE_EDGES_SQL, _copurchase_edges
 
@@ -215,21 +215,29 @@ def graph_label_propagation(spark, sf_dir):
     log(diameter) when convergence, not a fixed budget, is the goal)."""
     # materialize the (linear-sized) edge list once — without this
     # every round's join replays the lineitem-orders pair-generation
-    # (4x rebuild; bench: 4.1s -> this is the fix). Two-step: edges
-    # first (the symmetrize union would otherwise run the build TWICE
-    # inside sym's own materialization), then sym from the cached
-    # blocks, retiring the directed list it supersedes.
-    edges, e_ids = checkpoint_rotate(
+    # (4x rebuild; bench: 4.1s -> this is the fix). r14 session 2:
+    # the whole construction is now ONE eager job instead of four.
+    # Every intermediate (edges, sym, rounds 0-1) is a LAZY
+    # localCheckpoint — each caps the logical plan immediately, so no
+    # round's plan nests an earlier round's — and the single eager
+    # checkpoint of the FINAL round materializes the entire chain in
+    # one job (upstream lazy-checkpoint blocks land as a side effect,
+    # exactly the k-core 1-job/round discipline of registry_ext22).
+    # A/B at sf0.1, 7 interleaved reps, identical outputs at
+    # sf0.001/sf0.01: 4-job shape min 1.797 s vs fused 1.725 s (and
+    # an intermediate 2-job variant was a wash at 1.794) — the win is
+    # three saved scheduling round-trips; at 100 TB the materialized
+    # bytes are identical and the blocks still retire on the
+    # consumer's sweep (note_live contract, as graph_triangle_count).
+    edges = lazy_checkpoint(
         _copurchase_edges(spark, sf_dir).select("u", "v")
     )
-    sym, _sym_ids = checkpoint_rotate(
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v"))),
-        retire=e_ids,
+    sym = lazy_checkpoint(
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    lbl_ids: list = []
     for i in range(3):
         neigh = sym.join(
             labels.withColumnRenamed("node", "v2").withColumnRenamed("lbl", "l"),
@@ -243,14 +251,14 @@ def graph_label_propagation(spark, sf_dir):
         )
         if i < 2:  # cap lineage between rounds (node-sized table); the
             # last round flows straight into the community rollup.
-            # Round i's checkpoint supersedes round i-1's — rotate the
-            # old blocks out (operators/ckpt.py); sym stays, the final
-            # round's join still reads it.
-            labels, lbl_ids = checkpoint_rotate(labels, retire=lbl_ids)
-    # the returned rollup reads sym + the last rotated label
-    # checkpoint — record both for the caller to retire after
-    # materializing (bench's between-query sweep covers them too)
-    note_live(_sym_ids + lbl_ids)
+            labels = lazy_checkpoint(labels)
+    # ONE eager job: materializes edges + sym + both intermediate
+    # label rounds + the final round. The returned rollup reads only
+    # the node-sized final checkpoint; every block id that appeared in
+    # this job is recorded for the caller to retire after
+    # materializing (bench's between-query sweep covers them too).
+    labels, all_ids = checkpoint_rotate(labels)
+    note_live(all_ids)
     return labels.groupBy("lbl").agg(
         F.count(F.lit(1)).alias("size"),
         F.min("node").alias("min_node"),
