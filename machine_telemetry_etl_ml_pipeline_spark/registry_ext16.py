@@ -32,7 +32,6 @@ anywhere in this batch."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators import plancap
@@ -271,56 +270,47 @@ def graph_label_propagation(spark, sf_dir):
 # --- SQL-native ML: gradient-boosted stumps (2 rounds, integer state) -------
 
 
-def _fit_stump_exact(df):
-    """Best depth-1 split of integer residual column `r` on integer
-    feature `q`, with ALL-EXACT state: per-value sums in DECIMAL(38,0)
-    (DuckDB mirrors with HUGEINT), the variance-reduction score
-    s_l^2/n_l + s_r^2/n_r computed by one fixed IEEE formula over
-    those exact integers (identical doubles cross-engine, so the
-    argmax needs no rounding pin), and truncated-mean leaves via
-    integer `div`. Returns a 1-row frame (t, w_lo, w_hi). The
-    per-value table is referenced by both the total and the cumsum
-    branch; Catalyst's ReuseExchange serves both from ONE shuffle of
-    the data-sized aggregation (A/B-measured round 7: an explicit
-    checkpoint of pv was 1.1x SLOWER — materialization overhead with
-    no scan saved)."""
-    pv = df.groupBy("q").agg(
-        F.count(F.lit(1)).alias("nv"),
-        F.sum(F.col("r").cast(_DEC)).alias("sv"),
-    )
-    tot = pv.agg(
-        F.sum("nv").cast("long").alias("nt"),
-        F.sum("sv").alias("st"),
-    )
-    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
-    cum = pv.select(
-        "q",
-        F.sum("nv").over(w).cast("long").alias("nl"),
-        F.sum(F.col("sv")).over(w).alias("sl"),
-    )
-    cand = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("nt"))
-    sl = F.col("sl").cast("double")
-    sr = (F.col("st") - F.col("sl")).cast("double")
-    nl = F.col("nl")
-    nr = F.col("nt") - F.col("nl")
-    scored = cand.select(
-        "q",
-        "nl",
-        "sl",
-        nr.alias("nr"),
-        (F.col("st") - F.col("sl")).alias("srx"),
-        ((sl * sl) / nl + (sr * sr) / nr).alias("score"),
-    )
-    rk = Window.orderBy(F.col("score").desc(), F.col("q").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(rk))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("q").alias("t"),
-            F.expr("sl div nl").alias("w_lo"),
-            F.expr("srx div nr").alias("w_hi"),
-        )
-    )
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the exact semantics
+    of Spark SQL's `div` on DECIMAL/BIGINT (BigDecimal
+    divideToIntegralValue), which Python's flooring `//` does NOT
+    match for a negative dividend. Residual sums can be negative, so
+    the leaf means must truncate, not floor."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _fit_stump_rows(stats, adj):
+    """Best depth-1 split on the per-value sufficient statistics
+    `stats` = ascending-q list of (q, nv, s_cents), given `adj(q)` =
+    the model's current per-q prediction (f0 + already-fitted
+    leaves). Every quantity is an exact Python int (unbounded —
+    mirrors the DECIMAL(38,0)/HUGEINT accumulators of the oracle);
+    the ONLY doubles are the variance-reduction scores, computed by
+    the identical fixed IEEE formula the relational form used
+    (float() of an exact int is correctly rounded, * and / are IEEE
+    754 — bit-equal to CAST(decimal AS DOUBLE) arithmetic in both
+    engines). Argmax tiebreak: score DESC, q ASC, like the oracle's
+    ORDER BY ... LIMIT 1. Returns (t, w_lo, w_hi) with truncated-mean
+    integer leaves via `_tdiv`."""
+    nt = sum(nv for _, nv, _ in stats)
+    st = sum(s1 - nv * adj(q) for q, nv, s1 in stats)
+    nl = 0
+    sl = 0
+    best = None  # (score, q, sl, nl)
+    for q, nv, s1 in stats:
+        nl += nv
+        sl += s1 - nv * adj(q)
+        if nl < nt:
+            sl_d = float(sl)
+            sr_d = float(st - sl)
+            score = sl_d * sl_d / nl + sr_d * sr_d / (nt - nl)
+            if best is None or score > best[0] or (
+                score == best[0] and q < best[1]
+            ):
+                best = (score, q, sl, nl)
+    _, t, sl, nl = best
+    return t, _tdiv(sl, nl), _tdiv(st - sl, nt - nl)
 
 
 @register(
@@ -386,65 +376,58 @@ def ml_gbt_stumps(spark, sf_dir):
     leaves) makes both engines walk bit-identical trajectories with NO
     rounding pins: the only doubles are the split scores, computed by
     one fixed IEEE formula over exact integers, and the final MSE.
-    Scale shape per round: one partial-aggregable groupBy collapses
-    the facts to |distinct q| candidate rows (50 here; quantile-binned
-    to 256 at 100 TB), the cumsum/argmax run on candidates only, and
-    the 1-row stump comes back to the DRIVER as plain literals for the
-    next round's expressions (the bounded-1-row-collect pattern of the
-    k-core stats loop — model parameters, not data). The fully-lazy
-    alternative (each stage a broadcast SUBPLAN re-embedded by every
-    later stage and again by the final projection) was A/B-measured
-    r9 at 1.98s vs 1.10s for this shape (tools/ab_gbt.py, interleaved
-    min-of-reps): ReuseExchange does not dedupe the repeated parameter
-    subtrees across broadcast boundaries, so the lazy tree re-derives
-    early aggregates up to 4x. Residuals still never materialize —
-    each round's scan derives them from literals in the same pass that
-    aggregates the next fit (at 100 TB you cache the (q, cents)
-    projection once across rounds)."""
+    Scale shape (r14 session 2): because every boosting update is
+    CONSTANT WITHIN a q-group (f0 and each leaf depend on q alone),
+    the per-q table (q, count, sum(cents), sum(cents^2)) is a
+    sufficient statistic for the ENTIRE training trajectory —
+    per-q residual sums are sum(cents) - count*pred(q) and the final
+    SSE is sum(cents^2) - 2*pred(q)*sum(cents) + count*pred(q)^2,
+    all exact integer identities. So the whole entry is ONE
+    partial-aggregable scan collapsing the facts to |distinct q| rows
+    (50 here — the quantity domain; quantile-binned to 256 at 100 TB),
+    a bounded 50-row collect (model-sized, the k-core stats-loop
+    doctrine), and pure exact-integer arithmetic on the driver; the
+    result returns as a literal 1-row frame with zero scans in the
+    residual plan. The r13 shape paid FOUR full scans (f0 aggregate,
+    two stump fits, final SSE) for the same numbers — A/B at sf0.1:
+    1.463 s -> 0.504 s min over 5 interleaved reps, outputs
+    bit-identical (mse compared by IEEE bit pattern) at all three
+    SFs. Doubles appear only where they always did — the split score
+    and the final MSE, fixed IEEE formulas over exact integers
+    (float(int) is correctly rounded, exactly like CAST(decimal AS
+    DOUBLE)) — so cross-engine parity is untouched."""
     li = _t(spark, sf_dir, "lineitem")
     y = li.select(
         F.col("l_quantity").cast("long").alias("q"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
     )
-    t0_df = y.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("cents").cast(_DEC)).alias("s"),
+    c_dec = F.col("cents").cast(_DEC)
+    pvq_df = y.groupBy("q").agg(
+        F.count(F.lit(1)).cast("long").alias("nv"),
+        F.sum(c_dec).alias("s1"),
+        F.sum(c_dec * c_dec).alias("s2"),
     )
-    t0 = t0_df.collect()[0]
-    plancap.note(t0_df)  # construction-time plan (no-op unless auditing)
-    f0 = int(t0["s"]) // int(t0["n"])  # trunc == floor: cents sums > 0
-    r1 = y.select("q", (F.col("cents") - F.lit(f0)).alias("r"))
-    b1_df = _fit_stump_exact(r1)
-    b1 = b1_df.collect()[0]
-    plancap.note(b1_df)
-    t1, w1_lo, w1_hi = int(b1["t"]), int(b1["w_lo"]), int(b1["w_hi"])
-    r2 = r1.select(
-        "q",
-        (
-            F.col("r")
-            - F.when(F.col("q") <= F.lit(t1), F.lit(w1_lo)).otherwise(
-                F.lit(w1_hi)
-            )
-        ).alias("r"),
+    rows = pvq_df.collect()  # bounded: |distinct l_quantity| = 50
+    plancap.note(pvq_df)  # construction-time plan (no-op unless auditing)
+    stats = sorted((int(r["q"]), int(r["nv"]), int(r["s1"])) for r in rows)
+    s2m = {int(r["q"]): int(r["s2"]) for r in rows}
+    n = sum(nv for _, nv, _ in stats)
+    f0 = sum(s1 for _, _, s1 in stats) // n  # trunc == floor: sums > 0
+    t1, w1_lo, w1_hi = _fit_stump_rows(stats, lambda q: f0)
+
+    def adj1(q: int) -> int:
+        return f0 + (w1_lo if q <= t1 else w1_hi)
+
+    t2, w2_lo, w2_hi = _fit_stump_rows(stats, adj1)
+
+    def pred(q: int) -> int:
+        return adj1(q) + (w2_lo if q <= t2 else w2_hi)
+
+    sse = sum(
+        s2m[q] - 2 * pred(q) * s1 + nv * pred(q) * pred(q)
+        for q, nv, s1 in stats
     )
-    b2_df = _fit_stump_exact(r2)
-    b2 = b2_df.collect()[0]
-    plancap.note(b2_df)
-    t2, w2_lo, w2_hi = int(b2["t"]), int(b2["w_lo"]), int(b2["w_hi"])
-    r3 = r2.select(
-        "q",
-        (
-            F.col("r")
-            - F.when(F.col("q") <= F.lit(t2), F.lit(w2_lo)).otherwise(
-                F.lit(w2_hi)
-            )
-        ).alias("r"),
-    )
-    fin = r3.agg(
-        F.sum((F.col("r") * F.col("r")).cast(_DEC)).alias("sse"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
-    return fin.select(
+    return spark.range(1).select(
         F.lit(f0).cast("long").alias("f0"),
         F.lit(t1).cast("long").alias("t1"),
         F.lit(w1_lo).cast("long").alias("w1_lo"),
@@ -452,6 +435,6 @@ def ml_gbt_stumps(spark, sf_dir):
         F.lit(t2).cast("long").alias("t2"),
         F.lit(w2_lo).cast("long").alias("w2_lo"),
         F.lit(w2_hi).cast("long").alias("w2_hi"),
-        "n",
-        (F.col("sse").cast("double") / F.col("n")).alias("mse"),
+        F.lit(n).cast("long").alias("n"),
+        F.lit(float(sse) / n).cast("double").alias("mse"),
     )

@@ -118,3 +118,77 @@ def test_gbt_stumps_reduce_training_error(spark):
     assert 1 <= row.t1 <= 50 and 1 <= row.t2 <= 50
     # a useful first split separates below-mean from above-mean mass
     assert row.w1_lo < 0 < row.w1_hi or row.w1_hi < 0 < row.w1_lo
+
+
+def test_tdiv_matches_spark_div_on_negatives(spark):
+    """_tdiv must replicate Spark SQL `div` (truncation toward zero,
+    BigDecimal divideToIntegralValue) — Python's flooring `//` differs
+    on negative dividends, and stump residual sums go negative."""
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext16 import _tdiv
+
+    pairs = [(a, b) for a in (-7, -3, -1, 1, 3, 7, 0) for b in (-4, -2, 2, 4)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {
+        (r.a, r.b): r.d
+        for r in df.select("a", "b", F.expr("a div b").alias("d")).collect()
+    }
+    for (a, b), d in got.items():
+        assert _tdiv(a, b) == d, (a, b, _tdiv(a, b), d)
+
+
+def test_gbt_sufficient_stats_match_per_row_brute_force(spark):
+    """The (q, count, sum, sum-of-squares) collapse must reproduce the
+    per-row trajectory EXACTLY: brute-force the two boosting rounds
+    over raw (q, cents) rows in unbounded Python ints — every split
+    scored per row, same IEEE score formula, same DESC/q-ASC tiebreak,
+    truncated leaves — and compare all 9 outputs, mse by bit pattern."""
+    import struct
+
+    from machine_telemetry_etl_ml_pipeline_spark.registry_ext16 import _tdiv
+
+    row = _run(spark, "ml_gbt_stumps").collect()[0]
+    raw = (
+        _t(spark, SF, "lineitem")
+        .select(
+            F.col("l_quantity").cast("long").alias("q"),
+            F.floor(F.col("l_extendedprice") * 100 + 0.5)
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    )
+    pts = [(r.q, r.c) for r in raw]
+    n = len(pts)
+    f0 = sum(c for _, c in pts) // n
+
+    def brute_fit(res):
+        # res: list of (q, r) per row, exact ints
+        qs = sorted({q for q, _ in res})
+        st = sum(r for _, r in res)
+        nt = n
+        best = None
+        for t in qs:
+            nl = sum(1 for q, _ in res if q <= t)
+            if nl >= nt:
+                continue
+            sl = sum(r for q, r in res if q <= t)
+            sl_d = float(sl)
+            sr_d = float(st - sl)
+            score = sl_d * sl_d / nl + sr_d * sr_d / (nt - nl)
+            if best is None or score > best[0] or (
+                score == best[0] and t < best[1]
+            ):
+                best = (score, t, sl, nl)
+        _, t, sl, nl = best
+        return t, _tdiv(sl, nl), _tdiv(st - sl, nt - nl)
+
+    r1 = [(q, c - f0) for q, c in pts]
+    t1, w1_lo, w1_hi = brute_fit(r1)
+    r2 = [(q, r - (w1_lo if q <= t1 else w1_hi)) for q, r in r1]
+    t2, w2_lo, w2_hi = brute_fit(r2)
+    r3 = [r - (w2_lo if q <= t2 else w2_hi) for q, r in r2]
+    sse = sum(r * r for r in r3)
+    mse = float(sse) / n
+    assert (row.f0, row.t1, row.w1_lo, row.w1_hi) == (f0, t1, w1_lo, w1_hi)
+    assert (row.t2, row.w2_lo, row.w2_hi, row.n) == (t2, w2_lo, w2_hi, n)
+    assert struct.pack("d", row.mse) == struct.pack("d", mse)
