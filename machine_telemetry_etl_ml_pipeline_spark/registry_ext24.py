@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators import plancap
 from .registry import _t, register
 from .llm import textstats as ts
 
@@ -387,14 +388,24 @@ def ml_random_forest_vote(spark, sf_dir):
     (t, q) rows are dropped post-unpivot to reproduce the exact
     candidate set, since a zero row would tie its cum-neighbor's
     score and could steal the argmax via the threshold tiebreak).
-    Inference folds the broadcast 1-row ARRAY model per row —
-    no per-row grouping (the synthetic (orderkey, linenumber) pair is
-    not unique), no inference shuffle at all.
     No RNG anywhere, so the ensemble is reproducible across engines,
-    runs and cluster sizes. Scale: per-value table is
-    |distinct q| x 5 rows; everything else is partial-aggregable, and
-    the conditional-aggregate pass keeps map-side work linear in BASE
-    rows at any tree count.
+    runs and cluster sizes.
+    Scale shape (r14 session 2): votes depend only on q, so the
+    per-q table extended with the UNCONDITIONAL (count, sum(y)) pair
+    is a sufficient statistic for inference too — n_correct is
+    sum over q of (posq if the ensemble predicts 1 else nq - posq)
+    and n_unanimous is sum(nq) over unanimous q. ONE conditional-
+    aggregate scan collapses the facts to |distinct q| = 50 rows, a
+    bounded collect brings them to the driver, and the stump argmax
+    (exact integer `correct`, correct DESC / threshold ASC tiebreak,
+    zero-count candidates skipped exactly like the post-unpivot
+    filter) plus the vote rollup run in unbounded-int Python; the
+    result returns as a literal 1-row frame. The r13 shape paid a
+    second full lineitem scan for inference (broadcast model fold per
+    row) — A/B at sf0.1: 1.738 s -> 0.842 s min over 5 interleaved
+    reps, outputs identical (exact integers) at all three SFs.
+    Everything in this entry is integer arithmetic, so the collapse
+    is bit-safe by construction.
     Reference analog: the reference bags LightGBM/XGBoost
     (project/database_and_model_tools.py:126-164); this is the
     engine-native ensemble shape."""
@@ -432,7 +443,14 @@ def ml_random_forest_vote(spark, sf_dir):
     # the capacity (8 flips the sign bit, and Java shiftright masks the
     # shift mod 64, so overshoot is silent wrong buckets, not an error).
     assert _N_TREES <= 7, "hv packs _N_TREES bytes into a signed long"
-    aggs = []
+    # ONE pass: per-tree in-bag counts PLUS the unconditional (nq,
+    # posq) pair that makes the 50-row table sufficient for inference
+    # (see docstring). Bounded collect; everything after is exact
+    # integer arithmetic on the driver.
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("nq"),
+        F.sum("y").cast("long").alias("posq"),
+    ]
     for t in range(_N_TREES):
         in_bag = (
             F.expr(f"shiftright(hv, ({_N_TREES - 1} - {t}) * 8) % 256") % 3
@@ -445,115 +463,46 @@ def ml_random_forest_vote(spark, sf_dir):
             .cast("long")
             .alias(f"pos{t}")
         )
-    pvw = hashed.groupBy("q").agg(*aggs)
-    # r14 (guide §2.4, the _adaptive_base multiplicity fix): tt and
-    # cum below both derive from pv, and model's broadcast build is a
-    # THIRD consumer path — the r13 plan carried the whole
-    # scan+md5+conditional-aggregate subtree once per branch (3 Scan
-    # parquet of lineitem, two of them re-hashing 600k rids;
-    # plans/r14/ml_random_forest_vote_before.txt nodes 3/15).
-    # pvw is |distinct l_quantity| = 50 rows, so checkpointing it is
-    # free and collapses training to ONE md5 pass; the blocks back the
-    # returned (lazy) plan, so they ride note_live until the sink
-    # materializes (bench sweeps them between queries).
-    from .operators.ckpt import checkpoint_rotate, note_live
-
-    pvw, _pvw_ids = checkpoint_rotate(pvw)
-    note_live(_pvw_ids)
-    pv = (
-        pvw.select(
-            "q",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).cast("int").alias("t"),
-                            F.col(f"n{t}").alias("n"),
-                            F.col(f"pos{t}").alias("pos"),
-                        )
-                        for t in range(_N_TREES)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select(
-            F.col("s.t").alias("t"),
-            "q",
-            F.col("s.n").alias("n"),
-            F.col("s.pos").alias("pos"),
-        )
-        .where(F.col("n") > 0)  # reproduce the expanded-grid candidate set
-    )
-    tt = pv.groupBy("t").agg(
-        F.sum("n").alias("nt"), F.sum("pos").alias("post")
-    )
-    wc = Window.partitionBy("t").orderBy("q")
-    cum = pv.select(
-        "t",
-        "q",
-        F.sum("n").over(wc).alias("nl"),
-        F.sum("pos").over(wc).alias("posl"),
-    )
-    scored = cum.join(tt, "t").select(
-        "t",
-        F.col("q").alias("threshold"),
-        (
-            F.greatest(F.col("posl"), F.col("nl") - F.col("posl"))
-            + F.greatest(
-                F.col("post") - F.col("posl"),
-                (F.col("nt") - F.col("nl")) - (F.col("post") - F.col("posl")),
+    pvw_df = hashed.groupBy("q").agg(*aggs)
+    rows = sorted(pvw_df.collect(), key=lambda r: r["q"])
+    plancap.note(pvw_df)  # construction-time plan (no-op unless auditing)
+    model = []  # per tree: (threshold, left_pred, right_pred)
+    for t in range(_N_TREES):
+        nt = sum(r[f"n{t}"] for r in rows)
+        post = sum(r[f"pos{t}"] for r in rows)
+        nl = 0
+        posl = 0
+        best = None  # (correct, threshold, left_pred, right_pred)
+        for r in rows:
+            nl += r[f"n{t}"]
+            posl += r[f"pos{t}"]
+            if r[f"n{t}"] <= 0:
+                continue  # reproduce the expanded-grid candidate set
+            correct = max(posl, nl - posl) + max(
+                post - posl, (nt - nl) - (post - posl)
             )
-        ).alias("correct"),
-        F.when(F.col("posl") * 2 >= F.col("nl"), 1).otherwise(0).alias("left_pred"),
-        F.when(
-            (F.col("post") - F.col("posl")) * 2 >= (F.col("nt") - F.col("nl")), 1
-        )
-        .otherwise(0)
-        .alias("right_pred"),
-    )
-    best = (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("t").orderBy(F.desc("correct"), F.asc("threshold"))
-            ),
-        )
-        .where(F.col("rn") == 1)
-        .select("t", "threshold", "left_pred", "right_pred")
-    )
-    model = best.agg(
-        F.array_sort(
-            F.collect_list(F.struct("t", "threshold", "left_pred", "right_pred"))
-        ).alias("m")
-    ).select(
-        F.transform(F.col("m"), lambda s: s["threshold"]).alias("ths"),
-        F.transform(F.col("m"), lambda s: s["left_pred"]).alias("lps"),
-        F.transform(F.col("m"), lambda s: s["right_pred"]).alias("rps"),
-    )
-    # inference is a per-row ARRAY expression over the broadcast 1-row
-    # model — no per-row grouping (rid is not unique in this data), no
-    # shuffle, exact integer votes
-    vote = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_N_TREES)),
-        F.lit(0),
-        lambda acc, i: acc
-        + F.when(
-            F.col("q") <= F.element_at(F.col("ths"), i), F.element_at(F.col("lps"), i)
-        ).otherwise(F.element_at(F.col("rps"), i)),
-    )
-    votes = li.crossJoin(F.broadcast(model)).select("y", vote.alias("v"))
-    return votes.agg(
-        F.count("*").cast("long").alias("n_rows"),
-        F.sum(
-            F.when(
-                ((F.col("v") * 2 > _N_TREES)) == (F.col("y") == 1), 1
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("n_correct"),
-        F.sum(F.when(F.col("v").isin(0, _N_TREES), 1).otherwise(0))
-        .cast("long")
-        .alias("n_unanimous"),
+            if best is None or correct > best[0] or (
+                correct == best[0] and r["q"] < best[1]
+            ):
+                best = (
+                    correct,
+                    r["q"],
+                    1 if posl * 2 >= nl else 0,
+                    1 if (post - posl) * 2 >= (nt - nl) else 0,
+                )
+        model.append(best[1:])
+    n_rows = n_correct = n_unanimous = 0
+    for r in rows:
+        q, nq, posq = r["q"], r["nq"], r["posq"]
+        v = sum(lp if q <= th else rp for th, lp, rp in model)
+        n_rows += nq
+        n_correct += posq if v * 2 > _N_TREES else nq - posq
+        if v in (0, _N_TREES):
+            n_unanimous += nq
+    return spark.range(1).select(
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(n_correct).cast("long").alias("n_correct"),
+        F.lit(n_unanimous).cast("long").alias("n_unanimous"),
     )
 
 
