@@ -46,10 +46,6 @@ def pagerank(
     if iterations < 1:
         raise ValueError("pagerank requires iterations >= 1")
     spark = nodes.sparkSession
-    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
-    n_nodes = n_df.collect()[0][0]
-    plancap.note(n_df)  # construction-time plan (no-op unless auditing)
-    teleport = (1.0 - damping) / n_nodes
 
     raw = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     if small_graph_threshold > 0:
@@ -69,8 +65,12 @@ def pagerank(
         # non-node dsts, so an edge endpoint outside `nodes` must neither
         # hold nor emit rank here either (it still counts toward its
         # source's out-degree, exactly like deg in the distributed path).
-        # Membership is resolved with one semi-join collecting at most
-        # |endpoints| ids, never the full node table.
+        # Membership and the node count come from ONE pass over the
+        # node table (r14 session 2 — previously a count job plus a
+        # semi-join job): a broadcast mark-join against the endpoint
+        # list feeds a single aggregate whose collect_list holds at
+        # most |endpoints| ids (the null-skipping when() drops
+        # non-endpoints), never the full node table.
         from collections import defaultdict
 
         out: dict = defaultdict(list)
@@ -83,13 +83,30 @@ def pagerank(
             ep_df = spark.createDataFrame(
                 [(int(u),) for u in sorted(endpoints)], "node long"
             )
-            mem_df = nodes.select(F.col("node").cast("long").alias("node")).join(
-                F.broadcast(ep_df), "node", "left_semi"
+            probe_df = (
+                nodes.select(F.col("node").cast("long").alias("node"))
+                .join(
+                    F.broadcast(ep_df.withColumn("__m", F.lit(1))),
+                    "node",
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.collect_list(
+                        F.when(F.col("__m") == 1, F.col("node"))
+                    ).alias("members"),
+                )
             )
-            members = {r.node for r in mem_df.collect()}
-            plancap.note(mem_df)
+            prow = probe_df.collect()[0]
+            plancap.note(probe_df)
+            n_nodes = int(prow["n"])
+            members = set(prow["members"])
         else:
+            n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+            n_nodes = n_df.collect()[0][0]
+            plancap.note(n_df)
             members = set()
+        teleport = (1.0 - damping) / n_nodes
         rank = {u: 1.0 / n_nodes for u in members}
         for _ in range(iterations):
             incoming: dict = defaultdict(float)
@@ -115,6 +132,10 @@ def pagerank(
 
     if stats is not None:
         stats["strategy"] = "distributed"
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    n_nodes = n_df.collect()[0][0]
+    plancap.note(n_df)  # construction-time plan (no-op unless auditing)
+    teleport = (1.0 - damping) / n_nodes
     # checkpoint the raw edge list before the degree join references
     # it twice (build + probe side), then retire it once the joined
     # edge relation lands; the node set is checkpointed too — the

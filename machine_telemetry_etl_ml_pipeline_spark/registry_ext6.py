@@ -218,13 +218,25 @@ def graph_pagerank(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # r14 session 2 (guide §3.1): the planner's size estimate had been
+    # BROADCASTING the 600k-row lineitem projection into the orderkey
+    # join (BuildRight over the biggest table — a single-task build of
+    # a 600k-entry hash relation locally, and a driver-OOM shape if
+    # trusted at scale). The SHUFFLE_HASH hint on the orders-side
+    # projection shuffles both fact projections by orderkey and
+    # hash-builds the SMALLER side per partition — no data-sized
+    # broadcast at any SF, dims stay auto-broadcast. A/B at sf0.1
+    # (6 interleaved reps, identical 625-pair edge set): 0.863 s ->
+    # 0.658 s min, every rep pairwise faster.
+    osrc = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("o_orderkey", F.col("c_nationkey").alias("src"))
+        .hint("shuffle_hash")
+    )
     edges = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+        li.join(osrc, li.l_orderkey == osrc.o_orderkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .select(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
+        .select("src", F.col("s_nationkey").alias("dst"))
         .distinct()
     )
     nodes = _t(spark, sf_dir, "nation").select(
