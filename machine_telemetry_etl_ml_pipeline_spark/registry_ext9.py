@@ -653,7 +653,21 @@ def ext_equiheight_histogram(spark, sf_dir):
     # (generic prefix sum + checkpoint) / 1.68s (this shape) — parity
     # with the one-task plan locally, with the 100 TB straggler
     # removed.
-    rollup = base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # r14 session 2 (guide §2.4): the (cents, cnt) rollup is a LAZY
+    # localCheckpoint materialized as a side effect of the stats
+    # collect below (the k-core fusion), and the ASSIGNMENT side then
+    # reads the checkpointed rollup instead of re-scanning lineitem —
+    # bucket, n_rows = sum(cnt), and min/max cents are all functions
+    # of the rollup alone. One parquet scan end-to-end instead of
+    # two; at 100 TB the reread this saves is a full fact-table scan,
+    # while the materialized rollup is domain-bounded (the qty x
+    # retail-price grid). Outputs identical at all three SFs; local
+    # A/B 1.937 -> 1.802 s min (5 interleaved reps).
+    from .operators.ckpt import attributed, lazy_checkpoint
+
+    rollup = lazy_checkpoint(
+        base.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     bkt = rollup.withColumn("__b", F.expr("cents DIV 65536"))
     w_local = (
         Window.partitionBy("__b")
@@ -693,7 +707,8 @@ def ext_equiheight_histogram(spark, sf_dir):
         )
     aggs.append(F.min("n").alias("n"))
     stats_df = cum.agg(*aggs)
-    row = stats_df.collect()[0]
+    (row,), _ck_ids = attributed(spark, lambda: stats_df.collect())
+    note_live(_ck_ids)  # rollup blocks back the returned plan
     plancap.note(stats_df)  # construction-time plan (no-op unless auditing)
     n = int(row["n"])
     bs = []
@@ -703,14 +718,15 @@ def ext_equiheight_histogram(spark, sf_dir):
         lo, hi = float(row[f"lo{p}"]), float(row[f"hi{p}"])
         bs.append(lo + (hi - lo) * (pos - k))  # quantile_cont's formula
     bounds = F.array(*[F.round(F.lit(b), 4) for b in bs])
-    assigned = base.select(
+    assigned = rollup.select(
         F.size(F.filter(bounds, lambda b: F.col("cents") > b))
         .cast("long")
         .alias("bucket"),
         "cents",
+        "cnt",
     )
     return assigned.groupBy("bucket").agg(
-        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cnt").cast("long").alias("n_rows"),
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
