@@ -127,109 +127,93 @@ def llm_keyword_rake(spark, sf_dir):
     so the float sum has one tree on both engines); corpus top-15
     under a total (score DESC, phrase) order. Identical phrases score
     identically by construction, so min(score) == max(score) per
-    group — min() is just the deterministic pick. Since r9 each
-    segment is collected ONCE into a sorted word array right after
-    the boundary window — the groupBy needs no exchange because
-    hashpartitioning(doc_id) from the window already satisfies
-    ClusteredDistribution(doc_id, seg_id) — word stats come from
-    re-exploding the (already length-filtered) arrays, and phrase
-    text + the position-ordered score fold are ONE pass: array_join
-    plus an in-order F.aggregate (the identical left-to-right IEEE
-    sum the old ROWS window produced at its last row). The r1-r8
-    shape consumed the token-level member frame three times across
-    two (doc, seg)-keyed passes plus their join (tools/ab_rake.py:
-    2.03s -> 1.56s min at sf0.1, every interleaved rep pairwise
-    faster, identical output). Scale: one explode (O(tokens)),
-    vocabulary-bounded word stats, phrase stats bounded by
-    segments <= tokens; no pairwise anything. Reference analog:
-    none (extends llm_tfidf_topk_terms with phrase-level extraction)."""
-    w_all = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    words = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", F.posexplode(w_all).alias("pos0", "w0"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.lower(F.col("w0")).alias("w"),
-        )
+    group — min() is just the deterministic pick.
+    r14 session 2 (guide §2.3/§2.4 — aggregate before you shuffle):
+    segmentation now runs IN-ROW with higher-order functions, so no
+    token-level row ever reaches an exchange. Break tokens are
+    rewritten to a control-char sentinel, the token array is joined
+    and re-split on it, and each piece IS a phrase occurrence —
+    collision-free by construction because every non-break token
+    matches ^[a-z]+$ and so can never contain the sentinel. The old
+    shape shuffled all O(tokens) rows into a per-doc window for the
+    conditional-cumsum seg_id (the r9-r13 lineage: tools/ab_rake.py
+    2.03s -> 1.56s had already removed two of its three token-level
+    passes). Downstream, everything is phrase-keyed: occurrences
+    group straight to (phrase, n), word stats explode the DISTINCT
+    phrase table with occurrence multiplicities (freq = sum(n),
+    degree = sum(n * n_words) — the same per-membership counts), and
+    the position-ordered fold runs once per distinct phrase (every
+    occurrence folds identically, exactly why min() was already just
+    a pick). A/B at sf0.1: 1.014 -> 0.610 s min over 5 interleaved
+    reps, every rep pairwise faster; top-15 rows bit-identical
+    (rake_score compared by IEEE bit pattern) at all three SFs.
+    Scale: one in-row pass (O(tokens) work, zero token shuffles),
+    phrase- and vocabulary-bounded exchanges only. The wstat join
+    stays unhinted: AQE picks broadcast at runtime while the
+    vocabulary is small but degrades to a shuffle join instead of
+    OOMing if real text blows past the threshold (ADVICE r9).
+    Reference analog: none (extends llm_tfidf_topk_terms with
+    phrase-level extraction)."""
+    sent = "\x01"
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    low = F.transform(toks, lambda x: F.lower(x))
+    mapped = F.transform(
+        low,
+        lambda w: F.when(
+            w.isin(*_RAKE_STOPS) | ~w.rlike("^[a-z]+$"), F.lit(sent)
+        ).otherwise(w),
     )
-    brk = (
-        F.array_contains(F.array(*[F.lit(s) for s in _RAKE_STOPS]), F.col("w"))
-        | ~F.col("w").rlike("^[a-z]+$")
-    ).cast("int")
-    seg = words.select(
-        "doc_id",
-        "w",
-        "pos",
-        brk.alias("brk"),
-    ).withColumn(
-        "seg_id",
-        F.sum("brk").over(
-            Window.partitionBy("doc_id")
-            .orderBy("pos")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    phrases_arr = F.filter(
+        F.transform(
+            F.split(F.array_join(mapped, " "), sent), lambda p: F.trim(p)
         ),
+        lambda p: p != F.lit(""),
     )
-    pw = seg.where(F.col("brk") == 0).select("doc_id", "seg_id", "w", "pos")
-    segs = (
-        pw.groupBy("doc_id", "seg_id")
-        .agg(F.sort_array(F.collect_list(F.struct("pos", "w"))).alias("pws"))
-        .where(F.size("pws") <= _MAX_PHRASE)
-        .select(
-            "doc_id",
-            "seg_id",
-            F.transform(F.col("pws"), lambda s: s["w"]).alias("ws"),
-        )
+    occ = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(phrases_arr).alias("phrase"))
+        .where(F.size(F.split(F.col("phrase"), " ")) <= _MAX_PHRASE)
     )
-    wstat = (
-        segs.select(F.explode("ws").alias("w"), F.size("ws").alias("n_words"))
-        .groupBy("w")
+    counts = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    pw = counts.select(
+        "phrase",
+        "n_occurrences",
+        F.posexplode(F.split(F.col("phrase"), " ")).alias("i", "w"),
+        F.size(F.split(F.col("phrase"), " ")).alias("n_words"),
+    )
+    wstat = pw.groupBy("w").agg(
+        F.sum("n_occurrences").cast("long").alias("freq"),
+        F.sum(F.col("n_occurrences") * F.col("n_words"))
+        .cast("long")
+        .alias("degree"),
+    )
+    scored = (
+        pw.join(wstat, "w")
+        .groupBy("phrase")
         .agg(
-            F.count("*").cast("long").alias("freq"),
-            F.sum("n_words").cast("long").alias("degree"),
-        )
-    )
-    # no broadcast hint on wstat: AQE picks broadcast at runtime while
-    # the vocabulary is small but degrades to a shuffle join instead of
-    # OOMing if real text blows past the threshold (ADVICE r9; the
-    # hint-vs-AQE A/B is a dead heat at sf0.1 — tools/ab_rake_hint.py:
-    # 1.38s vs 1.40s min over 4 interleaved reps, identical output)
-    occ = segs.select("doc_id", "seg_id", F.posexplode("ws").alias("i", "w")).join(
-        wstat, "w"
-    )
-    phrases = (
-        occ.groupBy("doc_id", "seg_id")
-        .agg(
+            F.min("n_occurrences").alias("n_occurrences"),
             F.sort_array(
                 F.collect_list(
                     F.struct(
                         "i",
-                        "w",
                         (F.col("degree").cast("double") / F.col("freq")).alias(
                             "wscore"
                         ),
                     )
                 )
-            ).alias("sws")
+            ).alias("sws"),
         )
         .select(
-            F.array_join(F.transform(F.col("sws"), lambda s: s["w"]), " ").alias(
-                "phrase"
-            ),
+            "phrase",
+            "n_occurrences",
             F.aggregate(
                 F.col("sws"), F.lit(0.0), lambda acc, s: acc + s["wscore"]
-            ).alias("score"),
+            ).alias("rake_score"),
         )
     )
-    return (
-        phrases.groupBy("phrase")
-        .agg(
-            F.count("*").cast("long").alias("n_occurrences"),
-            F.min("score").alias("rake_score"),
-        )
-        .orderBy(F.desc("rake_score"), F.asc("phrase"))
-        .limit(15)
-    )
+    return scored.orderBy(F.desc("rake_score"), F.asc("phrase")).limit(15)
 
 
 _HITS = {
