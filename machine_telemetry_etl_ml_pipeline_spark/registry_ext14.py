@@ -271,45 +271,64 @@ def ml_mann_whitney_u(spark, sf_dir):
     tie-correction sum(t^3 - t) reduce as exact integer sums, and U
     plus the z statistic are single scalar formulas over those exact
     values — identical doubles cross-engine at any partition order.
-    Scale shape: one global rank window (the range-partitioned sorted
-    pass ranking needs), a cents-keyed tie count reusing the same
-    exchange, and two 1-row aggregates. Reference analog: none."""
+    Scale shape (r14 session 2, guide §2.2 — the equiheight prefix-sum
+    pattern): the doubled tie-averaged rank is a function of cents
+    alone (rr2 = 2*prefix_count_below + tc + 1), so the r13 global
+    rank window — whose Exchange SinglePartition funneled EVERY order
+    row through one sort task, the 100 TB straggler — is replaced by
+    a partial-aggregable (cents, tc, c1) rollup plus the fixed-width
+    integer-bucket distributed prefix sum (cents DIV 65536 is
+    monotone; the only SinglePartition left is over the ~850-row
+    bucket totals). The grouped rank sum sum(c1 * rr2) equals the
+    per-row sum exactly (integer arithmetic in DECIMAL(38,0)), and
+    sum(tc^3 - tc) no longer needs its tc>1 filter (singleton terms
+    are identically zero). Outputs bit-identical (u/z compared by
+    IEEE bit pattern) at all three SFs; local timing flat (0.93 vs
+    1.01 s min in an ambient-noisy window) — the win is the removed
+    one-task sort, not local seconds. Reference analog: none."""
+    from pyspark.sql import Window
+
     v = _t(spark, sf_dir, "orders").select(
         F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
         .otherwise(0)
         .alias("grp"),
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    from pyspark.sql import Window
-
-    wr = Window.orderBy("cents")
-    wt = Window.partitionBy("cents")
-    r = v.select(
-        "grp",
-        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("rr2"),
+    roll = v.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("tc"), F.sum("grp").alias("c1")
     )
-    t = (
-        v.groupBy("cents")
-        .agg(F.count(F.lit(1)).alias("tc"))
-        .filter(F.col("tc") > 1)
+    bkt = roll.withColumn("__b", F.expr("cents DIV 65536"))
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bkt.withColumn("__cum", F.sum("tc").over(w_local))
+    totals = local.groupBy("__b").agg(F.sum("tc").alias("__tot"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    )
+    cum = local.join(F.broadcast(offsets), "__b").select(
+        "tc",
+        "c1",
+        (F.col("__cum") + F.col("__off") - F.col("tc")).alias("before"),
     )
     # rank sums and tc^3 exceed BIGINT once a group passes ~2M ties /
     # ~1.5e9 rows (ANSI Spark errors; DuckDB silently promotes to
     # HUGEINT) — accumulate in DECIMAL(38,0) like ml_spearman_corr and
     # only convert to double in the final scalar formula
     dec = "decimal(38,0)"
-    s = r.agg(
-        F.sum(F.when(F.col("grp") == 1, F.col("rr2")).otherwise(0).cast(dec))
-        .cast("double")
-        .alias("r1_2"),
-        F.sum("grp").cast("long").alias("n1"),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    # rr2 = 2*rank + tc - 1 with rank = prefix_count_below + 1
+    rr2 = (2 * F.col("before") + F.col("tc") + 1).cast(dec)
     tcd = F.col("tc").cast(dec)
-    tie = t.agg(
+    s = cum.agg(
+        F.sum(F.col("c1").cast(dec) * rr2).cast("double").alias("r1_2"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("tc").cast("long").alias("n"),
         F.coalesce(F.sum(tcd * tcd * tcd - tcd), F.lit(0).cast(dec))
         .cast("double")
-        .alias("tsum")
+        .alias("tsum"),
     )
     n1 = F.col("n1")
     n = F.col("n")
@@ -317,7 +336,7 @@ def ml_mann_whitney_u(spark, sf_dir):
     var = (n1 * (n - n1)).cast("double") / 12 * (
         (n + 1) - F.col("tsum") / (n.cast("double") * (n - 1))
     )
-    return s.crossJoin(F.broadcast(tie)).select(
+    return s.select(
         "n1",
         (n - n1).alias("n0"),
         (F.round(u, 1) + 0).alias("u_stat"),
