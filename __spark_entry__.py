@@ -78,15 +78,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # the 7 co-purchase-graph consumers; llm_novel_ngram_ratio and
 # llm_dedup_components already got post-change rows in the r13
 # window and queue last with the rest of that window);
-# (2) the r14 targets queue next: ext_equiheight_histogram (prefix-
-# sum rewrite), ml_random_forest_vote (pvw checkpoint) changed this
-# round and must be driver-verified on the new code;
+# (2) the r14 implementation-changed entries queue next:
+# ext_equiheight_histogram (prefix-sum rewrite + checkpointed-rollup
+# assignment), ml_random_forest_vote (single sufficient-stats scan),
+# llm_keyword_rake (in-row segmentation), ml_gbt_stumps (single
+# sufficient-stats scan), ml_mann_whitney_u (distributed prefix-sum
+# ranks), graph_pagerank (shuffle-hash orderkey join + fused
+# membership probe) — all must be driver-verified on the new code;
 # ml_naive_bayes_sql (pre-agg REFUTED, wc-checkpoint probe reverted)
-# and llm_keyword_rake (driver regression attributed ambient, no
-# change) are unchanged but stay queued — their r13 driver rows are
-# the two the VERDICT flagged, so a fresh row closes the watch. The
-# r14-changed llm_semdedup_prune_scaled / llm_lsh_candidate_pairs /
-# llm_minhash_jaccard_estimate / graph family are already in block
+# is unchanged but stays queued — its r13 driver row is one the
+# VERDICT flagged, so a fresh row closes the watch. The r14-changed
+# llm_semdedup_prune_scaled / llm_lsh_candidate_pairs /
+# llm_minhash_jaccard_estimate / graph family (label propagation
+# re-changed in session 2: fused construction) are already in block
 # (1) — every r14 implementation change sits inside the ~50-row
 # window;
 # (3) the window fills with the stalest rows — the r4-era block the
@@ -100,8 +104,9 @@ _PRIORITY = [
     "llm_semdedup_prune_scaled", "llm_embedding_neardup_scaled", "graph_triangle_count",
     "graph_k_core", "graph_label_propagation", "graph_bfs_distances",
     "graph_common_neighbors", "graph_clustering_coefficient", "graph_degree_assortativity",
-    "ext_equiheight_histogram", "ml_naive_bayes_sql", "ml_random_forest_vote",
-    "llm_keyword_rake", "ext_intersect_all", "ext_except_all",
+    "ext_equiheight_histogram", "ml_random_forest_vote", "llm_keyword_rake",
+    "ml_gbt_stumps", "ml_mann_whitney_u", "graph_pagerank",
+    "ml_naive_bayes_sql", "ext_intersect_all", "ext_except_all",
     "ext_collect_list_ordered", "ext_approx_top_k", "ext_window_time_range_frame",
     "stream_foreach_batch_sink", "stream_stream_join", "llm_ann_bucket_counts",
     "llm_fingerprint", "llm_scrub_text", "llm_repetition_stats",
@@ -143,7 +148,7 @@ _PRIORITY = [
     "ext_string_agg", "ext_corr_covar", "ext_union_missing_cols",
     "ext_join_revenue_by_nation", "stream_tumbling_counts", "ml_kmeans_anomaly",
     "ml_gbt_regression_eval", "ml_gbt_classifier_eval", "ext_source_jsonl",
-    "llm_embedding_truncate", "llm_inverted_index", "graph_pagerank",
+    "llm_embedding_truncate", "llm_inverted_index",
     "ext_data_profile", "ext_sample_stratified_exact", "ext_python_datasource",
     "ext_gap_fill_ffill", "ext_rolling_median", "ext_histogram",
     "ml_linear_regression_sql", "ext_fuzzy_levenshtein", "llm_multimodal_framesample",
