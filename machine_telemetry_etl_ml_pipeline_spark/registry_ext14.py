@@ -283,9 +283,11 @@ def ml_mann_whitney_u(spark, sf_dir):
     per-row sum exactly (integer arithmetic in DECIMAL(38,0)), and
     sum(tc^3 - tc) no longer needs its tc>1 filter (singleton terms
     are identically zero). Outputs bit-identical (u/z compared by
-    IEEE bit pattern) at all three SFs; local timing flat (0.93 vs
-    1.01 s min in an ambient-noisy window) — the win is the removed
-    one-task sort, not local seconds. Reference analog: none."""
+    IEEE bit pattern) at all three SFs; local cost ~+9% (calm-window
+    A/B: 0.766 one-task window / 0.834 this shape / 0.914 a first cut
+    that derived bucket totals from the windowed frame) — the win is
+    the removed one-task sort, not local seconds.
+    Reference analog: none."""
     from pyspark.sql import Window
 
     v = _t(spark, sf_dir, "orders").select(
@@ -304,7 +306,16 @@ def ml_mann_whitney_u(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = bkt.withColumn("__cum", F.sum("tc").over(w_local))
-    totals = local.groupBy("__b").agg(F.sum("tc").alias("__tot"))
+    # bucket totals come straight off the scan (partial-aggregable
+    # ~850-group count), NOT off `local`: deriving them from the
+    # windowed frame re-embedded the whole rollup+window subtree in
+    # the offsets branch (A/B at sf0.1, 6 interleaved reps: 0.914 s
+    # from-local vs 0.834 s from-scan; the one-task r13 window read
+    # 0.766 in the same window — the residual gap is the price of
+    # removing the SinglePartition sort, same trade equiheight made)
+    totals = v.groupBy(F.expr("cents DIV 65536").alias("__b")).agg(
+        F.count(F.lit(1)).alias("__tot")
+    )
     w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__b", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
