@@ -346,3 +346,31 @@ def test_analyze_table_stats_feed_cbo(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", old)
         spark.sql("DROP TABLE IF EXISTS t_stats_cbo")
+
+
+def test_mann_whitney_no_data_sized_global_window(spark, queries):
+    """The U statistic's rank computation must be the distributed
+    bucket prefix sum, never a whole-table single-partition sort: the
+    old shape's signature was a rank() Window over ORDER BY cents fed
+    by Exchange SinglePartition carrying every order row. The new
+    plan has no rank() at all, and its windows are keyed on the
+    fixed-width bucket (__b) or run over the ~bucket-count totals."""
+    plan = plan_of(queries["ml_mann_whitney_u"](spark, SF))
+    assert "rank(" not in plan.lower(), plan
+    assert "__b" in plan, plan
+
+
+def test_pagerank_edge_join_is_shuffle_hash(spark, queries):
+    """The orderkey join of the pagerank edge build must be a
+    shuffled-hash join of the two fact projections (smaller side
+    built per partition), never a broadcast of either fact-sized
+    side: the planner's size estimate had been broadcasting the
+    whole lineitem projection (driver-OOM shape at scale). The edge
+    build executes inside the entry's construction probe, so capture
+    it via the plan-audit notes."""
+    from machine_telemetry_etl_ml_pipeline_spark.operators import plancap
+
+    with plancap.capture() as plans:
+        queries["graph_pagerank"](spark, SF)
+    joined = "\n===\n".join(plans)
+    assert "ShuffledHashJoin" in joined, joined
